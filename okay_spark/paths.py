@@ -28,10 +28,21 @@ class Name:
 
 
 class _Elem:
-    """Descend into each element of a list/array."""
+    """Descend into each element of a list/array.
+
+    Identity is preserved across pickling (closures holding steps are shipped
+    to Python workers for the Arrow custom-rule pass), so both ``is ELEM``
+    and ``isinstance`` checks are safe anywhere."""
 
     def __repr__(self) -> str:  # pragma: no cover
         return "ELEM"
+
+    def __reduce__(self):
+        return (_get_elem, ())
+
+
+def _get_elem() -> "_Elem":
+    return ELEM
 
 
 ELEM = _Elem()

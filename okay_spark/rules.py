@@ -1,0 +1,306 @@
+"""Lowering of compiled okay rules to native Spark Column expressions.
+
+Every rule in the battery compiles to JVM-side Column expressions (whole-stage
+codegen, zero per-row Python) — the distributed analogue of the reference's
+type-validator callables (``/root/reference/src/okay/type_validators/``).
+Semantics reproduced exactly (verified by differential tests):
+
+- OR-semantics within one rule, AND across rules on a field
+  (``string_validator.py:41``, ``number_validator.py:31``);
+- failure-priority ladders: regex -> too_short -> too_long -> options
+  (``string_validator.py:44-70``); too_small -> too_large -> options
+  (``number_validator.py:34-53``);
+- ``expected`` payloads carry *all* rule params including unset ones;
+- ``bool`` passes ``int``/``number`` (``isinstance(True, int)``,
+  ``int_validator.py:10``; ``number_validator.py:11``);
+- a float with zero fraction is an ``int`` (``12.0`` passes,
+  ``int_validator.py:10``);
+- regex is a *fullmatch* (``string_validator.py:36``), so patterns are
+  anchored ``^(?:...)$`` before hitting Spark's search-style ``rlike``.
+
+okay is dynamically typed; Spark columns are statically typed. The type check
+of each rule therefore resolves partly at *compile time*: a column whose Spark
+type can never satisfy the okay type lowers to a constant ``invalid_type``
+violation for non-null values; a type that sometimes satisfies it (double
+under an ``int`` rule) lowers to a value-level predicate.
+
+Documented divergences (SURVEY.md §2.3): NaN/±inf under an ``int`` rule yield
+``invalid_type`` instead of the reference's uncaught OverflowError/ValueError;
+``number`` comparisons run in the column's native numeric type rather than
+``decimal.Decimal``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructType,
+)
+
+from .messages import expected_json
+from .schema import Rule
+
+try:  # CHAR/VARCHAR exist in Spark 3.4+/4.x
+    from pyspark.sql.types import CharType, VarcharType
+
+    _STRING_TYPES: tuple = (StringType, CharType, VarcharType)
+except ImportError:  # pragma: no cover
+    _STRING_TYPES = (StringType,)
+
+_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
+_FRACTIONAL_TYPES = (FloatType, DoubleType)
+
+VIOL_STRUCT_DDL = "struct<path:string,rule:string,expected:string,seq:bigint>"
+VIOL_ARRAY_DDL = f"array<{VIOL_STRUCT_DDL}>"
+
+
+def null_violation() -> Column:
+    """A typed NULL violation struct (used as the 'no violation' branch)."""
+    return F.lit(None).cast(VIOL_STRUCT_DDL)
+
+
+def empty_violations() -> Column:
+    return F.array().cast(VIOL_ARRAY_DDL)
+
+
+def make_violation(path: Column, rule_name: str, expected: dict | None, seq: int) -> Column:
+    payload = expected_json(expected)
+    return F.struct(
+        path.cast("string").alias("path"),
+        F.lit(rule_name).alias("rule"),
+        (F.lit(payload) if payload is not None else F.lit(None).cast("string")).alias("expected"),
+        F.lit(seq).cast("bigint").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type admission: can this Spark type satisfy the okay type?
+# Returns True (always), False (never), or a Column predicate (value-level).
+# ---------------------------------------------------------------------------
+
+Admission = Union[bool, Column]
+
+
+def _is_whole(value: Column) -> Column:
+    # NaN % 1 and inf % 1 are NaN -> comparison false -> invalid_type,
+    # the documented divergence for non-finite floats.
+    return (value % F.lit(1.0)) == F.lit(0.0)
+
+
+def type_admission(rule_type: str, dtype: DataType, value: Column) -> Admission:
+    if rule_type in ("any", "custom"):
+        return True
+    if rule_type == "string":
+        return isinstance(dtype, _STRING_TYPES)
+    if rule_type == "bool":
+        return isinstance(dtype, BooleanType)
+    if rule_type == "number":
+        return isinstance(
+            dtype, (BooleanType, DecimalType) + _INTEGRAL_TYPES + _FRACTIONAL_TYPES
+        )
+    if rule_type == "int":
+        if isinstance(dtype, (BooleanType,) + _INTEGRAL_TYPES):
+            return True
+        if isinstance(dtype, _FRACTIONAL_TYPES):
+            return _is_whole(value)
+        if isinstance(dtype, DecimalType):
+            return True if dtype.scale == 0 else _is_whole(value)
+        return False
+    if rule_type == "list":
+        return isinstance(dtype, ArrayType)
+    if rule_type == "object":
+        return isinstance(dtype, (StructType, MapType))
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Parameter checks (value already non-null and type-admitted)
+# ---------------------------------------------------------------------------
+
+
+def _numeric_params_check(
+    rule: Rule, value: Column, dtype: DataType, path: Column, seq: int
+) -> Column:
+    p = rule.params
+    lo, hi, options = p.get("min"), p.get("max"), p.get("options")
+    if lo is None and hi is None and options is None:
+        return null_violation()
+
+    v = value.cast("int") if isinstance(dtype, BooleanType) else value
+    pass_min = (v >= F.lit(lo)) if lo is not None else F.lit(hi is not None)
+    pass_max = (v <= F.lit(hi)) if hi is not None else F.lit(lo is not None)
+    pass_opt = v.isin(*options) if options else F.lit(False)
+    ok = pass_opt | (pass_min & pass_max)
+
+    expected = {"min": lo, "max": hi, "options": options}
+    ladder = null_violation()
+    if options is not None:
+        ladder = make_violation(path, "invalid_number_option", expected, seq)
+    if hi is not None:
+        ladder = F.when(~pass_max, make_violation(path, "number_too_large", expected, seq)).otherwise(ladder)
+    if lo is not None:
+        ladder = F.when(~pass_min, make_violation(path, "number_too_small", expected, seq)).otherwise(ladder)
+    return F.when(ok, null_violation()).otherwise(ladder)
+
+
+def _string_params_check(rule: Rule, value: Column, path: Column, seq: int) -> Column:
+    p = rule.params
+    pattern, options = p.get("regex"), p.get("options")
+    case_sensitive = p.get("case_sensitive", True)
+    lo, hi = p.get("min"), p.get("max")
+    if pattern is None and options is None and lo is None and hi is None:
+        return null_violation()
+
+    length = F.length(value)
+    pass_regex = value.rlike(f"^(?:{pattern})$") if pattern is not None else F.lit(False)
+    pass_min = (length >= F.lit(lo)) if lo is not None else F.lit(hi is not None)
+    pass_max = (length <= F.lit(hi)) if hi is not None else F.lit(lo is not None)
+    if options:
+        pass_opt = value.isin(*options) if case_sensitive else F.lower(value).isin(*options)
+    else:
+        pass_opt = F.lit(False)
+    ok = pass_regex | pass_opt | (pass_min & pass_max)
+
+    expected = {
+        "case_sensitive": case_sensitive if options is not None else None,
+        "max": hi,
+        "min": lo,
+        "options": options,
+        "regex": pattern,
+    }
+    ladder = null_violation()
+    if options is not None:
+        ladder = make_violation(path, "invalid_string_option", expected, seq)
+    if hi is not None:
+        ladder = F.when(~pass_max, make_violation(path, "string_too_long", expected, seq)).otherwise(ladder)
+    if lo is not None:
+        ladder = F.when(~pass_min, make_violation(path, "string_too_short", expected, seq)).otherwise(ladder)
+    if pattern is not None:
+        ladder = F.when(~pass_regex, make_violation(path, "no_match", expected, seq)).otherwise(ladder)
+    return F.when(ok, null_violation()).otherwise(ladder)
+
+
+def _list_params_check(rule: Rule, value: Column, path: Column, seq: int) -> Column:
+    lo, hi = rule.params.get("min"), rule.params.get("max")
+    if lo is None and hi is None:
+        return null_violation()
+    n = F.size(value)
+    expected = {"min": lo, "max": hi}
+    result = null_violation()
+    if hi is not None:
+        result = F.when(n > F.lit(hi), make_violation(path, "too_many_elements", expected, seq)).otherwise(result)
+    if lo is not None:
+        result = F.when(n < F.lit(lo), make_violation(path, "too_few_elements", expected, seq)).otherwise(result)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Full lowering of one rule at one instance
+# ---------------------------------------------------------------------------
+
+_INVALID_TYPE_NAME = {
+    "int": "int",
+    "number": "number",
+    "string": "string",
+    "bool": "bool",
+    "list": "list",
+    "object": "object",
+}
+
+
+def lower_rule_nonnull(
+    rule: Rule, value: Column, dtype: DataType, path: Column, seq: int
+) -> Column:
+    """Violation-struct-or-NULL for a non-null instance value."""
+    if rule.type in ("any", "custom"):
+        # any: no-op beyond the null check; custom: evaluated by the Arrow
+        # pass in okay_spark.compat (engine merges its violations).
+        return null_violation()
+
+    admission = type_admission(rule.type, dtype, value)
+    invalid = make_violation(
+        path, "invalid_type", {"type": _INVALID_TYPE_NAME[rule.type]}, seq
+    )
+    if admission is False:
+        return invalid
+
+    if rule.type in ("int", "number"):
+        params_check = _numeric_params_check(rule, value, dtype, path, seq)
+    elif rule.type == "string":
+        params_check = _string_params_check(rule, value, path, seq)
+    elif rule.type == "list":
+        params_check = _list_params_check(rule, value, path, seq)
+    else:  # bool, object: type check only
+        params_check = null_violation()
+
+    if admission is True:
+        return params_check
+    return F.when(admission, params_check).otherwise(invalid)
+
+
+def lower_instance(
+    value: Column,
+    dtype: DataType,
+    path: Column,
+    rules: list[tuple[int, Rule]],
+    *,
+    value_never_null: bool = False,
+) -> Column:
+    """All rule checks for one instance -> ``array<violation>`` (possibly empty).
+
+    Reproduces the reference's scan loop (``validator.py:44-58``): a null
+    value yields ``null_value`` per non-nullable rule (expected =
+    ``{'type': rule.type}``); non-null values run the rule body. Custom rules
+    contribute only their null check here (their body runs in the Arrow pass).
+    """
+    checks: list[Column] = []
+    for seq, rule in rules:
+        body = (
+            null_violation()
+            if rule.type == "custom"
+            else lower_rule_nonnull(rule, value, dtype, path, seq)
+        )
+        if value_never_null:
+            checks.append(body)
+            continue
+        if rule.nullable:
+            null_branch = null_violation()
+        else:
+            null_branch = make_violation(path, "null_value", {"type": rule.type}, seq)
+        checks.append(F.when(value.isNull(), null_branch).otherwise(body))
+    if not checks:
+        return empty_violations()
+    return F.filter(F.array(*checks), lambda v: v.isNotNull())
+
+
+def rule_expected_payload(rule: Rule) -> dict[str, Any] | None:
+    """The expected dict a rule reports on failure (for docs/tests)."""
+    if rule.type in ("int", "number"):
+        return {k: rule.params.get(k) for k in ("min", "max", "options")}
+    if rule.type == "list":
+        return {k: rule.params.get(k) for k in ("min", "max")}
+    if rule.type == "string":
+        opts = rule.params.get("options")
+        return {
+            "case_sensitive": rule.params.get("case_sensitive", True) if opts is not None else None,
+            "max": rule.params.get("max"),
+            "min": rule.params.get("min"),
+            "options": opts,
+            "regex": rule.params.get("regex"),
+        }
+    return None
