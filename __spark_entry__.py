@@ -1,38 +1,591 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship: the okay_spark rule battery over documents.parquet
+queries()     -> one DataFrame-producing callable per implemented operator
+oracle_sql()  -> DuckDB-equivalent SQL for every SQL-expressible query
+
+Column names and value rounding are aligned on both sides (the driver hashes
+values after sorting columns by name). Approximate/LSH operators whose exact
+output is not SQL-reproducible are included WITHOUT an oracle entry (driver
+records a rows-only check): battery_interleaved (fixture input),
+minhash_near_duplicates (approximate candidate set), embedding_neardup_lsh,
+multimodal_features (mapInPandas binary plumbing).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+STOP_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+STOP_FR = ["le", "la", "et", "les", "des", "un", "une", "du", "que", "pour"]
+STOP_DE = ["der", "die", "und", "das", "ein", "eine", "zu", "mit", "ist", "nicht"]
+STOP_ES = ["el", "la", "de", "que", "y", "los", "en", "un", "una", "por"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# okay schemas used by the battery queries
+# ---------------------------------------------------------------------------
+
+
+def _documents_schema():
+    from okay_spark import required
+
+    required("doc_id", type="int", min=0)
+    required("text", type="string", min=20)
+    required("lang", type="string", options=["en", "fr", "de"])
+    required("source", type="string", regex=r"src[0-5]")
+    required("n_chars", type="int", min=1, max=500)
+
+
+def _events_schema():
+    from okay_spark import optional, required
+
+    required("event_id", type="int", min=0)
+    optional("ts", type="any?")
+    required("user_id", type="int", min=0, max=120)
+    required("event_type", type="string", options=["click", "view", "purchase"])
+    required("value", type="number", min=0.05, max=400)
+    required("props", type="string", regex=r'\{"k": \d+\}')
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_battery_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.engine import validate_dataframe
+
+    df = _read(spark, sf_dir, "documents")
+    return validate_dataframe(df, _documents_schema, id_cols=["doc_id"]).select(
+        "doc_id", "path", "rule"
+    )
+
+
+def q_battery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.engine import validate_dataframe
+
+    df = _read(spark, sf_dir, "events").drop("ts")  # timestamps stay out of hashes
+    return validate_dataframe(df, _events_schema, id_cols=["event_id"]).select(
+        "event_id", "path", "rule"
+    )
+
+
+def q_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import column_stats
+
+    df = _read(spark, sf_dir, "documents")
+    out = column_stats(df, ["doc_id", "n_chars", "lang"])
+    return out.select(
+        F.col("column").alias("col_name"),
+        "n_rows",
+        "n_present",
+        "n_nulls",
+        F.round("null_rate", 6).alias("null_rate"),
+        F.round("min_num", 4).alias("min_num"),
+        F.round("max_num", 4).alias("max_num"),
+        F.round("avg_num", 4).alias("avg_num"),
+        "min_str",
+        "max_str",
+    )
+
+
+def q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import duplicate_keys
+
+    return duplicate_keys(_read(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+def q_uniqueness_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import duplicate_keys
+
+    return duplicate_keys(_read(spark, sf_dir, "events"), "user_id", salt_buckets=8)
+
+
+def q_referential_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    from okay_spark.checks import referential_violations
+
+    out = referential_violations(
+        orders, "o_custkey", customer, "c_custkey", id_cols=["o_orderkey"]
+    )
+    return out.select("o_orderkey", "path", "rule")
+
+
+def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    supplier = _read(spark, sf_dir, "supplier")
+    from okay_spark.checks import referential_violations
+
+    out = referential_violations(
+        events.select("event_id", "user_id"),
+        "user_id",
+        supplier,
+        "s_suppkey",
+        id_cols=["event_id", "user_id"],
+        broadcast=False,
+        salt_buckets=4,
+    )
+    return out.select("event_id", "user_id")
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.textops import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.dedup import exact_duplicates
+
+    return exact_duplicates(_read(spark, sf_dir, "documents")).select("fp", "cnt", "keep_id")
+
+
+def q_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.textops import token_count
+
+    return token_count(_read(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.textops import language_id
+
+    return language_id(_read(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.textops import quality_score
+
+    out = quality_score(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_minhash_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.dedup import minhash_lsh_buckets
+
+    return minhash_lsh_buckets(
+        _read(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_k=3
+    )
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.dedup import simhash
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select("doc_id", simhash(F.col("text"), bits=32).alias("simhash"))
+
+
+def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = brute_force_topk(emb, query, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.dedup import cosine
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    return pairs.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")).filter(
+        F.col("cos") >= 0.5
+    )
+
+
+def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import drift_metrics
+
+    events = _read(spark, sf_dir, "events")
+    cur = events.filter(F.col("event_type") == "error")
+    ref = events.filter(F.col("event_type") == "click")
+    m = drift_metrics(cur, ref, "value", bins=20)
+    return spark.createDataFrame(
+        [(round(m["psi"], 6), round(m["ks"], 6), m["n_current"], m["n_reference"])],
+        "psi double, ks double, n_current bigint, n_reference bigint",
+    )
+
+
+def q_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.engine import validate_dataframe
+
+    df = _read(spark, sf_dir, "documents")
+    v = validate_dataframe(df, _documents_schema, id_cols=["doc_id", "source"])
+    return v.rollup("source", "rule").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value", "rn")
+    )
+
+
+def q_partition_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import partition_summary
+
+    df = _read(spark, sf_dir, "documents")
+    out = partition_summary(df, _documents_schema, "source")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_violations",
+        "n_failed_docs",
+        F.round("pass_rate", 6).alias("pass_rate"),
+    )
+
+
+# --- rows-only (no SQL oracle: fixture inputs / approximate algorithms) ------
+
+
+def q_battery_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.engine import validate_dataframe
+    from okay_spark.fixtures import document_schema, interleaved_documents
+
+    docs = interleaved_documents(spark, 5_000, parts=16)
+    v = validate_dataframe(docs, document_schema, id_cols=["doc_id"])
+    return v.groupBy("rule").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), threshold=0.5, num_hashes=16, bands=8
+    )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.dedup import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    return embedding_near_duplicates(emb, dim=dim, threshold=0.9, planes=8)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.fixtures import media_catalog
+    from okay_spark.multimodal import attach_payload, extract_media_features
+
+    media = attach_payload(media_catalog(spark, 500))
+    return extract_media_features(media, feature_dim=8).select(
+        "media_ref", "media_kind", "n_bytes", "width", "height", "duration_ms"
+    )
+
+
+def q_referential_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import media_ref_violations
+    from okay_spark.fixtures import interleaved_documents, media_catalog
+
+    docs = interleaved_documents(spark, 5_000, parts=16)
+    catalog = media_catalog(spark, 100_000)
+    return media_ref_violations(docs, catalog, broadcast=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_battery_documents(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "battery_documents": q_battery_documents,
+        "battery_events": q_battery_events,
+        "stats_documents": q_stats_documents,
+        "uniqueness_lineitem": q_uniqueness_lineitem,
+        "uniqueness_salted_events": q_uniqueness_salted_events,
+        "referential_orders_customer": q_referential_orders_customer,
+        "referential_events_supplier": q_referential_events_supplier,
+        "fingerprint_documents": q_fingerprint_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_count_documents": q_token_count_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "quality_documents": q_quality_documents,
+        "minhash_buckets_documents": q_minhash_buckets_documents,
+        "simhash_documents": q_simhash_documents,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
+        "drift_events_value": q_drift_events_value,
+        "rollup_documents": q_rollup_documents,
+        "topk_events_per_type": q_topk_events_per_type,
+        "partition_summary_documents": q_partition_summary_documents,
+        # rows-only checks (approximate / fixture-input operators)
+        "battery_interleaved": q_battery_interleaved,
+        "minhash_near_duplicates": q_minhash_near_duplicates,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "multimodal_features": q_multimodal_features,
+        "referential_media_catalog": q_referential_media_catalog,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sql_stop_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_ALL_STOPS = _sql_stop_list(STOP_EN + STOP_FR + STOP_DE + STOP_ES)
+
+_BATTERY_DOCUMENTS_SQL = """
+SELECT doc_id, 'doc_id' AS path, 'null_value' AS rule FROM documents WHERE doc_id IS NULL
+UNION ALL SELECT doc_id, 'doc_id', 'number_too_small' FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
+UNION ALL SELECT doc_id, 'text', 'null_value' FROM documents WHERE text IS NULL
+UNION ALL SELECT doc_id, 'text', 'string_too_short' FROM documents WHERE text IS NOT NULL AND length(text) < 20
+UNION ALL SELECT doc_id, 'lang', 'null_value' FROM documents WHERE lang IS NULL
+UNION ALL SELECT doc_id, 'lang', 'invalid_string_option' FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','fr','de')
+UNION ALL SELECT doc_id, 'source', 'null_value' FROM documents WHERE source IS NULL
+UNION ALL SELECT doc_id, 'source', 'no_match' FROM documents WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-5]')
+UNION ALL SELECT doc_id, 'n_chars', 'null_value' FROM documents WHERE n_chars IS NULL
+UNION ALL SELECT doc_id, 'n_chars', 'number_too_small' FROM documents WHERE n_chars IS NOT NULL AND n_chars < 1
+UNION ALL SELECT doc_id, 'n_chars', 'number_too_large' FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
+"""
+
+_BATTERY_EVENTS_SQL = """
+SELECT event_id, 'event_id' AS path, 'null_value' AS rule FROM events WHERE event_id IS NULL
+UNION ALL SELECT event_id, 'event_id', 'number_too_small' FROM events WHERE event_id IS NOT NULL AND event_id < 0
+UNION ALL SELECT event_id, 'user_id', 'null_value' FROM events WHERE user_id IS NULL
+UNION ALL SELECT event_id, 'user_id', 'number_too_small' FROM events WHERE user_id IS NOT NULL AND user_id < 0
+UNION ALL SELECT event_id, 'user_id', 'number_too_large' FROM events WHERE user_id IS NOT NULL AND user_id > 120
+UNION ALL SELECT event_id, 'event_type', 'null_value' FROM events WHERE event_type IS NULL
+UNION ALL SELECT event_id, 'event_type', 'invalid_string_option' FROM events WHERE event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase')
+UNION ALL SELECT event_id, 'value', 'null_value' FROM events WHERE value IS NULL
+UNION ALL SELECT event_id, 'value', 'number_too_small' FROM events WHERE value IS NOT NULL AND value < 0.05
+UNION ALL SELECT event_id, 'value', 'number_too_large' FROM events WHERE value IS NOT NULL AND value > 400
+UNION ALL SELECT event_id, 'props', 'null_value' FROM events WHERE props IS NULL
+UNION ALL SELECT event_id, 'props', 'no_match' FROM events WHERE props IS NOT NULL AND NOT regexp_full_match(props, '\\{"k": \\d+\\}')
+"""
+
+_STATS_SQL = """
+SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows, COUNT(doc_id)::BIGINT AS n_present,
+       (COUNT(*) - COUNT(doc_id))::BIGINT AS n_nulls,
+       round((COUNT(*) - COUNT(doc_id)) / COUNT(*)::DOUBLE, 6) AS null_rate,
+       round(MIN(doc_id)::DOUBLE, 4) AS min_num, round(MAX(doc_id)::DOUBLE, 4) AS max_num,
+       round(AVG(doc_id::DOUBLE), 4) AS avg_num, NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*)::BIGINT, COUNT(n_chars)::BIGINT, (COUNT(*) - COUNT(n_chars))::BIGINT,
+       round((COUNT(*) - COUNT(n_chars)) / COUNT(*)::DOUBLE, 6),
+       round(MIN(n_chars)::DOUBLE, 4), round(MAX(n_chars)::DOUBLE, 4),
+       round(AVG(n_chars::DOUBLE), 4), NULL::VARCHAR, NULL::VARCHAR
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*)::BIGINT, COUNT(lang)::BIGINT, (COUNT(*) - COUNT(lang))::BIGINT,
+       round((COUNT(*) - COUNT(lang)) / COUNT(*)::DOUBLE, 6),
+       NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, MIN(lang), MAX(lang)
+FROM documents
+"""
+
+_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_EN)}, lower(x)))) AS h_en,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_FR)}, lower(x)))) AS h_fr,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_DE)}, lower(x)))) AS h_de,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_ES)}, lower(x)))) AS h_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+       WHEN h_en = GREATEST(h_en, h_fr, h_de, h_es) THEN 'en'
+       WHEN h_fr = GREATEST(h_en, h_fr, h_de, h_es) THEN 'fr'
+       WHEN h_de = GREATEST(h_en, h_fr, h_de, h_es) THEN 'de'
+       ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, ' '), x -> x != '') AS toks,
+    length(text)::DOUBLE AS n_chars,
+    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct
+  FROM documents
+), r AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+    CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({_ALL_STOPS}, lower(x))))::DOUBLE / len(toks)
+         ELSE 0.0 END AS stop_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,
+  round(0.4 * LEAST(1.0, n_tokens / 64.0)
+      + 0.3 * GREATEST(0.0, 1.0 - punct_ratio * 10)
+      + 0.3 * LEAST(1.0, stop_ratio * 3), 6) AS quality
+FROM r
+"""
+
+_MINHASH_BUCKETS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles
+  FROM t
+), sig AS (
+  SELECT doc_id, [list_min([md5(CAST(h AS VARCHAR) || '|' || s) FOR s IN shingles]) FOR h IN range(0, 8)] AS mh
+  FROM sh
+)
+SELECT doc_id, b AS band, md5(array_to_string(mh[b*2+1 : b*2+2], ',')) AS bucket
+FROM sig, range(0, 4) t(b)
+"""
+
+_SIMHASH_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents
+), h AS (
+  SELECT doc_id, [('0x' || substr(md5(x), 1, 8))::BIGINT FOR x IN toks] AS hs FROM t
+)
+SELECT doc_id,
+  CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, v -> ((v >> i) & 1) = 1)) > len(hs)
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                 FOR i IN range(0, 32)]) AS BIGINT) AS simhash
+FROM h
+"""
+
+_DRIFT_SQL = """
+WITH ref AS (SELECT value FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+cur AS (SELECT value FROM events WHERE event_type = 'error' AND value IS NOT NULL),
+ext AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ref),
+rh AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - lo) / ((hi - lo) / 20)), 0), 19) AS INT) AS b,
+              COUNT(*)::BIGINT AS c FROM ref, ext GROUP BY 1),
+ch AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - lo) / ((hi - lo) / 20)), 0), 19) AS INT) AS b,
+              COUNT(*)::BIGINT AS c FROM cur, ext GROUP BY 1),
+bins AS (SELECT CAST(i AS INT) AS b FROM range(0, 20) t(i)),
+tot AS (SELECT (SELECT COUNT(*) FROM cur) AS nc, (SELECT COUNT(*) FROM ref) AS nr),
+j0 AS (
+  SELECT bins.b, COALESCE(ch.c, 0) AS cc, COALESCE(rh.c, 0) AS rc
+  FROM bins LEFT JOIN ch ON ch.b = bins.b LEFT JOIN rh ON rh.b = bins.b
+), j AS (
+  SELECT b, cc / nc::DOUBLE AS p, rc / nr::DOUBLE AS q FROM j0 CROSS JOIN tot
+), terms AS (
+  SELECT b, (GREATEST(p, 1e-6) - GREATEST(q, 1e-6)) * LN(GREATEST(p, 1e-6) / GREATEST(q, 1e-6)) AS term,
+    SUM(p) OVER (ORDER BY b) AS cp, SUM(q) OVER (ORDER BY b) AS cq
+  FROM j
+)
+SELECT round(SUM(term), 6) AS psi, round(MAX(ABS(cp - cq)), 6) AS ks,
+  (SELECT nc FROM tot) AS n_current, (SELECT nr FROM tot) AS n_reference
+FROM terms
+"""
+
+_PARTITION_SUMMARY_SQL = """
+WITH per AS (
+  SELECT source,
+    (CASE WHEN doc_id IS NULL THEN 1 WHEN doc_id < 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN text IS NULL THEN 1 WHEN length(text) < 20 THEN 1 ELSE 0 END)
+  + (CASE WHEN lang IS NULL THEN 1 WHEN lang NOT IN ('en','fr','de') THEN 1 ELSE 0 END)
+  + (CASE WHEN source IS NULL THEN 1 WHEN NOT regexp_full_match(source, 'src[0-5]') THEN 1 ELSE 0 END)
+  + (CASE WHEN n_chars IS NULL THEN 1 WHEN n_chars < 1 OR n_chars > 500 THEN 1 ELSE 0 END) AS nv
+  FROM documents
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs, CAST(SUM(nv) AS BIGINT) AS n_violations,
+  CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_docs,
+  round((COUNT(*) - SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END)) / COUNT(*)::DOUBLE, 6) AS pass_rate
+FROM per GROUP BY source
+"""
+
+_ROLLUP_SQL = """
+WITH v AS (
+SELECT doc_id, source, 'doc_id' AS path, 'null_value' AS rule FROM documents WHERE doc_id IS NULL
+UNION ALL SELECT doc_id, source, 'doc_id', 'number_too_small' FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
+UNION ALL SELECT doc_id, source, 'text', 'null_value' FROM documents WHERE text IS NULL
+UNION ALL SELECT doc_id, source, 'text', 'string_too_short' FROM documents WHERE text IS NOT NULL AND length(text) < 20
+UNION ALL SELECT doc_id, source, 'lang', 'null_value' FROM documents WHERE lang IS NULL
+UNION ALL SELECT doc_id, source, 'lang', 'invalid_string_option' FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','fr','de')
+UNION ALL SELECT doc_id, source, 'source', 'null_value' FROM documents WHERE source IS NULL
+UNION ALL SELECT doc_id, source, 'source', 'no_match' FROM documents WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-5]')
+UNION ALL SELECT doc_id, source, 'n_chars', 'null_value' FROM documents WHERE n_chars IS NULL
+UNION ALL SELECT doc_id, source, 'n_chars', 'number_too_small' FROM documents WHERE n_chars IS NOT NULL AND n_chars < 1
+UNION ALL SELECT doc_id, source, 'n_chars', 'number_too_large' FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
+)
+SELECT source, rule, COUNT(*)::BIGINT AS cnt FROM v GROUP BY ROLLUP (source, rule)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "battery_documents": _BATTERY_DOCUMENTS_SQL,
+        "battery_events": _BATTERY_EVENTS_SQL,
+        "stats_documents": _STATS_SQL,
+        "uniqueness_lineitem": (
+            "SELECT l_orderkey, COUNT(*)::BIGINT AS cnt FROM lineitem "
+            "GROUP BY l_orderkey HAVING COUNT(*) > 1"
+        ),
+        "uniqueness_salted_events": (
+            "SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events "
+            "GROUP BY user_id HAVING COUNT(*) > 1"
+        ),
+        "referential_orders_customer": (
+            "SELECT o_orderkey, 'o_custkey' AS path, 'unknown_reference' AS rule FROM orders "
+            "WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)"
+        ),
+        "referential_events_supplier": (
+            "SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL "
+            "AND user_id NOT IN (SELECT s_suppkey FROM supplier)"
+        ),
+        "fingerprint_documents": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+            "FROM documents"
+        ),
+        "dedup_exact_documents": (
+            "WITH f AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents) "
+            "SELECT fp, COUNT(*)::BIGINT AS cnt, MIN(doc_id) AS keep_id FROM f GROUP BY fp HAVING COUNT(*) > 1"
+        ),
+        "token_count_documents": (
+            "SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "lang_id_documents": _LANG_ID_SQL,
+        "quality_documents": _QUALITY_SQL,
+        "minhash_buckets_documents": _MINHASH_BUCKETS_SQL,
+        "simhash_documents": _SIMHASH_SQL,
+        "ann_topk_embeddings": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS score "
+            "FROM embeddings, q "
+            "ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id LIMIT 10"
+        ),
+        "embedding_pairs_exact": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+            "AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.5"
+        ),
+        "drift_events_value": _DRIFT_SQL,
+        "rollup_documents": _ROLLUP_SQL,
+        "topk_events_per_type": (
+            "SELECT event_type, event_id, value, rn FROM ("
+            "SELECT event_type, event_id, value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn "
+            "FROM events) WHERE rn <= 3"
+        ),
+        "partition_summary_documents": _PARTITION_SUMMARY_SQL,
+    }

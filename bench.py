@@ -1,0 +1,173 @@
+"""Benchmark harness (driver contract): runs the headline operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline workload is the north metric: the full okay rule battery over
+the interleaved (doc_id, spans[]) fixture table, measured in validated
+docs/sec (reported under "docs_per_sec"; the compliant "value" is total
+seconds across headline queries). The fixture parquet is generated once per
+(N, sf) into /tmp and scanned like a real table so the measurement includes
+the parquet scan, not generation.
+
+Usage:
+    python bench.py              # full suite, one JSON line to stdout
+    python bench.py --battery-only   # just the interleaved battery (used by
+                                     # scripts/scaling_bench.py at 2 widths)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BATTERY_DOCS = int(os.environ.get("OKAY_BENCH_DOCS", "2000000"))
+ACC_DOCS = int(os.environ.get("OKAY_BENCH_ACC_DOCS", "400000"))
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("okay_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("OKAY_BENCH_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .getOrCreate()
+    )
+
+
+def _fixture_path(kind: str, n: int) -> str:
+    return f"/tmp/okay_spark_bench/{kind}_{n}"
+
+
+def _ensure_fixture(spark, kind: str, n: int) -> str:
+    path = _fixture_path(kind, n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from okay_spark.fixtures import accommodations, interleaved_documents
+
+        gen = interleaved_documents(spark, n, parts=64) if kind == "interleaved" else accommodations(spark, n)
+        gen.repartition(max(CPUS * 2, 16)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_queries(spark) -> dict[str, dict]:
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import (
+        column_stats,
+        drift_metrics,
+        duplicate_keys,
+        media_ref_violations,
+        partition_summary,
+    )
+    from okay_spark.dedup import minhash_near_duplicates
+    from okay_spark.engine import validate_dataframe
+    from okay_spark.fixtures import (
+        accommodation_schema_native,
+        document_schema,
+        interleaved_documents,
+        media_catalog,
+    )
+    from okay_spark.similarity import brute_force_topk
+
+    inter_path = _ensure_fixture(spark, "interleaved", BATTERY_DOCS)
+    acc_path = _ensure_fixture(spark, "accommodations", ACC_DOCS)
+    inter = spark.read.parquet(inter_path)
+    acc = spark.read.parquet(acc_path)
+
+    def battery_interleaved():
+        return validate_dataframe(inter, document_schema, id_cols=["doc_id"]).count()
+
+    def summary_interleaved():
+        return partition_summary(inter, document_schema, "part").count()
+
+    def battery_accommodations():
+        return validate_dataframe(
+            acc, accommodation_schema_native, id_cols=[]
+        ).count()
+
+    def uniqueness():
+        return duplicate_keys(inter, "doc_id").count()
+
+    def referential():
+        catalog = media_catalog(spark, 100_000)
+        return media_ref_violations(inter, catalog, broadcast=True).count()
+
+    def stats():
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        return column_stats(li, ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]).count()
+
+    def drift():
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        cur = ev.filter(F.col("event_type") == "error")
+        ref = ev.filter(F.col("event_type") == "click")
+        return drift_metrics(cur, ref, "value", bins=20)["bins"]
+
+    def minhash():
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return minhash_near_duplicates(docs, threshold=0.5, num_hashes=16, bands=8).count()
+
+    def ann():
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        query = [float(x) for x in emb.first()["embedding"]]
+        return brute_force_topk(emb, query, k=10).count()
+
+    suite = {
+        "battery_interleaved": (battery_interleaved, BATTERY_DOCS),
+        "summary_interleaved": (summary_interleaved, BATTERY_DOCS),
+        "battery_accommodations": (battery_accommodations, ACC_DOCS),
+        "uniqueness_doc_id": (uniqueness, BATTERY_DOCS),
+        "referential_media_ref": (referential, BATTERY_DOCS),
+        "stats_lineitem": (stats, None),
+        "drift_events": (drift, None),
+        "minhash_documents": (minhash, None),
+        "ann_topk_embeddings": (ann, None),
+    }
+    if "--battery-only" in sys.argv:
+        suite = {k: suite[k] for k in ("battery_interleaved",)}
+    results = {}
+    for name, (fn, n_rows) in suite.items():
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        results[name] = {"sec": round(dt, 3), "result": out}
+        if n_rows:
+            results[name]["rows_per_sec"] = round(n_rows / dt)
+    return results
+
+
+def main() -> None:
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + fixture caches so timings measure the operators
+    _ensure_fixture(spark, "interleaved", BATTERY_DOCS)
+    results = bench_queries(spark)
+    total = round(sum(v["sec"] for v in results.values()), 3)
+    battery = results.get("battery_interleaved", {})
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: v["sec"] for k, v in results.items()},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "battery_docs": BATTERY_DOCS,
+        "docs_per_sec": battery.get("rows_per_sec"),
+        "detail": {k: v.get("result") for k, v in results.items()},
+    }
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,346 @@
+"""Engine-level checks the reference never had (BASELINE.json north_star):
+per-column stats, exact uniqueness, referential integrity, distribution
+drift, per-partition pass/fail summaries.
+
+Every check is a declarative DataFrame plan so Catalyst handles pushdown,
+partial (map-side) aggregation and AQE re-planning. The only shuffles in the
+whole engine live here — uniqueness (hash partition by key), referential
+(broadcast when the catalog is small, salted sort-merge otherwise), and the
+two-level histogram aggregation for drift. Skew handling per
+:mod:`okay_spark.salt`.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import BooleanType, DecimalType, NumericType
+
+from .engine import violations_array
+from .messages import expected_json
+from .salt import hash_salt, partition_salt, replicate_with_salts
+from .schema import CompiledSchema, compile_cached
+
+# ---------------------------------------------------------------------------
+# Per-column statistics (one aggregation pass over the table)
+# ---------------------------------------------------------------------------
+
+
+def column_stats(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    approx_rsd: float = 0.05,
+) -> DataFrame:
+    """count / nulls / null_rate / min / max / mean / approx-distinct per
+    column, long format (one output row per column), in ONE wide aggregate —
+    partial aggregation map-side, a single reduce, no per-column passes.
+    """
+    cols = cols or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        dtype = df.schema[c].dataType
+        col = F.col("`" + c + "`")
+        aggs.append(F.count(col).alias(f"{c}__cnt"))
+        aggs.append(F.approx_count_distinct(col, approx_rsd).alias(f"{c}__dist"))
+        if isinstance(dtype, NumericType) and not isinstance(dtype, BooleanType):
+            num = col.cast("double") if isinstance(dtype, DecimalType) else col
+            aggs.append(F.min(num).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(num).cast("double").alias(f"{c}__max"))
+            aggs.append(F.avg(num).cast("double").alias(f"{c}__avg"))
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"{c}__smin"))
+            aggs.append(F.max(col).cast("string").alias(f"{c}__smax"))
+    wide = df.agg(*aggs)
+
+    structs = []
+    for c in cols:
+        dtype = df.schema[c].dataType
+        numeric = isinstance(dtype, NumericType) and not isinstance(dtype, BooleanType)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"{c}__cnt").alias("n_present"),
+                (F.col("_rows") - F.col(f"{c}__cnt")).alias("n_nulls"),
+                F.when(F.col("_rows") > 0, (F.col("_rows") - F.col(f"{c}__cnt")) / F.col("_rows"))
+                .otherwise(F.lit(None))
+                .alias("null_rate"),
+                F.col(f"{c}__dist").alias("approx_distinct"),
+                (F.col(f"{c}__min") if numeric else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"{c}__max") if numeric else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"{c}__avg") if numeric else F.lit(None).cast("double")).alias("avg_num"),
+                (F.lit(None).cast("string") if numeric else F.col(f"{c}__smin")).alias("min_str"),
+                (F.lit(None).cast("string") if numeric else F.col(f"{c}__smax")).alias("max_str"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def numeric_quantiles(df: DataFrame, cols: list[str], probabilities=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Approximate quantiles (t-digest style sketch, single pass)."""
+    aggs = [
+        F.percentile_approx(F.col(c), list(probabilities)).alias(c) for c in cols
+    ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(list(probabilities)).alias("p"),
+            F.col(c).alias("q"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Exact uniqueness (hash-repartitioned aggregate; optional explicit salting)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_keys(df: DataFrame, key_cols: list[str] | str, *, salt_buckets: int | None = None) -> DataFrame:
+    """Keys occurring more than once, with their counts.
+
+    The plain path is a hash aggregate — Spark already applies partial
+    (map-side) combine, so each duplicate key ships one row per input
+    partition regardless of skew. ``salt_buckets`` adds an explicit two-stage
+    pre-aggregation keyed by (key, physical-partition salt) for the
+    heavy-hitter case where even the final single-key reduce is too hot.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if salt_buckets:
+        partial = (
+            df.withColumn("_salt", partition_salt(salt_buckets))
+            .groupBy(*keys, "_salt")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        counts = partial.groupBy(*keys).agg(F.sum("_c").alias("cnt"))
+    else:
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.filter(F.col("cnt") > 1)
+
+
+def uniqueness_violations(df: DataFrame, key_col: str = "doc_id", **kwargs) -> DataFrame:
+    """Duplicate keys as violation rows (doc_id, rule, path, expected)."""
+    dups = duplicate_keys(df, key_col, **kwargs)
+    return dups.select(
+        F.col(key_col),
+        F.lit(key_col).alias("path"),
+        F.lit("duplicate_key").alias("rule"),
+        F.to_json(F.struct(F.col("cnt").alias("count"))).alias("expected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity (broadcast or salted sort-merge anti-join)
+# ---------------------------------------------------------------------------
+
+
+def referential_violations(
+    fact: DataFrame,
+    fk_col: str,
+    dim: DataFrame,
+    pk_col: str,
+    *,
+    id_cols: list[str] | None = None,
+    broadcast: bool = True,
+    salt_buckets: int | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """Rows of ``fact`` whose non-null ``fk_col`` is absent from ``dim`` —
+    a left-anti existence join, emitted as violation rows.
+
+    ``broadcast=True`` (default) hints the dim side — the right choice
+    whenever the catalog fits in executor memory. With ``broadcast=False``
+    and ``salt_buckets`` set, the dim side is replicated per salt and the
+    fact side salted deterministically, so one hot FK value spreads over
+    ``salt_buckets`` sort-merge tasks (AQE skew handling does not apply to
+    anti-joins' build side in all cases; explicit salt is deterministic).
+    """
+    id_cols = id_cols if id_cols is not None else [c for c in fact.columns if c == "doc_id"]
+    probe = fact.filter(F.col(fk_col).isNotNull())
+    dim_keys = dim.select(F.col(pk_col).alias("__pk")).dropDuplicates(["__pk"])
+
+    if broadcast:
+        missing = probe.join(
+            F.broadcast(dim_keys), on=probe[fk_col] == dim_keys["__pk"], how="left_anti"
+        )
+    elif salt_buckets:
+        salted_dim = replicate_with_salts(dim_keys, salt_buckets)
+        probe = probe.withColumn("_salt", hash_salt(fk_col, buckets=salt_buckets))
+        missing = probe.join(
+            salted_dim,
+            on=(probe[fk_col] == salted_dim["__pk"]) & (probe["_salt"] == salted_dim["_salt"]),
+            how="left_anti",
+        ).drop("_salt")
+    else:
+        missing = probe.join(dim_keys, on=probe[fk_col] == dim_keys["__pk"], how="left_anti")
+
+    return missing.select(
+        *id_cols,
+        F.lit(path or fk_col).alias("path"),
+        F.lit("unknown_reference").alias("rule"),
+        F.to_json(F.struct(F.col(fk_col).alias("value"))).alias("expected"),
+    )
+
+
+def media_ref_violations(
+    docs: DataFrame,
+    catalog: DataFrame,
+    *,
+    broadcast: bool = True,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """North-star referential check: every spans[].media_ref must exist in the
+    media catalog. Emits instance paths (``spans[3].media_ref``)."""
+    refs = docs.select(
+        "doc_id", F.posexplode_outer("spans").alias("_i", "_s")
+    ).select(
+        "doc_id",
+        F.col("_s.media_ref").alias("media_ref"),
+        F.concat(F.lit("spans["), F.col("_i").cast("string"), F.lit("].media_ref")).alias("_path"),
+    ).filter(F.col("media_ref").isNotNull())
+
+    out = referential_violations(
+        refs,
+        "media_ref",
+        catalog,
+        "media_ref",
+        id_cols=["doc_id", "_path"],
+        broadcast=broadcast,
+        salt_buckets=salt_buckets,
+    )
+    return out.select(
+        "doc_id", F.col("_path").alias("path"), "rule", "expected"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: PSI + two-sample KS over binned histograms
+# ---------------------------------------------------------------------------
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Fixed-edge histogram: two-level aggregate (partial per partition ->
+    final), outliers clamped to the edge buckets, nulls dropped."""
+    width = (hi - lo) / bins if hi > lo else 1.0
+    c = F.col(col).cast("double")
+    bucket = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(0)), F.lit(bins - 1)
+    ).cast("int")
+    return (
+        df.filter(c.isNotNull() & ~F.isnan(c))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_metrics(
+    current: DataFrame,
+    reference: DataFrame,
+    col: str,
+    *,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+    epsilon: float = 1e-6,
+) -> dict:
+    """PSI and two-sample-KS between ``current`` and ``reference`` on a
+    numeric column. Bin edges come from the reference extent (the snapshot
+    being compared against), so both sides aggregate into the same buckets —
+    two shuffle-light histogram aggregates plus a driver-side combine over
+    ``bins`` rows."""
+    if lo is None or hi is None:
+        ext = reference.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).first()
+        lo = lo if lo is not None else ext["lo"]
+        hi = hi if hi is not None else ext["hi"]
+
+    cur = {r["bucket"]: r["cnt"] for r in numeric_histogram(current, col, lo, hi, bins).collect()}
+    ref = {r["bucket"]: r["cnt"] for r in numeric_histogram(reference, col, lo, hi, bins).collect()}
+    n_cur, n_ref = sum(cur.values()), sum(ref.values())
+    psi = 0.0
+    ks = 0.0
+    cdf_c = cdf_r = 0.0
+    for b in range(bins):
+        p = (cur.get(b, 0) / n_cur) if n_cur else 0.0
+        q = (ref.get(b, 0) / n_ref) if n_ref else 0.0
+        pe, qe = max(p, epsilon), max(q, epsilon)
+        psi += (pe - qe) * math.log(pe / qe)
+        cdf_c += p
+        cdf_r += q
+        ks = max(ks, abs(cdf_c - cdf_r))
+    return {
+        "column": col,
+        "bins": bins,
+        "lo": lo,
+        "hi": hi,
+        "n_current": n_cur,
+        "n_reference": n_ref,
+        "psi": psi,
+        "ks": ks,
+    }
+
+
+def categorical_drift(current: DataFrame, reference: DataFrame, col: str, *, epsilon: float = 1e-6) -> dict:
+    """PSI over categorical proportions (null as its own category)."""
+    cur = {r[0]: r[1] for r in current.groupBy(col).agg(F.count(F.lit(1))).collect()}
+    ref = {r[0]: r[1] for r in reference.groupBy(col).agg(F.count(F.lit(1))).collect()}
+    n_cur, n_ref = sum(cur.values()), sum(ref.values())
+    psi = 0.0
+    for k in set(cur) | set(ref):
+        p = max((cur.get(k, 0) / n_cur) if n_cur else 0.0, epsilon)
+        q = max((ref.get(k, 0) / n_ref) if n_ref else 0.0, epsilon)
+        psi += (p - q) * math.log(p / q)
+    return {"column": col, "psi": psi, "n_current": n_cur, "n_reference": n_ref}
+
+
+# ---------------------------------------------------------------------------
+# Per-partition pass/fail summaries (north rule)
+# ---------------------------------------------------------------------------
+
+
+def partition_summary(
+    df: DataFrame, schema, partition_cols: list[str] | str = "part"
+) -> DataFrame:
+    """One row per partition: docs, failed docs, violation count, pass rate.
+
+    Computed in the SAME pass as the rule battery (the violations array is a
+    projection; the only shuffle is the final tiny groupBy on the partition
+    key) — no second scan of the table."""
+    parts = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    compiled = schema if isinstance(schema, CompiledSchema) else compile_cached(schema)
+    n_viol = F.size(violations_array(df.schema, compiled))
+    return (
+        df.select(*parts, n_viol.alias("_nv"))
+        .groupBy(*parts)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nv").alias("n_violations"),
+            F.count_if(F.col("_nv") > 0).alias("n_failed_docs"),
+        )
+        .withColumn(
+            "pass_rate",
+            F.when(
+                F.col("n_docs") > 0,
+                (F.col("n_docs") - F.col("n_failed_docs")) / F.col("n_docs"),
+            ),
+        )
+    )
+
+
+def rule_summary(df: DataFrame, schema, partition_cols: list[str] | str = "part") -> DataFrame:
+    """Violation counts per (partition, rule, path) — rollup-ready."""
+    parts = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    compiled = schema if isinstance(schema, CompiledSchema) else compile_cached(schema)
+    return (
+        df.select(*parts, F.explode(violations_array(df.schema, compiled)).alias("_v"))
+        .groupBy(*parts, F.col("_v.rule").alias("rule"), F.col("_v.path").alias("path"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

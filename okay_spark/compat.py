@@ -18,7 +18,7 @@ returns something other than ``Message``/``None``, aborts the run with a
 from __future__ import annotations
 
 import math
-from typing import Any, Iterator
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import Column
@@ -95,7 +95,17 @@ def _apply_custom(rule: Rule, ipath: str, value: Any, seq: int) -> dict | None:
 def custom_violation_arrays(
     df_schema: StructType, compiled: CompiledSchema
 ) -> list[Column]:
-    """One array<violation> Column per field that carries custom rules."""
+    """One array<violation> Column per field that carries custom rules.
+
+    The relevant top-level column is wrapped in ``struct(v := col)`` before
+    crossing Arrow: Spark hands struct columns to a pandas_udf as a
+    ``pd.DataFrame`` of field columns, and the wrapper keeps top-level
+    null-ness observable (a bare null struct would otherwise be
+    indistinguishable from a struct of nulls). Known Arrow artifact: a null
+    double *inside* a struct surfaces as NaN, not None — custom callables
+    comparing against such fields see ``nan`` where the reference sees
+    ``None`` (documented divergence; comparisons involving NaN are False
+    either way)."""
     arrays: list[Column] = []
     for fidx, (path, spec) in enumerate(compiled.fields.items()):
         custom_rules = [
@@ -108,7 +118,7 @@ def custom_violation_arrays(
         steps = parse_path(path)
         if path == ROOT:
             top_dt: DataType = df_schema
-            top_col = F.struct(*[F.col("`" + c + "`").alias(c) for c in df_schema.names])
+            inner = F.struct(*[F.col("`" + c + "`").alias(c) for c in df_schema.names])
             base_path, rest = ROOT, []
         else:
             head = steps[0]
@@ -116,29 +126,29 @@ def custom_violation_arrays(
             if head.name not in df_schema.names:
                 continue  # no instances (column statically absent)
             top_dt = df_schema[head.name].dataType
-            top_col = F.col("`" + head.name + "`")
+            inner = F.col("`" + head.name + "`")
             base_path, rest = head.name, steps[1:]
+        wrapped = F.struct(inner.alias("v"))
 
         def make_udf(rules=custom_rules, dtype=top_dt, base=base_path, rem=rest):
             @F.pandas_udf(VIOL_ARRAY_DDL)
-            def run(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-                for series in batches:
-                    results = []
-                    for raw in series:
-                        value = _to_py(raw, dtype)
-                        instances: list[tuple[str, Any]] = []
-                        _walk(value, rem, base, instances)
-                        viols = [
-                            v
-                            for ipath, val in instances
-                            if val is not None
-                            for seq, rule in rules
-                            if (v := _apply_custom(rule, ipath, val, seq)) is not None
-                        ]
-                        results.append(viols)
-                    yield pd.Series(results, dtype=object)
+            def run(col: pd.DataFrame) -> pd.Series:
+                results = []
+                for rec in col.to_dict("records"):
+                    value = _to_py(rec.get("v"), dtype)
+                    instances: list[tuple[str, Any]] = []
+                    _walk(value, rem, base, instances)
+                    viols = [
+                        v
+                        for ipath, val in instances
+                        if val is not None
+                        for seq, rule in rules
+                        if (v := _apply_custom(rule, ipath, val, seq)) is not None
+                    ]
+                    results.append(viols)
+                return pd.Series(results, dtype=object)
 
             return run
 
-        arrays.append(F.coalesce(make_udf()(top_col), F.array().cast(VIOL_ARRAY_DDL)))
+        arrays.append(F.coalesce(make_udf()(wrapped), F.array().cast(VIOL_ARRAY_DDL)))
     return arrays

@@ -1,0 +1,335 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (the point of each design):
+
+- **exact**: one hash aggregate on the content fingerprint — partial
+  (map-side) combine means duplicates cost one row per input partition.
+- **MinHash+LSH**: signatures are Column expressions (md5 is used as the
+  hash family so the DuckDB oracle reproduces values bit-for-bit); the
+  candidate join is banded — only rows sharing a (band, band-hash) bucket
+  ever meet, so the shuffle is O(rows x bands), never O(rows^2).
+- **SimHash**: a single ``aggregate()`` over tokens builds the bit-majority
+  vector; near-dups join on band keys of the signature (Hamming-LSH).
+- **embedding cosine**: random-hyperplane LSH buckets (deterministic,
+  hash-derived hyperplanes) prune the pair space; exact cosine re-checks
+  candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textops import normalize_text, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of identical (normalized) content: (fp, cnt, keep_id, dup_ids)."""
+    fp = F.md5(normalize_text(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per content group (deterministic winner). One
+    shuffle on the fingerprint; no window over the full table."""
+    fp = F.md5(normalize_text(text_col)).alias("_fp")
+    keep = df.select(fp, F.col(id_col).alias("_keep")).groupBy("_fp").agg(F.min("_keep").alias("_keep"))
+    return (
+        df.withColumn("_fp", F.md5(normalize_text(text_col)))
+        .join(keep, on="_fp", how="inner")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column | str, *, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """array<string> of ``num_hashes`` min-hashes over word shingles.
+
+    Hash family: ``md5(i || '|' || shingle)``, minimum by lexicographic
+    order — fully portable (identical in DuckDB), deterministic, and
+    uniformly distributed per salt ``i``."""
+    sh = word_shingles(text, shingle_k)
+
+    def hasher(salt: str):
+        # NB: must stay a 1-arg lambda — Spark passes (element, index) to
+        # 2-arg transform lambdas, which would clobber a default argument.
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(f"{i}|"))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) — one row per (doc, band); bucket = md5 of the
+    band's slice of the signature."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_k=shingle_k)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(bands_arr).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH bucket. The join is
+    per-(band, bucket) — co-partitioned by the bucket hash, never all-pairs."""
+    buckets = minhash_lsh_buckets(df, text_col, id_col, **lsh_kwargs)
+    left = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+    right = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, shingle_k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage after
+    LSH). Shingle sets are computed once per doc and broadcast through the
+    join keyed by id."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"))
+    joined = df_pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return joined.select(
+        "a", "b", F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full pipeline: LSH candidates -> exact Jaccard filter >= threshold."""
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
+    scored = ngram_jaccard(pairs, df, text_col, id_col, shingle_k=shingle_k)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column | str, *, bits: int = 32) -> Column:
+    """Bit-majority SimHash over whitespace tokens (bigint).
+
+    Token hash = first 8 hex chars of md5 (portable); one ``aggregate()``
+    accumulates per-bit counts; the sign vector packs into a long. Pure
+    Column expressions — no UDF."""
+    from .textops import tokens
+
+    toks = tokens(text)
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    # shiftleft/shiftright take only Python-int shift amounts, so bit i is
+    # extracted arithmetically: (h div 2^i) mod 2 (values < 2^32, exact in
+    # double).
+    bit = lambda v, i: F.pmod(  # noqa: E731
+        F.floor(v / F.pow(F.lit(2.0), i.cast("double"))).cast("bigint"), F.lit(2)
+    )
+    zero = F.array_repeat(F.lit(0).cast("int"), bits)
+    counts = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(bit(h(t), i) == 1, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, i: F.when(c > 0, F.pow(F.lit(2.0), i.cast("double")).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return packed
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-LSH: split the signature into bands; pairs sharing any band
+    value are candidates; exact Hamming distance filters."""
+    sig = simhash(F.col(text_col), bits=bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("_sig"), b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    base = df.select(F.col(id_col), sig.alias("_sig"))
+    buckets = base.select(id_col, "_sig", F.explode(bands_arr).alias("_b")).select(
+        id_col, "_sig", F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
+    )
+    left = buckets.select(F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "band", "key")
+    right = buckets.select(F.col(id_col).alias("b"), F.col("_sig").alias("_sigb"), "band", "key")
+    pairs = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_siga", "_sigb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb")))
+    return pairs.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (LSH over random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1, 1] derived
+    from a hash — no RNG, same plane every run on every executor."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        digest = hashlib.md5(f"plane:{plane_idx}:{j}".encode()).digest()
+        v = int.from_bytes(digest[:4], "big") / 2**31 - 1.0
+        out.append(v)
+    return out
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(v, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, z: acc + z)
+    )
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
+def hyperplane_bucket(vec: Column, dim: int, *, planes: int = 8) -> Column:
+    """LSH bucket id: sign bits against ``planes`` deterministic hyperplanes."""
+    bits = []
+    for p in range(planes):
+        plane = F.lit(_hyperplane(dim, p)).cast("array<double>")
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, h: (x * h).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold.
+
+    Candidates come from hyperplane-LSH buckets (optionally multiprobing the
+    ``planes`` single-bit-flip neighbor buckets so near-misses across a
+    hyperplane still meet); exact cosine verifies. Shuffle is bucket-local."""
+    bucket = hyperplane_bucket(F.col(vec_col), dim, planes=planes)
+    base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("_bkt"))
+    if multiprobe:
+        probes = F.array(
+            F.col("_bkt"), *[F.col("_bkt").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+        )
+        left = base.select(id_col, vec_col, F.explode(probes).alias("_probe"))
+    else:
+        left = base.select(id_col, vec_col, F.col("_bkt").alias("_probe"))
+    right = base.select(
+        F.col(id_col).alias("_id2"), F.col(vec_col).alias("_vec2"), F.col("_bkt").alias("_probe")
+    )
+    pairs = (
+        left.join(right, on="_probe")
+        .filter(F.col(id_col) < F.col("_id2"))
+        .select(
+            F.col(id_col).alias("a"),
+            F.col("_id2").alias("b"),
+            cosine(F.col(vec_col), F.col("_vec2")).alias("cos"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("cos") >= threshold)

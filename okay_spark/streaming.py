@@ -1,0 +1,81 @@
+"""Incremental validation via Structured Streaming.
+
+The reference is strictly batch-of-one (its design log explicitly deferred
+parallel/streaming execution, ``/root/reference/docs/development-log.md:410-418``)
+and the north rule is batch-over-Iceberg, so streaming here is an engine
+extension, not a conformance surface: the SAME compiled battery expression
+(:func:`okay_spark.engine.violations_array`) is applied to a streaming
+DataFrame — the battery is a stateless projection, so it is trivially
+streamable with exactly-once file sinks and checkpointing.
+
+``validate_stream`` wires: readStream (file source) -> battery ->
+violations sink; ``run_incremental`` uses ``Trigger.AvailableNow`` so a cron
+re-run processes only files that arrived since the last checkpoint — the
+streaming analogue of the lineage-based batch resume in
+:mod:`okay_spark.state`. Windowed violation-rate monitoring with a watermark
+covers the late-data case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import validate_dataframe
+from .schema import CompiledSchema, compile_cached
+
+
+def validate_stream(stream_df: DataFrame, schema, *, id_cols=None) -> DataFrame:
+    """Violations stream from a streaming DataFrame: identical semantics to
+    the batch battery (same expression tree), stateless, no shuffle."""
+    compiled = schema if isinstance(schema, CompiledSchema) else compile_cached(schema)
+    return validate_dataframe(stream_df, compiled, id_cols=id_cols)
+
+
+def run_incremental(
+    spark: SparkSession,
+    *,
+    source_dir: str,
+    source_ddl: str,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_cols=None,
+) -> None:
+    """Process all files not yet seen by the checkpoint, then stop
+    (Trigger.AvailableNow): an idempotent, resumable incremental run."""
+    stream = spark.readStream.schema(source_ddl).parquet(source_dir)
+    violations = validate_stream(stream, schema, id_cols=id_cols)
+    (
+        violations.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def violation_rate_by_window(
+    stream_df: DataFrame,
+    schema,
+    *,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed violation counts with a watermark for late data — the
+    streaming analogue of partition_summary."""
+    from .engine import violations_array
+
+    compiled = schema if isinstance(schema, CompiledSchema) else compile_cached(schema)
+    n_viol = F.size(violations_array(stream_df.schema, compiled))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), n_viol.alias("_nv"))
+        .groupBy(F.window(ts_col, window))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nv").alias("n_violations"),
+            F.count_if(F.col("_nv") > 0).alias("n_failed_docs"),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen): language-ID
+(stopword-hit heuristic), quality scoring (length/punct/stopword ratios),
+token counting, and document fingerprinting. Functions are deliberately
+expressible in ANSI SQL too, so every one has a DuckDB oracle in
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny deterministic stopword lists (heuristic language ID, not a model).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "que", "pour"],
+    "de": ["der", "die", "und", "das", "ein", "eine", "zu", "mit", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "por"],
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(text: Column | str, *, sep: str = " ") -> Column:
+    """Whitespace tokens, empties dropped (single-space separator keeps the
+    expression portable to the DuckDB oracle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, sep), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(text_col)).cast("bigint"))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish count: splits on whitespace AND between letter/digit
+    boundaries — a cheap BPE proxy (regex split, still JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(F.regexp_replace(c, r"(\d+)", r" $1 "), r"\s+")
+    return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+def _stop_hits(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS[lang])))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Pick the language whose stopword list hits most (ties -> priority
+    order en, fr, de, es; zero hits -> 'und')."""
+    toks = tokens(text_col)
+    hits = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Deterministic [0,1] quality heuristic:
+
+    0.4 * min(1, tokens/64)            (enough content)
+    + 0.3 * (1 - punct_ratio * 10 clamped)  (not punctuation soup)
+    + 0.3 * stop_ratio * 3 clamped     (natural-language-ness)
+
+    Emits the components too, so thresholds can be re-derived downstream.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(c).cast("double")
+    punct = (n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast("double")
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_all = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*[w for ws in STOPWORDS.values() for w in ws]))
+    ).cast("double")
+    stop_ratio = F.when(n_tok > 0, stop_all / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(64.0))
+        + F.lit(0.3) * F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 10)
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * 3)
+    )
+    return (
+        df.withColumn("n_tokens", n_tok.cast("bigint"))
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn(out, score)
+    )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Lowercase + collapse whitespace — the canonical form for hashing."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """Content fingerprint: md5 of normalized text (md5 so the DuckDB oracle
+    computes the identical value)."""
+    return df.withColumn(out, F.md5(normalize_text(text_col)))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array<string> (space-joined)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    shingled = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    # fewer than k tokens -> no shingles (sequence() would count downward)
+    return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,220 @@
+"""Fixture generator determinism + engine-level checks (stats, uniqueness,
+referential, drift, summaries) against independent oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from okay_spark import compile_schema
+from okay_spark.checks import (
+    categorical_drift,
+    column_stats,
+    drift_metrics,
+    duplicate_keys,
+    media_ref_violations,
+    partition_summary,
+    referential_violations,
+    rule_summary,
+    uniqueness_violations,
+)
+from okay_spark.engine import validate_dataframe
+from okay_spark.fixtures import (
+    accommodation_schema,
+    accommodations,
+    document_schema,
+    interleaved_documents,
+    media_catalog,
+)
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return interleaved_documents(spark, N, parts=8).cache()
+
+
+def test_fixture_deterministic(spark, docs):
+    again = interleaved_documents(spark, N, parts=8)
+    a = [r.asDict(recursive=True) for r in docs.orderBy("doc_id", "part").collect()]
+    b = [r.asDict(recursive=True) for r in again.orderBy("doc_id", "part").collect()]
+    assert a == b
+    assert docs.count() == N
+
+
+def test_fixture_shape_and_injection(docs):
+    from pyspark.sql import functions as F
+
+    row = docs.first()
+    assert set(row.asDict()) == {"doc_id", "spans", "part"}
+    stats = docs.select(
+        F.count_if(F.col("doc_id").rlike(r"^doc-\d{12}$")).alias("good_ids"),
+        F.count_if(F.size("spans") == 0).alias("empty"),
+    ).first()
+    assert stats["good_ids"] > N * 0.9
+    assert 0 < stats["empty"] < N * 0.1
+
+
+def test_battery_on_fixture_matches_oracle(spark, docs, okay_reference):
+    """The flagship end-to-end: full rule battery on the north-rule table,
+    every sampled row cross-checked against the reference validator."""
+    from okay import validate  # type: ignore
+    from okay.schema import required, optional  # type: ignore
+    from okay_spark.messages import parse_expected
+
+    sample = docs.limit(120)
+    got: dict[str, set] = {}
+    out = validate_dataframe(sample, compile_schema(document_schema), id_cols=["doc_id"])
+    rows = sample.collect()
+    for r in out.collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["rule"], r["path"], _freeze(parse_expected(r["expected"])))
+        )
+
+    def ref_schema():
+        required("doc_id", type="string", regex=r"doc-\d{12}")
+        required("spans", type="list", min=1)
+        required("spans[]", type="object")
+        required("spans[].kind", type="string", options=["text", "media"])
+        optional("spans[].text", type="string?", min=1)
+        optional("spans[].media_ref", type="string?", regex=r"media-\d{8}")
+        required("spans[].offset", type="int", min=0)
+        optional("part", type="int?")
+
+    mismatches = 0
+    for row in rows:
+        doc = row.asDict(recursive=True)
+        expect = {
+            (m.type, m.field, _freeze(getattr(m, "expected", None)))
+            for m in validate(ref_schema, doc)
+        }
+        if got.get(doc["doc_id"], set()) != expect:
+            mismatches += 1
+    assert mismatches == 0
+
+
+def _freeze(expected):
+    if expected is None:
+        return None
+    return tuple(sorted((k, tuple(v) if isinstance(v, list) else v) for k, v in expected.items()))
+
+
+def test_accommodations_valid_invalid_split(spark):
+    from pyspark.sql import functions as F
+
+    df = accommodations(spark, 40).withColumn("_id", F.monotonically_increasing_id())
+    out = validate_dataframe(df.withColumn("_id", F.col("metadata.accommodation_id")),
+                             compile_schema(_acc_schema_with_id()), id_cols=["_id"])
+    rules = {r["rule"] for r in out.collect()}
+    assert "number_too_small" in rules  # accommodation_id = -1
+    assert "no_match" in rules  # 'midnight', '-90'
+    assert "invalid_string_option" in rules  # 'loneliness'
+    assert "null_value" in rules  # source_type / out_of nulls
+    assert "score_too_high" in rules  # custom validator
+
+
+def _acc_schema_with_id():
+    from okay_spark.schema import optional as opt
+
+    def schema_fn():
+        opt("_id", type="any?")
+        accommodation_schema()
+
+    return schema_fn
+
+
+def test_column_stats(spark, docs):
+    import duckdb
+
+    pdf = docs.select("doc_id", "part").toPandas()
+    stats = {r["column"]: r.asDict() for r in column_stats(docs, ["doc_id", "part"]).collect()}
+    assert stats["doc_id"]["n_rows"] == N
+    assert stats["doc_id"]["n_nulls"] == 0
+    assert stats["part"]["min_num"] == float(pdf["part"].min())
+    assert stats["part"]["max_num"] == float(pdf["part"].max())
+    assert abs(stats["part"]["avg_num"] - float(pdf["part"].mean())) < 1e-9
+    assert stats["doc_id"]["min_str"] == pdf["doc_id"].min()
+    # approx distinct within rsd bounds
+    exact = pdf["doc_id"].nunique()
+    assert abs(stats["doc_id"]["approx_distinct"] - exact) <= max(3, 0.15 * exact)
+
+
+def test_duplicate_keys_plain_and_salted_agree(spark, docs):
+    import pandas as pd
+
+    pdf = docs.select("doc_id").toPandas()
+    expect = pdf.groupby("doc_id").size()
+    expect = {k: int(v) for k, v in expect[expect > 1].items()}
+    plain = {r["doc_id"]: r["cnt"] for r in duplicate_keys(docs, "doc_id").collect()}
+    salted = {r["doc_id"]: r["cnt"] for r in duplicate_keys(docs, "doc_id", salt_buckets=4).collect()}
+    assert plain == expect and salted == expect
+    assert len(expect) > 0  # fixture injects dups
+    v = uniqueness_violations(docs, "doc_id").first()
+    assert v["rule"] == "duplicate_key"
+
+
+def test_referential_broadcast_and_salted_agree(spark, docs):
+    catalog = media_catalog(spark, 100_000)
+    b = media_ref_violations(docs, catalog, broadcast=True)
+    s = media_ref_violations(docs, catalog, broadcast=False, salt_buckets=4)
+    bset = {(r["doc_id"], r["path"]) for r in b.collect()}
+    sset = {(r["doc_id"], r["path"]) for r in s.collect()}
+    assert bset == sset
+    assert len(bset) > 0  # fixture injects orphans
+    # no Exchange on the probe side beyond the anti-join itself; broadcast hint honored
+    assert "BroadcastHashJoin" in b._jdf.queryExecution().executedPlan().toString()
+
+
+def test_drift_metrics_against_numpy(spark):
+    import numpy as np
+
+    ref_vals = [float(x) for x in np.random.RandomState(7).normal(0, 1, 4000)]
+    cur_vals = [float(x) for x in np.random.RandomState(8).normal(0.8, 1.2, 4000)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "x double")
+    m = drift_metrics(cur, ref, "x", bins=10)
+
+    lo, hi = min(ref_vals), max(ref_vals)
+    width = (hi - lo) / 10
+    def hist(vals):
+        h = [0] * 10
+        for v in vals:
+            b = min(max(int((v - lo) // width), 0), 9)
+            h[b] += 1
+        return h
+    hr, hc = hist(ref_vals), hist(cur_vals)
+    psi = 0.0
+    ks = 0.0
+    cr = cc = 0.0
+    eps = 1e-6
+    for b in range(10):
+        p, q = hc[b] / 4000, hr[b] / 4000
+        psi += (max(p, eps) - max(q, eps)) * math.log(max(p, eps) / max(q, eps))
+        cc += p
+        cr += q
+        ks = max(ks, abs(cc - cr))
+    assert abs(m["psi"] - psi) < 1e-9
+    assert abs(m["ks"] - ks) < 1e-9
+    assert m["psi"] > 0.1  # shifted distribution detected
+
+    same = drift_metrics(ref, ref, "x", bins=10)
+    assert same["psi"] < 1e-12 and same["ks"] < 1e-12
+
+
+def test_categorical_drift(spark):
+    a = spark.createDataFrame([("x",)] * 90 + [("y",)] * 10, "c string")
+    b = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "c string")
+    assert categorical_drift(a, a, "c")["psi"] < 1e-12
+    assert categorical_drift(a, b, "c")["psi"] > 0.1
+
+
+def test_partition_summary_consistent_with_battery(spark, docs):
+    compiled = compile_schema(document_schema)
+    summary = partition_summary(docs, compiled, "part")
+    total_viols = sum(r["n_violations"] for r in summary.collect())
+    assert total_viols == validate_dataframe(docs, compiled).count()
+    assert sum(r["n_docs"] for r in summary.collect()) == N
+    rs = rule_summary(docs, compiled, "part")
+    assert sum(r["cnt"] for r in rs.collect()) == total_viols

@@ -1,0 +1,301 @@
+"""Training-data pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing, lineage/resume, streaming — against Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# --- textops ----------------------------------------------------------------
+
+
+def test_token_count_matches_python(docs):
+    from okay_spark.textops import token_count
+
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).select("doc_id", "n_tokens").collect()}
+    for row in docs.select("doc_id", "text").limit(50).collect():
+        assert got[row["doc_id"]] == len([t for t in row["text"].split(" ") if t])
+
+
+def test_fingerprint_is_md5(docs):
+    from okay_spark.textops import fingerprint
+
+    row = fingerprint(docs).select("text", "fp").first()
+    norm = " ".join(row["text"].lower().split())
+    assert row["fp"] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_language_id_and_quality(docs, spark):
+    from okay_spark.textops import language_id, quality_score
+
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the hat and it is fine",),
+            ("le chat et la vie des gens pour une fois",),
+            ("zzz qqq www",),
+        ],
+        "text string",
+    )
+    langs = [r["lang_pred"] for r in language_id(df).collect()]
+    assert langs == ["en", "fr", "und"]
+
+    q = quality_score(docs).select("quality", "n_tokens", "stop_ratio", "punct_ratio").collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q)
+
+
+def test_word_shingles(spark):
+    from okay_spark.textops import word_shingles
+
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(word_shingles("text", 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, docs):
+    """Documents with seeded exact + near duplicates."""
+    base = docs.select("doc_id", "text").limit(100)
+    exact = base.limit(10).select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    near = base.limit(10).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return base.union(exact).union(near).cache()
+
+
+def test_exact_duplicates(dup_docs):
+    from okay_spark.dedup import drop_exact_duplicates, exact_duplicates
+
+    groups = exact_duplicates(dup_docs).collect()
+    assert len(groups) == 10
+    assert all(g["cnt"] == 2 and g["keep_id"] == min(g["ids"]) for g in groups)
+    kept = drop_exact_duplicates(dup_docs)
+    assert kept.count() == 110  # 120 rows - 10 exact dups
+    assert exact_duplicates(kept).count() == 0
+
+
+def test_minhash_near_duplicates(dup_docs):
+    from okay_spark.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        dup_docs, threshold=0.5, num_hashes=16, bands=8, shingle_k=3
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    # every seeded near/exact dup pair recovered (ids differ by 10k/20k)
+    exact_pairs = {(i, i + 10_000) for i in range(10)}
+    assert exact_pairs <= found
+    near_recovered = sum((i, i + 20_000) in found for i in range(10))
+    assert near_recovered >= 8  # LSH with 8 bands catches ~all at j≈0.9
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_minhash_signature_portable_to_duckdb(spark):
+    """The md5-based minhash must be reproducible in ANSI SQL (DuckDB)."""
+    import duckdb
+
+    from okay_spark.dedup import minhash_signature
+
+    df = spark.createDataFrame([("the quick brown fox jumps over the lazy dog",)], "text string")
+    sig = df.select(minhash_signature("text", num_hashes=4, shingle_k=3).alias("s")).first()["s"]
+
+    duck = duckdb.sql(
+        """
+        WITH toks AS (
+          SELECT list_filter(string_split('the quick brown fox jumps over the lazy dog', ' '), t -> t != '') AS w
+        ), sh AS (
+          SELECT list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles FROM toks
+        )
+        SELECT [list_min([md5(CAST(h AS VARCHAR) || '|' || s) FOR s IN shingles]) FOR h IN range(0, 4)] FROM sh
+        """
+    ).fetchone()[0]
+    assert sig == duck
+
+
+def test_simhash_near_duplicates(dup_docs):
+    from okay_spark.dedup import simhash_near_duplicates
+
+    pairs = simhash_near_duplicates(dup_docs, bits=32, band_bits=8, max_hamming=4).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert {(i, i + 10_000) for i in range(10)} <= found  # exact dups: hamming 0
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    from okay_spark.dedup import embedding_near_duplicates
+
+    base = embeddings.limit(60)
+    clones = base.limit(8).select((F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label")
+    df = base.union(clones)
+    dim = len(base.first()["embedding"])
+    pairs = embedding_near_duplicates(df, dim=dim, threshold=0.999, planes=8).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert {(i, i + 1000) for i in range(8)} <= found
+
+
+# --- similarity ---------------------------------------------------------------
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    import numpy as np
+
+    from okay_spark.similarity import brute_force_topk
+
+    rows = embeddings.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    query = list(vecs[0])
+
+    got = [(r["vec_id"], r["score"]) for r in brute_force_topk(embeddings, query, k=5).collect()]
+
+    qv = np.array(query)
+    scores = {
+        vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))) for vid, v in vecs.items()
+    }
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[1] - e[1]) < 1e-9
+
+
+def test_lsh_knn_recall(embeddings):
+    import numpy as np
+
+    from okay_spark.similarity import lsh_knn_join
+
+    corpus = embeddings.limit(200).cache()
+    queries = corpus.limit(10)
+    dim = len(corpus.first()["embedding"])
+    approx = lsh_knn_join(queries, corpus, dim=dim, k=5, planes=6).collect()
+
+    rows = corpus.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    hits = total = 0
+    by_q: dict = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid in [r["vec_id"] for r in queries.collect()]:
+        qv = vecs[qid]
+        scores = {
+            vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        exact = {v for v, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]}
+        hits += len(exact & by_q.get(qid, set()))
+        total += 5
+    # The driver embeddings are near-uniform random (verified: avg intra- and
+    # inter-label cosine both ~0), the worst case for cosine LSH — neighbors
+    # are barely closer than non-neighbors. Plumbing recall bar only; exact
+    # correctness is covered by test_brute_force_topk_matches_numpy.
+    assert hits / total >= 0.15
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    from okay_spark.fixtures import media_catalog
+    from okay_spark.multimodal import attach_payload, extract_media_features, sample_frames
+
+    media = attach_payload(media_catalog(spark, 50))
+    feats = extract_media_features(media, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == 8 for r in rows)
+    img = [r for r in rows if r["media_kind"] == "image"]
+    assert all(r["width"] > 0 and r["height"] > 0 and r["duration_ms"] == 0 for r in img)
+    # determinism
+    again = {r["media_ref"]: r["feature"] for r in extract_media_features(media, feature_dim=8).collect()}
+    assert all(again[r["media_ref"]] == r["feature"] for r in rows)
+
+    frames = sample_frames(media.limit(10))
+    assert frames.count() >= 10
+    with pytest.raises(NotImplementedError):
+        extract_media_features(media, use_real_codecs=True)
+
+
+# --- lineage / resume -----------------------------------------------------------
+
+
+def test_resumable_validation(spark, tmp_path):
+    from okay_spark.fixtures import document_schema, interleaved_documents
+    from okay_spark.state import run_resumable_validation
+
+    docs = interleaved_documents(spark, 200, parts=4)
+    kwargs = dict(
+        schema=document_schema,
+        partition_col="part",
+        violations_target=str(tmp_path / "viol"),
+        lineage_target=str(tmp_path / "lineage"),
+        snapshot="snap1",
+    )
+    first = run_resumable_validation(docs, run_id="r1", **kwargs)
+    assert first["partitions"] == 4 and first["skipped"] == 0
+    second = run_resumable_validation(docs, run_id="r2", **kwargs)
+    assert second["partitions"] == 0 and second["skipped"] == 4
+    # different snapshot -> full re-run
+    third = run_resumable_validation(docs, run_id="r3", **{**kwargs, "snapshot": "snap2"})
+    assert third["partitions"] == 4
+
+    viols = spark.read.parquet(str(tmp_path / "viol"))
+    assert viols.filter(F.col("run_id") == "r1").count() == first["n_violations"]
+    assert viols.filter(F.col("run_id") == "r2").count() == 0
+
+
+# --- streaming --------------------------------------------------------------------
+
+
+def test_streaming_incremental_validation(spark, tmp_path):
+    from okay_spark.fixtures import document_schema, interleaved_documents
+    from okay_spark.engine import validate_dataframe
+    from okay_spark.streaming import run_incremental
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    docs = interleaved_documents(spark, 150, parts=4)
+    docs.limit(100).write.parquet(src)
+    ddl = docs.schema.simpleString()[7:-1] if False else docs._jdf.schema().toDDL()
+
+    run_incremental(
+        spark,
+        source_dir=src,
+        source_ddl=ddl,
+        schema=document_schema,
+        sink_dir=sink,
+        checkpoint_dir=ckpt,
+    )
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == validate_dataframe(spark.read.parquet(src), document_schema).count()
+
+    # new files arrive; re-run processes only them
+    docs.write.mode("append").parquet(src)
+    run_incremental(
+        spark,
+        source_dir=src,
+        source_ddl=ddl,
+        schema=document_schema,
+        sink_dir=sink,
+        checkpoint_dir=ckpt,
+    )
+    n2 = spark.read.parquet(sink).count()
+    assert n2 == validate_dataframe(spark.read.parquet(src), document_schema).count()
+    assert n2 > n1
