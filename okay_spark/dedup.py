@@ -67,14 +67,15 @@ def minhash_signature(text: Column | str, *, num_hashes: int = 16, shingle_k: in
     order — fully portable (identical in DuckDB), deterministic, and
     uniformly distributed per salt ``i``."""
     sh = word_shingles(text, shingle_k)
-
-    def hasher(salt: str):
-        # NB: must stay a 1-arg lambda — Spark passes (element, index) to
-        # 2-arg transform lambdas, which would clobber a default argument.
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, hasher(f"{i}|"))) for i in range(num_hashes)]
+    # One nested transform keeps the (expensive) shingle subtree in the plan
+    # exactly once: a Python-level loop over hash indices would inline it
+    # num_hashes times (CollapseProject), exploding the expression tree and
+    # Catalyst analysis time. The salt comes from the outer lambda variable.
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
     )
 
 
@@ -90,21 +91,37 @@ def minhash_lsh_buckets(
     """(id, band, bucket) — one row per (doc, band); bucket = md5 of the
     band's slice of the signature."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_k=shingle_k)
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))).alias(
-                    "bucket"
+    # Expression subtrees referenced inside higher-order-function lambdas are
+    # re-evaluated PER ELEMENT at runtime (no common-subexpression reuse), so
+    # tokenize+shingle must be materialized once per row before fanning out
+    # per band/hash. A plain extra select() doesn't help — CollapseProject
+    # re-inlines single-use expressions — but a Generate (explode) is an
+    # optimizer barrier: its child projection computes the shingle array once
+    # per input row, and everything above reads the materialized attribute.
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
+    per_band = shingled.select(
+        id_col,
+        "_sh",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    )
+    sh = F.col("_sh")
+    bucket = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sequence(
+                    F.col("band") * rows_per_band,
+                    F.col("band") * rows_per_band + (rows_per_band - 1),
                 ),
-            )
-            for b in range(bands)
-        ]
+                lambda h: F.array_min(
+                    F.transform(sh, lambda s: F.md5(F.concat(h.cast("string"), F.lit("|"), s)))
+                ),
+            ),
+        )
     )
-    return df.select(F.col(id_col), F.explode(bands_arr).alias("_b")).select(
-        id_col, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
-    )
+    return per_band.select(id_col, "band", bucket.alias("bucket"))
 
 
 def minhash_candidate_pairs(
@@ -222,15 +239,19 @@ def simhash_near_duplicates(
     value are candidates; exact Hamming distance filters."""
     sig = simhash(F.col(text_col), bits=bits)
     n_bands = bits // band_bits
-    mask = (1 << band_bits) - 1
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("_sig"), b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
+    # one reference to _sig: bands via transform over the band index (a
+    # Python loop would re-inline the 32-bit aggregate expression per band)
+    bands_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.pmod(
+                F.floor(
+                    F.col("_sig") / F.pow(F.lit(2.0), (b * band_bits).cast("double"))
+                ).cast("bigint"),
+                F.lit(1 << band_bits),
+            ).alias("key"),
+        ),
     )
     base = df.select(F.col(id_col), sig.alias("_sig"))
     buckets = base.select(id_col, "_sig", F.explode(bands_arr).alias("_b")).select(

@@ -105,11 +105,13 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles as an array<string> (space-joined)."""
     toks = tokens(text)
     n = F.size(toks)
+    # Built with arrays_zip over k shifted slices rather than a
+    # transform-over-index lambda: HOF *arguments* are evaluated once per row,
+    # while expressions inside lambda *bodies* re-evaluate per element — an
+    # index lambda would re-tokenize the text once per shingle.
+    width = F.greatest(n - F.lit(k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, width) for j in range(k)])
     shingled = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+        F.transform(zipped, lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(k)]))
     )
-    # fewer than k tokens -> no shingles (sequence() would count downward)
     return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
