@@ -253,20 +253,23 @@ def lower_rule_nonnull(
     return F.when(admission, params_check).otherwise(invalid)
 
 
-def lower_instance(
+def lower_checks(
     value: Column,
     dtype: DataType,
     path: Column,
     rules: list[tuple[int, Rule]],
     *,
+    exists: Column | None = None,
     value_never_null: bool = False,
-) -> Column:
-    """All rule checks for one instance -> ``array<violation>`` (possibly empty).
+) -> list[Column]:
+    """One nullable violation column per rule for one instance.
 
     Reproduces the reference's scan loop (``validator.py:44-58``): a null
     value yields ``null_value`` per non-nullable rule (expected =
     ``{'type': rule.type}``); non-null values run the rule body. Custom rules
     contribute only their null check here (their body runs in the Arrow pass).
+    ``exists`` guards instances that may be absent (null ancestors, missing
+    map keys) — absent instances check nothing.
     """
     checks: list[Column] = []
     for seq, rule in rules:
@@ -276,13 +279,31 @@ def lower_instance(
             else lower_rule_nonnull(rule, value, dtype, path, seq)
         )
         if value_never_null:
-            checks.append(body)
-            continue
-        if rule.nullable:
-            null_branch = null_violation()
+            check = body
         else:
-            null_branch = make_violation(path, "null_value", {"type": rule.type}, seq)
-        checks.append(F.when(value.isNull(), null_branch).otherwise(body))
+            if rule.nullable:
+                null_branch = null_violation()
+            else:
+                null_branch = make_violation(path, "null_value", {"type": rule.type}, seq)
+            check = F.when(value.isNull(), null_branch).otherwise(body)
+        if exists is not None:
+            check = F.when(exists, check)
+        checks.append(check)
+    return checks
+
+
+def lower_instance(
+    value: Column,
+    dtype: DataType,
+    path: Column,
+    rules: list[tuple[int, Rule]],
+    *,
+    value_never_null: bool = False,
+) -> Column:
+    """All rule checks for one instance -> ``array<violation>`` (possibly
+    empty). The array form feeds the HOF (single-expression) plan used by
+    per-row summaries and streaming."""
+    checks = lower_checks(value, dtype, path, rules, value_never_null=value_never_null)
     if not checks:
         return empty_violations()
     return F.filter(F.array(*checks), lambda v: v.isNotNull())
