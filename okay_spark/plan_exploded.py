@@ -4,13 +4,12 @@ The single-expression plan in :mod:`okay_spark.engine` evaluates ``[]`` paths
 with higher-order functions (``transform``/``filter``). HOFs are
 CodegenFallback expressions — one of them anywhere in a projection drops the
 whole stage out of Tungsten codegen into interpreted evaluation (measured
-~5x slower on the interleaved battery). This module lowers the same compiled
-schema to an explode-based plan instead:
+~3-5x slower on the interleaved battery). This module lowers the same
+compiled schema to an explode-based plan instead:
 
-    scan -> posexplode_outer(spans) [-> deeper chain arrays...]
-         -> one projection of per-rule violation columns (pure flat
-            expressions, fully codegen)
-         -> explode(array(checks)) -> filter(not null)
+    scan -> [per-level check arrays materialized as columns]
+         -> posexplode_outer(spans) [-> deeper chain arrays...]
+         -> explode(concat(level arrays)) -> filter(not null)
 
 One *primary chain* of nested arrays (the one carrying the most schema
 fields — for the north-rule shape, ``spans[]``) rides the generate pipeline;
@@ -18,9 +17,20 @@ document-level checks are guarded to fire exactly once per document (on the
 first generated row: ``posexplode_outer`` emits at least one row per input,
 so ``_i IS NULL OR _i = 0`` selects exactly one). Schema fields on other
 array families fall back to the HOF expression plan, attached at the root
-with the same fire-once guard — correctness never depends on the routing,
-only performance does. Violation semantics are identical to the HOF plan
-(the conformance suite runs against both strategies).
+level — correctness never depends on the routing, only performance does.
+
+Two sizing rules keep memory flat at scale:
+
+- each level's checks are materialized as an array column BELOW the next
+  generate, so wide source columns (the spans array itself) are never
+  required above a Generate and get pruned out of the generated rows —
+  otherwise every generated row deep-copies the document's array bytes
+  (measured as multi-GB allocation churn at 2M docs);
+- per-level arrays are guarded as whole arrays, so non-first generated rows
+  concatenate empty arrays instead of building N null slots.
+
+Violation semantics are identical to the HOF plan (the conformance suite
+runs against both strategies).
 """
 
 from __future__ import annotations
@@ -37,7 +47,6 @@ from .rules import (
     empty_violations,
     lower_checks,
     make_violation,
-    null_violation,
 )
 from .schema import CompiledSchema, FieldSpec
 
@@ -81,6 +90,14 @@ class _Ctx:
         self.at_root = at_root
 
 
+def _and_opt(a: Column | None, b: Column | None) -> Column | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
 def _flat_descend(ctx: _Ctx, names: list[Name]) -> _Ctx | None:
     """Follow Name steps with flat accessors (no HOFs)."""
     value, dtype, path, exists, at_root = (
@@ -98,13 +115,15 @@ def _flat_descend(ctx: _Ctx, names: list[Name]) -> _Ctx | None:
                 child = _q(st.name)
                 path = F.lit(st.name)
             else:
-                exists = exists & value.isNotNull()
+                exists = _and_opt(exists, value.isNotNull())
                 child = value[st.name]
                 path = F.concat(path, F.lit("."), F.lit(st.name))
             dtype = dtype[st.name].dataType
             value, at_root = child, False
         elif isinstance(dtype, MapType) and isinstance(dtype.keyType, _STRING_TYPES):
-            exists = exists & F.coalesce(F.map_contains_key(value, F.lit(st.name)), F.lit(False))
+            exists = _and_opt(
+                exists, F.coalesce(F.map_contains_key(value, F.lit(st.name)), F.lit(False))
+            )
             path = F.concat(path, F.lit("."), F.lit(st.name))
             value = F.try_element_at(value, F.lit(st.name))
             dtype = dtype.valueType
@@ -159,67 +178,68 @@ def _join_fname(parent: str, key: str) -> str:
     return key if parent == ROOT else f"{parent}.{key}"
 
 
+def routing_weights(compiled: CompiledSchema, df_schema: StructType) -> tuple[int, int]:
+    """(root_weight, chain_weight): how many rule checks would evaluate at
+    the document level vs on the primary array chain. Used by the 'auto'
+    strategy: explode wins when most work rides the generate pipeline
+    (row multiplication is then the data itself); a root-heavy schema keeps
+    the compact single-expression plan."""
+    fields = list(compiled.fields.items())
+    chain = _pick_primary_chain(fields, df_schema)
+    root_w = chain_w = 0
+    for path, spec in fields:
+        n = len(spec.rules) + (1 if spec.strictness == "required" else 0)
+        segs, _tail = _decompose(parse_path(path))
+        if segs and list(chain[: len(segs)]) == list(segs):
+            chain_w += n
+        else:
+            root_w += n
+    return root_w, chain_w
+
+
 def exploded_violations(df: DataFrame, compiled: CompiledSchema) -> DataFrame:
-    """The battery as an explode pipeline; returns a DataFrame of all source
-    columns plus ``_v`` (non-null violation struct rows)."""
+    """The battery as an explode pipeline; returns a DataFrame with the
+    source id columns plus ``_v`` (non-null violation struct rows)."""
     df_schema = df.schema
     fields = list(compiled.fields.items())
     chain = _pick_primary_chain(fields, df_schema)
     chain_dtypes = _resolve_chain(df_schema, chain) if chain else []
+    max_depth = len(chain)
 
-    # ---- build the generate pipeline -------------------------------------
-    cur = df
-    level_ctx: list[_Ctx] = []  # element context per depth (1-based -> idx 0)
+    # ---- per-level contexts (no DataFrame needed yet) -----------------------
+    root_ctx = _Ctx(None, df_schema, F.lit(ROOT), None, at_root=True)
+    level_ctx: list[_Ctx] = []
+    arr_ctxs: list[_Ctx] = []
     chain_fnames: list[str] = []
-    prev_fname = ROOT
-    root_ctx = _Ctx(None, df_schema, F.lit(ROOT), F.lit(True), at_root=True)
     prev = root_ctx
+    prev_fname = ROOT
     for d, seg in enumerate(chain, start=1):
         arr_ctx = _flat_descend(prev, list(seg))
         assert arr_ctx is not None
+        arr_ctxs.append(arr_ctx)
         i_col, e_col = f"__ok_i{d}", f"__ok_e{d}"
-        cur = cur.select("*", F.posexplode_outer(arr_ctx.value).alias(i_col, e_col))
         elem_path = F.concat(arr_ctx.path, F.lit("["), _q(i_col).cast("string"), F.lit("]"))
         ctx = _Ctx(_q(e_col), chain_dtypes[d - 1], elem_path, _q(i_col).isNotNull())
         level_ctx.append(ctx)
-        prev_fname = _join_fname(prev_fname, ".".join(n.name for n in seg)) + "[]" if seg else prev_fname + "[]"
+        if seg:
+            prev_fname = _join_fname(prev_fname, ".".join(n.name for n in seg)) + "[]"
+        else:
+            prev_fname = prev_fname + "[]"
         chain_fnames.append(prev_fname)
         prev = ctx
-
-    max_depth = len(chain)
-
-    def fire_once_guard(level: int) -> Column | None:
-        """AND over deeper generates of (index null or 0)."""
-        conds = [
-            _q(f"__ok_i{d}").isNull() | (_q(f"__ok_i{d}") == 0)
-            for d in range(level + 1, max_depth + 1)
-        ]
-        return reduce(and_, conds) if conds else None
-
-    def guarded(col_or_arr: Column, level: int, is_array: bool) -> Column:
-        # only used for dynamic (array-valued) check sites; scalar checks are
-        # grouped per level and guarded as whole arrays in the final concat,
-        # so non-first generated rows never build or evaluate them.
-        g = fire_once_guard(level)
-        if g is None:
-            return col_or_arr
-        if is_array:
-            return F.when(g, col_or_arr).otherwise(empty_violations())
-        return F.when(g, col_or_arr).otherwise(null_violation())
 
     def ctx_for_level(level: int) -> _Ctx:
         return root_ctx if level == 0 else level_ctx[level - 1]
 
     def route(segs: list[tuple[Name, ...]]) -> int | None:
-        """Chain level for these segments, or None -> HOF fallback."""
         if list(chain[: len(segs)]) == list(segs):
             return len(segs)
         return None
 
-    scalar_checks: list[tuple[int, Column]] = []
-    dyn_arrays: list[Column] = []
+    scalar_checks: list[tuple[int, Column]] = []  # (level, viol-or-null col)
+    dyn_arrays: list[tuple[int, Column]] = []  # (level, array<viol> col)
 
-    # ---- phase 1: rule scan ----------------------------------------------
+    # ---- phase 1: rule scan -------------------------------------------------
     from .engine import _map_instances  # HOF fallback for off-chain families
 
     for fidx, (path, spec) in enumerate(fields):
@@ -229,8 +249,8 @@ def exploded_violations(df: DataFrame, compiled: CompiledSchema) -> DataFrame:
         steps = parse_path(path)
         segs, tail = _decompose(steps)
         level = route(segs)
-        if level is None or _resolve_chain(df_schema, segs) is None:
-            # off-chain array family (or unresolvable -> vanishes inside)
+        if level is None or (segs and _resolve_chain(df_schema, segs) is None):
+
             def fn(value, dtype, pcol, never_null, _rules=rules):
                 from .rules import lower_instance
 
@@ -238,23 +258,21 @@ def exploded_violations(df: DataFrame, compiled: CompiledSchema) -> DataFrame:
 
             arr = _map_instances(df_schema, steps, fn)
             if arr is not None:
-                dyn_arrays.append(guarded(arr, 0, is_array=True))
+                dyn_arrays.append((0, arr))
             continue
-        base = ctx_for_level(level)
         if path == ROOT:
             root_val = F.struct(*[_q(c).alias(c) for c in df_schema.names])
             checks = lower_checks(root_val, df_schema, F.lit(ROOT), rules, value_never_null=True)
             scalar_checks.extend((0, c) for c in checks)
             continue
-        ctx = _flat_descend(base, tail)
+        ctx = _flat_descend(ctx_for_level(level), tail)
         if ctx is None:
             continue
-        exists = None if (ctx.at_root or _is_true_lit(ctx.exists)) else ctx.exists
         value = F.struct(*[_q(c).alias(c) for c in df_schema.names]) if ctx.at_root else ctx.value
-        checks = lower_checks(value, ctx.dtype, ctx.path, rules, exists=exists)
+        checks = lower_checks(value, ctx.dtype, ctx.path, rules, exists=ctx.exists)
         scalar_checks.extend((level, c) for c in checks)
 
-    # ---- phase 2: missing fields ------------------------------------------
+    # ---- phase 2: missing fields ----------------------------------------------
     for fidx, (path, spec) in enumerate(fields):
         if spec.strictness != "required" or path == ROOT:
             continue
@@ -266,7 +284,7 @@ def exploded_violations(df: DataFrame, compiled: CompiledSchema) -> DataFrame:
         psteps = parse_path(parent_name)
         segs, tail = _decompose(psteps)
         level = route(segs)
-        if level is None or _resolve_chain(df_schema, segs) is None:
+        if level is None or (segs and _resolve_chain(df_schema, segs) is None):
 
             def fn(
                 pv,
@@ -286,10 +304,9 @@ def exploded_violations(df: DataFrame, compiled: CompiledSchema) -> DataFrame:
 
             arr = _map_instances(df_schema, psteps, fn)
             if arr is not None:
-                dyn_arrays.append(guarded(arr, 0, is_array=True))
+                dyn_arrays.append((0, arr))
             continue
-        base = ctx_for_level(level)
-        pctx = _flat_descend(base, tail)
+        pctx = _flat_descend(ctx_for_level(level), tail)
         if pctx is None:
             continue
         col = _missing_cond(
@@ -302,15 +319,13 @@ def exploded_violations(df: DataFrame, compiled: CompiledSchema) -> DataFrame:
             nullable_parent,
             seq,
             parent_name == ROOT,
-            None if _is_true_lit(pctx.exists) else pctx.exists,
+            pctx.exists,
         )
         if col is not None:
             scalar_checks.append((level, col))
 
-    # ---- phase 3: extra fields ---------------------------------------------
+    # ---- phase 3: extra fields ---------------------------------------------------
     if not compiled.ignore_extra_fields:
-        seq = _seq(2, 0)
-        next_fname = chain_fnames[0] if chain else None
         _extra_walk(
             compiled,
             None,
@@ -319,38 +334,71 @@ def exploded_violations(df: DataFrame, compiled: CompiledSchema) -> DataFrame:
             F.lit(ROOT),
             None,
             0,
-            next_fname,
-            chain_fnames,
-            level_ctx,
-            seq,
+            chain_fnames[0] if chain else None,
             scalar_checks,
             dyn_arrays,
-            guarded,
         )
+        for d, ctx in enumerate(level_ctx, start=1):
+            edt = ctx.dtype
+            if not isinstance(edt, (StructType, MapType)):
+                continue
+            nxt = chain_fnames[d] if d < len(chain_fnames) else None
+            _extra_walk(
+                compiled,
+                ctx.value,
+                edt,
+                chain_fnames[d - 1],
+                ctx.path,
+                _and_opt(ctx.exists, ctx.value.isNotNull()),
+                d,
+                nxt,
+                scalar_checks,
+                dyn_arrays,
+            )
 
-    # group scalar checks per level and guard whole arrays: non-first
-    # generated rows concat empty arrays instead of building N null slots
+    # ---- assemble ------------------------------------------------------------------
+    # Materialize each level's checks as array columns BEFORE the next
+    # generate, so wide source columns are never required above a Generate
+    # and generated rows stay narrow (ids + small violation arrays).
+    cur = df
+    level_cols: dict[int, list[str]] = {}
+    for d in range(0, max_depth + 1):
+        if d > 0:
+            cur = cur.select(
+                "*", F.posexplode_outer(arr_ctxs[d - 1].value).alias(f"__ok_i{d}", f"__ok_e{d}")
+            )
+        names: list[str] = []
+        checks_d = [c for lvl, c in scalar_checks if lvl == d]
+        if checks_d:
+            cur = cur.withColumn(f"__ok_v{d}", F.array(*checks_d))
+            names.append(f"__ok_v{d}")
+        for k, (lvl, arr) in enumerate(dyn_arrays):
+            if lvl == d:
+                cur = cur.withColumn(f"__ok_w{d}_{k}", arr)
+                names.append(f"__ok_w{d}_{k}")
+        level_cols[d] = names
+
+    def fire_once_guard(level: int) -> Column | None:
+        conds = [
+            _q(f"__ok_i{d}").isNull() | (_q(f"__ok_i{d}") == 0)
+            for d in range(level + 1, max_depth + 1)
+        ]
+        return reduce(and_, conds) if conds else None
+
     parts: list[Column] = []
-    for lvl in range(max_depth + 1):
-        lvl_checks = [c for l, c in scalar_checks if l == lvl]
-        if not lvl_checks:
-            continue
-        arr = F.array(*lvl_checks)
-        g = fire_once_guard(lvl)
-        parts.append(F.when(g, arr).otherwise(empty_violations()) if g is not None else arr)
-    parts.extend(dyn_arrays)
-    if parts:
-        combined = parts[0]
-        for arr in parts[1:]:
-            combined = F.concat(combined, arr)
-    else:
-        combined = empty_violations()
-    out = cur.select("*", F.explode(combined).alias("_v")).where(F.col("_v").isNotNull())
-    return out
-
-
-def _is_true_lit(col: Column) -> bool:
-    return str(col._jc) == str(F.lit(True)._jc)  # cheap structural check
+    for d in range(0, max_depth + 1):
+        guard = fire_once_guard(d)
+        for name in level_cols[d]:
+            col = F.coalesce(_q(name), empty_violations())
+            parts.append(
+                F.when(guard, col).otherwise(empty_violations()) if guard is not None else col
+            )
+    if not parts:
+        return df.select("*", F.explode(empty_violations()).alias("_v"))
+    combined = parts[0]
+    for arr in parts[1:]:
+        combined = F.concat(combined, arr)
+    return cur.select("*", F.explode(combined).alias("_v")).where(F.col("_v").isNotNull())
 
 
 def _missing_cond(
@@ -385,18 +433,15 @@ def _extra_walk(
     exists,
     level,
     next_chain_fname,
-    chain_fnames,
-    level_ctx,
-    seq,
     scalar_checks,
     dyn_arrays,
-    guarded,
 ) -> None:
     """Flat extra-field enumeration at one frame level, deferring the primary
     chain's next array to its own level and falling back to the HOF walker
-    for off-chain subtrees."""
+    for off-chain subtrees. Appends (level, col) / (level, array) entries."""
     from .engine import _extra_descend
 
+    seq = _seq(2, 0)
     at_root = value is None
     if isinstance(dtype, StructType):
         for m in dtype.names:
@@ -420,23 +465,23 @@ def _extra_walk(
                     _and_opt(present, child.isNotNull()),
                     level,
                     next_chain_fname,
-                    chain_fnames,
-                    level_ctx,
-                    seq,
                     scalar_checks,
                     dyn_arrays,
-                    guarded,
                 )
             elif isinstance(cdt, ArrayType):
                 elem_fname = child_fname + "[]"
                 if elem_fname not in compiled.fields:
-                    continue
+                    continue  # undeclared lists are never walked (index.py:39-40)
                 if elem_fname == next_chain_fname:
                     continue  # handled at the next chain level
                 sub = _extra_descend(child, cdt, elem_fname, cpath, compiled, seq)
                 if sub is not None:
-                    arr = sub if present is None else F.when(present, sub).otherwise(empty_violations())
-                    dyn_arrays.append(guarded(arr, level, is_array=True))
+                    arr = (
+                        sub
+                        if present is None
+                        else F.when(present, sub).otherwise(empty_violations())
+                    )
+                    dyn_arrays.append((level, arr))
     elif isinstance(dtype, MapType) and isinstance(dtype.keyType, _STRING_TYPES):
         declared = sorted(
             {
@@ -447,17 +492,21 @@ def _extra_walk(
         )
         keys = F.map_keys(value)
         extra_keys = F.filter(keys, lambda k: ~k.isin(*declared)) if declared else keys
-        arr = F.transform(
-            extra_keys,
-            lambda k: make_violation(
-                F.concat(path, F.lit("."), k) if fname != ROOT else k, "extra_field", None, seq
+        arr = F.coalesce(
+            F.transform(
+                extra_keys,
+                lambda k: make_violation(
+                    F.concat(path, F.lit("."), k) if fname != ROOT else k,
+                    "extra_field",
+                    None,
+                    seq,
+                ),
             ),
+            empty_violations(),
         )
-        present = _and_opt(exists, value.isNotNull())
-        arr = F.coalesce(arr, empty_violations()) if present is None else F.when(
-            present, F.coalesce(arr, empty_violations())
-        ).otherwise(empty_violations())
-        dyn_arrays.append(guarded(arr, level, is_array=True))
+        if exists is not None:
+            arr = F.when(exists, arr).otherwise(empty_violations())
+        dyn_arrays.append((level, arr))
         for k in declared:
             child_fname = _join_fname(fname, k)
             if child_fname not in compiled.fields:
@@ -465,6 +514,7 @@ def _extra_walk(
             child = F.try_element_at(value, F.lit(k))
             cpath = F.concat(path, F.lit("."), F.lit(k)) if fname != ROOT else F.lit(k)
             cdt = dtype.valueType
+            present = _and_opt(exists, value.isNotNull())
             if isinstance(cdt, (StructType, MapType)):
                 _extra_walk(
                     compiled,
@@ -475,64 +525,17 @@ def _extra_walk(
                     _and_opt(present, child.isNotNull()),
                     level,
                     next_chain_fname,
-                    chain_fnames,
-                    level_ctx,
-                    seq,
                     scalar_checks,
                     dyn_arrays,
-                    guarded,
                 )
             elif isinstance(cdt, ArrayType):
                 elem_fname = child_fname + "[]"
                 if elem_fname in compiled.fields and elem_fname != next_chain_fname:
                     sub = _extra_descend(child, cdt, elem_fname, cpath, compiled, seq)
                     if sub is not None:
-                        arr2 = F.when(_and_opt(present, F.lit(True)) if present is not None else F.lit(True), sub).otherwise(empty_violations())
-                        dyn_arrays.append(guarded(arr2, level, is_array=True))
-
-    # chain-element extras at deeper levels: walk each chain element struct
-    if at_root:
-        for d, ctx in enumerate(level_ctx, start=1):
-            edt = ctx.dtype
-            if not isinstance(edt, (StructType, MapType)):
-                continue
-            nxt = chain_fnames[d] if d < len(chain_fnames) else None
-            _extra_walk(
-                compiled,
-                ctx.value,
-                edt,
-                chain_fnames[d - 1],
-                ctx.path,
-                ctx.exists & ctx.value.isNotNull(),
-                d,
-                nxt,
-                chain_fnames,
-                level_ctx,
-                seq,
-                scalar_checks,
-                dyn_arrays,
-                guarded,
-            )
-
-
-def _and_opt(a: Column | None, b: Column) -> Column:
-    return b if a is None else a & b
-
-
-def routing_weights(compiled: CompiledSchema, df_schema: StructType) -> tuple[int, int]:
-    """(root_weight, chain_weight): how many rule checks would evaluate at
-    the document level vs on the primary array chain. Used by the 'auto'
-    strategy: explode wins when most work rides the generate pipeline
-    (row multiplication is then the data itself); a root-heavy schema keeps
-    the compact single-expression plan."""
-    fields = list(compiled.fields.items())
-    chain = _pick_primary_chain(fields, df_schema)
-    root_w = chain_w = 0
-    for path, spec in fields:
-        n = len(spec.rules) + (1 if spec.strictness == "required" else 0)
-        segs, _tail = _decompose(parse_path(path))
-        if segs and list(chain[: len(segs)]) == list(segs):
-            chain_w += n
-        else:
-            root_w += n
-    return root_w, chain_w
+                        arr2 = (
+                            sub
+                            if present is None
+                            else F.when(present, sub).otherwise(empty_violations())
+                        )
+                        dyn_arrays.append((level, arr2))
