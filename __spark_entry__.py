@@ -452,7 +452,7 @@ WITH t AS (
   FROM t
 ), sig AS (
   SELECT doc_id, [list_min([md5(CAST(h AS VARCHAR) || '|' || s) FOR s IN shingles]) FOR h IN range(0, 8)] AS mh
-  FROM sh
+  FROM sh WHERE len(shingles) > 0
 )
 SELECT doc_id, b AS band, md5(array_to_string(mh[b*2+1 : b*2+2], ',')) AS bucket
 FROM sig, range(0, 4) t(b)

@@ -79,6 +79,15 @@ def minhash_signature(text: Column | str, *, num_hashes: int = 16, shingle_k: in
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition narrow inputs (e.g. a single parquet file) so expensive
+    per-row projections parallelize; no-op when already wide enough."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def minhash_lsh_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -89,7 +98,10 @@ def minhash_lsh_buckets(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, band, bucket) — one row per (doc, band); bucket = md5 of the
-    band's slice of the signature."""
+    band's slice of the signature. Documents with no shingles (< k tokens)
+    are dropped: their Jaccard with anything is 0, so they can never clear a
+    positive near-dup threshold, and keeping them would collapse into one
+    degenerate all-identical-signature bucket."""
     rows_per_band = num_hashes // bands
     # Expression subtrees referenced inside higher-order-function lambdas are
     # re-evaluated PER ELEMENT at runtime (no common-subexpression reuse), so
@@ -98,9 +110,9 @@ def minhash_lsh_buckets(
     # re-inlines single-use expressions — but a Generate (explode) is an
     # optimizer barrier: its child projection computes the shingle array once
     # per input row, and everything above reads the materialized attribute.
-    shingled = df.select(
+    shingled = _spread(df).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("_sh")
-    )
+    ).filter(F.size("_sh") > 0)
     per_band = shingled.select(
         id_col,
         "_sh",
@@ -130,15 +142,31 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     **lsh_kwargs,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing any LSH bucket. The join is
-    per-(band, bucket) — co-partitioned by the bucket hash, never all-pairs."""
+    """Distinct candidate pairs (a < b) sharing any LSH bucket.
+
+    One hash-aggregate groups ids per (band, bucket) and pairs are expanded
+    within each bucket — signatures are computed once (a bucket self-join
+    would compute them per join side) and the only shuffle is the groupBy.
+    Bucket sizes are small by construction (that is what LSH is for), so the
+    in-bucket pairwise expansion is bounded."""
     buckets = minhash_lsh_buckets(df, text_col, id_col, **lsh_kwargs)
-    left = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
-    right = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    ids = F.col("_ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)), lambda b: F.struct(a.alias("a"), b.alias("b"))
+            ),
+        )
+    )
     return (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grouped.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .distinct()
     )
 
@@ -147,7 +175,7 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", 
     """Exact n-gram Jaccard for candidate pairs (verification stage after
     LSH). Shingle sets are computed once per doc and broadcast through the
     join keyed by id."""
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
     )
     a = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
