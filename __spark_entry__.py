@@ -267,6 +267,27 @@ def q_partition_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- rows-only (no SQL oracle: fixture inputs / approximate algorithms) ------
 
 
+def q_battery_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-document path: documents serialized to JSON and validated with
+    the okay-parity interpreter (heterogeneous-capable)."""
+    from okay_spark.dynamic import validate_json
+
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias("body")
+    )
+
+    def schema():
+        from okay_spark import required
+
+        required("doc_id", type="int", min=0)
+        required("text", type="string", min=20)
+        required("lang", type="string", options=["en", "fr", "de"])
+        required("source", type="string", regex=r"src[0-5]")
+        required("n_chars", type="int", min=1, max=500)
+
+    return validate_json(df, "body", schema, id_cols=["doc_id"]).select("doc_id", "path", "rule")
+
+
 def q_battery_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.engine import validate_dataframe
     from okay_spark.fixtures import document_schema, interleaved_documents
@@ -339,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_type": q_topk_events_per_type,
         "partition_summary_documents": q_partition_summary_documents,
         # rows-only checks (approximate / fixture-input operators)
+        "battery_json_documents": q_battery_json_documents,
         "battery_interleaved": q_battery_interleaved,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -363,6 +385,20 @@ UNION ALL SELECT doc_id, 'lang', 'invalid_string_option' FROM documents WHERE la
 UNION ALL SELECT doc_id, 'source', 'null_value' FROM documents WHERE source IS NULL
 UNION ALL SELECT doc_id, 'source', 'no_match' FROM documents WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-5]')
 UNION ALL SELECT doc_id, 'n_chars', 'null_value' FROM documents WHERE n_chars IS NULL
+UNION ALL SELECT doc_id, 'n_chars', 'number_too_small' FROM documents WHERE n_chars IS NOT NULL AND n_chars < 1
+UNION ALL SELECT doc_id, 'n_chars', 'number_too_large' FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
+"""
+
+_BATTERY_JSON_DOCUMENTS_SQL = """
+SELECT doc_id, 'doc_id' AS path, 'missing_field' AS rule FROM documents WHERE doc_id IS NULL
+UNION ALL SELECT doc_id, 'doc_id', 'number_too_small' FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
+UNION ALL SELECT doc_id, 'text', 'missing_field' FROM documents WHERE text IS NULL
+UNION ALL SELECT doc_id, 'text', 'string_too_short' FROM documents WHERE text IS NOT NULL AND length(text) < 20
+UNION ALL SELECT doc_id, 'lang', 'missing_field' FROM documents WHERE lang IS NULL
+UNION ALL SELECT doc_id, 'lang', 'invalid_string_option' FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','fr','de')
+UNION ALL SELECT doc_id, 'source', 'missing_field' FROM documents WHERE source IS NULL
+UNION ALL SELECT doc_id, 'source', 'no_match' FROM documents WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-5]')
+UNION ALL SELECT doc_id, 'n_chars', 'missing_field' FROM documents WHERE n_chars IS NULL
 UNION ALL SELECT doc_id, 'n_chars', 'number_too_small' FROM documents WHERE n_chars IS NOT NULL AND n_chars < 1
 UNION ALL SELECT doc_id, 'n_chars', 'number_too_large' FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
 """
@@ -534,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,
+        "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         "stats_documents": _STATS_SQL,
         "uniqueness_lineitem": (
             "SELECT l_orderkey, COUNT(*)::BIGINT AS cnt FROM lineitem "

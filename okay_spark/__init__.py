@@ -22,7 +22,11 @@ from .schema import (
     required,
 )
 
+from .dynamic import validate_document, validate_json
+
 __all__ = [
+    "validate_document",
+    "validate_json",
     "SchemaError",
     "Message",
     "expected_json",
