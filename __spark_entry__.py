@@ -217,6 +217,46 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.2)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import exact_quantiles
+
+    df = _read(spark, sf_dir, "lineitem")
+    out = exact_quantiles(df, ["l_quantity", "l_extendedprice"], probabilities=(0.5, 0.9, 0.99))
+    return out.select("col_name", F.round("p", 2).alias("p"), F.round("q", 4).alias("q"))
+
+
+def q_window_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_topk(emb, query, k=10, n_lists=16, n_probe=4, iters=1)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.checks import drift_metrics
 
@@ -355,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "embedding_pairs_exact": q_embedding_pairs_exact,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "quantiles_lineitem": q_quantiles_lineitem,
+        "window_events_hourly": q_window_events_hourly,
         "drift_events_value": q_drift_events_value,
         "rollup_documents": q_rollup_documents,
         "topk_events_per_type": q_topk_events_per_type,
@@ -363,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "battery_json_documents": q_battery_json_documents,
         "battery_interleaved": q_battery_interleaved,
         "minhash_near_duplicates": q_minhash_near_duplicates,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_features": q_multimodal_features,
         "referential_media_catalog": q_referential_media_catalog,
@@ -507,6 +551,41 @@ SELECT doc_id,
 FROM h
 """
 
+_NGRAM_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+  FROM t
+), e AS (
+  SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh WHERE len(s) > 0
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.sz AS sa, b.sz AS sb, COUNT(*) AS inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, round(inter / (sa + sb - inter), 6) AS jaccard
+FROM p WHERE inter / (sa + sb - inter) >= 0.2
+"""
+
+_QUANTILES_SQL = """
+SELECT 'l_quantity' AS col_name, unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p,
+       round(unnest(quantile_cont(l_quantity, [0.5, 0.9, 0.99])), 4) AS q
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', unnest([0.5, 0.9, 0.99]::DOUBLE[]),
+       round(unnest(quantile_cont(l_extendedprice, [0.5, 0.9, 0.99])), 4)
+FROM lineitem
+"""
+
+_WINDOW_EVENTS_SQL = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, COUNT(*)::BIGINT AS n, round(AVG(value), 4) AS avg_value
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
 _DRIFT_SQL = """
 WITH ref AS (SELECT value FROM events WHERE event_type = 'click' AND value IS NOT NULL),
 cur AS (SELECT value FROM events WHERE event_type = 'error' AND value IS NOT NULL),
@@ -616,6 +695,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
             "AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.5"
         ),
+        "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "quantiles_lineitem": _QUANTILES_SQL,
+        "window_events_hourly": _WINDOW_EVENTS_SQL,
         "drift_events_value": _DRIFT_SQL,
         "rollup_documents": _ROLLUP_SQL,
         "topk_events_per_type": (

@@ -95,6 +95,32 @@ def numeric_quantiles(df: DataFrame, cols: list[str], probabilities=(0.5, 0.9, 0
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def exact_quantiles(df: DataFrame, cols: list[str], probabilities=(0.5, 0.9, 0.99)) -> DataFrame:
+    """EXACT interpolated quantiles (``percentile``, i.e. a full sort-based
+    aggregate) — one tidy row per (column, probability).
+
+    Use :func:`numeric_quantiles` (t-digest sketch, single pass, mergeable)
+    on the 10^12-row path; the exact variant exists for the metrics table of
+    moderate-cardinality columns and for oracle-checked conformance — its
+    linear interpolation matches ANSI ``percentile_cont``.
+    """
+    probs = list(probabilities)
+    aggs = [F.expr(f"percentile(`{c}`, array({', '.join(map(str, probs))}))").alias(c) for c in cols]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(probs).alias("_ps"),
+            F.col(c).alias("_qs"),
+        )
+        for c in cols
+    ]
+    tall = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    return tall.select(
+        "col_name", F.posexplode(F.arrays_zip(F.col("_ps").alias("p"), F.col("_qs").alias("q")))
+    ).select("col_name", F.col("col.p").alias("p"), F.col("col.q").alias("q"))
+
+
 # ---------------------------------------------------------------------------
 # Exact uniqueness (hash-repartitioned aggregate; optional explicit salting)
 # ---------------------------------------------------------------------------

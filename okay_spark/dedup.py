@@ -188,6 +188,66 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", 
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold, without a cross join.
+
+    Inverted-index formulation: explode distinct shingles, group ids per
+    shingle, expand in-posting pairs, and count pair co-occurrences — the
+    count IS |A ∩ B|, and |A ∪ B| = |A| + |B| - |A ∩ B| from per-doc set
+    sizes carried through the expansion. Two shuffles total (posting-list
+    groupBy, pair-count groupBy); work is sum of posting-list sizes squared,
+    which is what makes it exact-but-scalable when shingles are
+    discriminative. ``max_doc_freq`` drops ultra-common shingles (stopword
+    n-grams) — the standard guard at corpus scale; pairs supported only by
+    dropped shingles are then approximate-low, so leave it None when
+    exactness is required.
+    """
+    sh = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    )
+    sized = sh.select("_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("shingle"))
+    posting = sized.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_sz"))).alias("_ids")
+    )
+    if max_doc_freq is not None:
+        posting = posting.filter(F.size("_ids") <= max_doc_freq)
+    posting = posting.filter(F.size("_ids") > 1)
+    ids = F.col("_ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(
+                    a["_id"].alias("a"),
+                    b["_id"].alias("b"),
+                    a["_sz"].alias("sa"),
+                    b["_sz"].alias("sb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        posting.select(F.explode(pair_arr).alias("_p"))
+        .groupBy("_p.a", "_p.b", "_p.sa", "_p.sb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    inter = F.col("_inter").cast("double")
+    union = (F.col("sa") + F.col("sb")).cast("double") - inter
+    return pairs.select(
+        "a", "b", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

@@ -95,3 +95,115 @@ def lsh_knn_join(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_assignments(
+    df: DataFrame,
+    *,
+    n_lists: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic IVF coarse quantizer: k-means with hash-seeded init.
+
+    Initial centroids are per-bucket means under ``pmod(xxhash64(id), k)``
+    (deterministic, no RNG — resumable runs re-derive identical lists), then
+    ``iters`` Lloyd rounds. Every round is one broadcast of k x dim floats to
+    executors and one hash aggregate (partial means map-side) — no shuffle of
+    the vectors themselves, so the build cost at 10^12 rows is iters scans.
+    Returns (assignments DataFrame (id, list_id), centroids).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    work = df.select(F.col(id_col).alias("_id"), v.alias("_v")).filter(F.col("_v").isNotNull())
+    assign = work.withColumn("_list", F.pmod(F.xxhash64("_id"), F.lit(n_lists)).cast("int"))
+
+    def _centroids(assigned: DataFrame) -> list[list[float]]:
+        # per-dimension mean via posexplode: the (list, pos) hash aggregate
+        # partial-combines map-side (sum/count scalars), unlike a
+        # collect_list-of-vectors reduce which would materialize every vector
+        # of a group on one reducer; driver receives only k x dim rows
+        rows = (
+            assigned.select("_list", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("_list", "_pos")
+            .agg(F.avg("_val").alias("_m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_list.setdefault(r["_list"], {})[r["_pos"]] = r["_m"]
+        dim = max(max(d) for d in by_list.values()) + 1
+        present = [[d[i] for i in range(dim)] for d in by_list.values()]
+        # empty lists inherit the global mean of present centroids
+        fallback = [sum(c[i] for c in present) / len(present) for i in range(dim)]
+        return [
+            [by_list[i][j] for j in range(dim)] if i in by_list else fallback
+            for i in range(n_lists)
+        ]
+
+    cents = _centroids(assign)
+    for _ in range(iters):
+        assign = work.withColumn("_list", _nearest_centroid("_v", cents))
+        cents = _centroids(assign)
+    out = assign.select(F.col("_id").alias(id_col), F.col("_list").alias("list_id"))
+    return out, cents
+
+
+def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
+    return _nearest_centroid_expr(F.col(vec_col), centroids)
+
+
+def _nearest_centroid_expr(v: Column, centroids: list[list[float]]) -> Column:
+    sims = F.array(*[cosine(v, F.lit(c).cast("array<double>")) for c in centroids])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    *,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k for one query: score the query against the k
+    centroids on the driver, scan only the ``n_probe`` nearest inverted
+    lists, exact cosine re-rank inside them. With assignments persisted (the
+    real deployment), each query touches n_probe/n_lists of the data;
+    ``n_probe = n_lists`` degrades to exact brute force.
+    """
+    _assign, cents = ivf_assignments(
+        df, n_lists=n_lists, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    qv = [float(x) for x in query]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5
+        db = sum(x * x for x in b) ** 0.5
+        return num / (da * db) if da > 0 and db > 0 else 0.0
+
+    ranked = sorted(range(len(cents)), key=lambda i: -_cos(qv, cents[i]))
+    probe = ranked[:n_probe]
+    # Filter by the assignment expression inline — no join, no shuffle. In the
+    # persisted deployment list_id is a partition column of the index table,
+    # so this filter is partition pruning and only n_probe/n_lists of the
+    # data is ever read.
+    v = F.col(vec_col).cast("array<double>")
+    candidates = (
+        df.filter(v.isNotNull())
+        .withColumn("_list", _nearest_centroid_expr(v, cents))
+        .filter(F.col("_list").isin(probe))
+    )
+    scored = candidates.select(
+        F.col(id_col), cosine_to_query(vec_col, qv).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

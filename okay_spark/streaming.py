@@ -79,3 +79,57 @@ def violation_rate_by_window(
             F.count_if(F.col("_nv") > 0).alias("n_failed_docs"),
         )
     )
+
+
+def running_violation_totals(
+    stream_df: DataFrame,
+    schema,
+    *,
+    key_col: str,
+) -> DataFrame:
+    """Custom stateful operator: cumulative per-key document/violation totals
+    maintained across micro-batches with ``applyInPandasWithState``.
+
+    State per key is three counters — O(keys) state, not O(rows); batches
+    arrive Arrow-vectorized and are reduced with pandas ops (no per-row
+    Python). This is the pattern slot for stateful checks the built-in
+    windowed aggregates can't express (session-scoped rules, cross-batch
+    sequence invariants over the span stream).
+    """
+    import pandas as pd  # noqa: F401 (used in the worker closure)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .engine import violations_array
+
+    compiled = schema if isinstance(schema, CompiledSchema) else compile_cached(schema)
+    n_viol = F.size(violations_array(stream_df.schema, compiled))
+    base = stream_df.select(F.col(key_col).alias("_key"), n_viol.alias("_nv"))
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        docs, viols, failed = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            viols += int(pdf["_nv"].sum())
+            failed += int((pdf["_nv"] > 0).sum())
+        state.update((docs, viols, failed))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "n_docs": docs,
+                    "n_violations": viols,
+                    "n_failed_docs": failed,
+                }
+            ]
+        )
+
+    return base.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=f"key {key_type}, n_docs bigint, n_violations bigint, n_failed_docs bigint",
+        stateStructType="n_docs bigint, n_violations bigint, n_failed_docs bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
