@@ -178,25 +178,6 @@ def _join_fname(parent: str, key: str) -> str:
     return key if parent == ROOT else f"{parent}.{key}"
 
 
-def routing_weights(compiled: CompiledSchema, df_schema: StructType) -> tuple[int, int]:
-    """(root_weight, chain_weight): how many rule checks would evaluate at
-    the document level vs on the primary array chain. Used by the 'auto'
-    strategy: explode wins when most work rides the generate pipeline
-    (row multiplication is then the data itself); a root-heavy schema keeps
-    the compact single-expression plan."""
-    fields = list(compiled.fields.items())
-    chain = _pick_primary_chain(fields, df_schema)
-    root_w = chain_w = 0
-    for path, spec in fields:
-        n = len(spec.rules) + (1 if spec.strictness == "required" else 0)
-        segs, _tail = _decompose(parse_path(path))
-        if segs and list(chain[: len(segs)]) == list(segs):
-            chain_w += n
-        else:
-            root_w += n
-    return root_w, chain_w
-
-
 def exploded_violations(df: DataFrame, compiled: CompiledSchema) -> DataFrame:
     """The battery as an explode pipeline; returns a DataFrame with the
     source id columns plus ``_v`` (non-null violation struct rows)."""
