@@ -22,9 +22,10 @@ from .schema import (
     required,
 )
 
-from .dynamic import validate_document, validate_json
+from .dynamic import validate, validate_document, validate_json
 
 __all__ = [
+    "validate",
     "validate_document",
     "validate_json",
     "SchemaError",

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .errors import SchemaError
-from .messages import Message, expected_json
+from .messages import Message, expected_json, parse_expected
 from .schema import CompiledSchema, Rule, compile_cached
 
 Violation = tuple[str, str, str | None]  # (rule/message type, path, expected json)
@@ -292,4 +292,32 @@ def validate_json(
     return df.select(*id_cols, json_col).mapInPandas(kernel, out_ddl)
 
 
-__all__ = ["validate_document", "validate_json"]
+def validate(schema, document, message_values=None) -> list[Message]:
+    """Drop-in for the reference's ``okay.validate`` — single document,
+    driver-side (``/root/reference/src/okay/validator.py:7-16``).
+
+    A user of the reference can switch ``from okay import validate`` to
+    ``from okay_spark import validate`` and run their existing per-dict loop
+    unchanged (same Message objects, same ordering, same ``message_values``
+    stamping, same compile-once caching and SchemaError wrapping) — and then
+    lift the same schema callable to tables via
+    :func:`okay_spark.engine.validate_dataframe`. One divergence: extra
+    attributes a custom validator sets on its Message (beyond
+    type/field/expected) are not forwarded through the interpreter's
+    violation tuples.
+    """
+    compiled = compile_cached(schema)
+    messages = []
+    for rule_name, path, expected in validate_document(compiled, document):
+        kwargs: dict[str, Any] = {"field": path}
+        parsed = parse_expected(expected)
+        if parsed is not None:
+            kwargs["expected"] = parsed
+        messages.append(Message(type=rule_name, **kwargs))
+    if message_values:
+        for m in messages:
+            m.add(**message_values)
+    return messages
+
+
+__all__ = ["validate", "validate_document", "validate_json"]

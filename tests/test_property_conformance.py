@@ -225,6 +225,44 @@ def test_dynamic_interpreter_matches_reference(okay_reference, decls, doc):
         )
 
 
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.filter_too_much],
+)
+@given(decls=_schema_decls(), doc=_document)
+def test_dropin_validate_matches_reference_in_order(okay_reference, decls, doc):
+    """okay_spark.validate is a drop-in for okay.validate: same Message
+    stream in the SAME ORDER (rule scan in traversal order -> missing fields
+    in schema order -> extra fields in document order, ``validator.py:7-16``),
+    including expected payloads and message_values stamping."""
+    from okay import validate as ref_validate  # type: ignore
+    from okay.schema import optional as r_opt, required as r_req  # type: ignore
+
+    from okay_spark import validate as our_validate
+
+    stamp = {"doc_no": 7}
+    try:
+        ref = ref_validate(_decls_to_fn(decls, r_req, r_opt), doc, stamp)
+    except RuntimeError:
+        assume(False)
+        return
+    except Exception as e:
+        if type(e).__name__ != "SchemaError":
+            raise
+        with pytest.raises(SchemaError):
+            our_validate(_decls_to_fn(decls, dsl.required, dsl.optional), doc, stamp)
+        return
+    got = our_validate(_decls_to_fn(decls, dsl.required, dsl.optional), doc, stamp)
+    ref_t = [
+        (m.type, m.field, _freeze(getattr(m, "expected", None)), m.doc_no) for m in ref
+    ]
+    got_t = [
+        (m.type, m.field, _freeze(getattr(m, "expected", None)), m.doc_no) for m in got
+    ]
+    assert got_t == ref_t, f"decls={decls}\ndoc={doc!r}"
+
+
 @st.composite
 def _conflicting_decls(draw):
     """Pairs of declarations on the SAME path — the conflict surface."""
