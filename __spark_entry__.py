@@ -217,6 +217,38 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming-LSH near-dup pairs. With 8 bands of 4 bits and
+    max_hamming=7, pigeonhole guarantees every pair within distance 7 shares
+    an intact band, so the banded (scalable) plan returns EXACTLY the
+    all-pairs answer the SQL oracle computes by cross join."""
+    from okay_spark.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), bits=32, band_bits=4, max_hamming=7
+    )
+
+
+def q_categorical_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import categorical_drift
+
+    events = _read(spark, sf_dir, "events")
+    cur = events.filter(F.col("event_type") == "error")
+    ref = events.filter(F.col("event_type") == "click")
+    m = categorical_drift(cur, ref, "user_id")
+    return spark.createDataFrame(
+        [(round(m["psi"], 6), m["n_current"], m["n_reference"])],
+        "psi double, n_current bigint, n_reference bigint",
+    )
+
+
+def q_bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.textops import bpe_ish_token_count
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
 def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import ngram_jaccard_pairs
 
@@ -395,6 +427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "embedding_pairs_exact": q_embedding_pairs_exact,
+        "simhash_pairs_documents": q_simhash_pairs_documents,
+        "categorical_drift_events": q_categorical_drift_events,
+        "bpe_token_count_documents": q_bpe_token_count_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
         "window_events_hourly": q_window_events_hourly,
@@ -551,6 +586,46 @@ SELECT doc_id,
 FROM h
 """
 
+_SIMHASH_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents
+), h AS (
+  SELECT doc_id, [('0x' || substr(md5(x), 1, 8))::BIGINT FOR x IN toks] AS hs FROM t
+), s AS (
+SELECT doc_id,
+  CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, v -> ((v >> i) & 1) = 1)) > len(hs)
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                 FOR i IN range(0, 32)]) AS BIGINT) AS sh
+FROM h
+)
+SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 7
+"""
+
+_CATEGORICAL_DRIFT_SQL = """
+WITH cur AS (SELECT user_id, COUNT(*)::DOUBLE AS c FROM events WHERE event_type = 'error' GROUP BY 1),
+ref AS (SELECT user_id, COUNT(*)::DOUBLE AS c FROM events WHERE event_type = 'click' GROUP BY 1),
+tot AS (SELECT (SELECT SUM(c) FROM cur) AS nc, (SELECT SUM(c) FROM ref) AS nr),
+j AS (
+  SELECT GREATEST(COALESCE(cur.c, 0) / nc, 1e-6) AS p,
+         GREATEST(COALESCE(ref.c, 0) / nr, 1e-6) AS q
+  FROM cur FULL OUTER JOIN ref ON cur.user_id IS NOT DISTINCT FROM ref.user_id
+  CROSS JOIN tot
+)
+SELECT round(SUM((p - q) * LN(p / q)), 6) AS psi,
+  (SELECT CAST(nc AS BIGINT) FROM tot) AS n_current,
+  (SELECT CAST(nr AS BIGINT) FROM tot) AS n_reference
+FROM j
+"""
+
+_BPE_TOKENS_SQL = """
+SELECT doc_id,
+  len(list_filter(string_split_regex(regexp_replace(text, '(\\d+)', ' \\1 ', 'g'), '\\s+'),
+      x -> x != ''))::INT AS n_bpe_tokens
+FROM documents
+"""
+
 _NGRAM_JACCARD_SQL = """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents
@@ -695,6 +770,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
             "AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.5"
         ),
+        "simhash_pairs_documents": _SIMHASH_PAIRS_SQL,
+        "categorical_drift_events": _CATEGORICAL_DRIFT_SQL,
+        "bpe_token_count_documents": _BPE_TOKENS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "quantiles_lineitem": _QUANTILES_SQL,
         "window_events_hourly": _WINDOW_EVENTS_SQL,
