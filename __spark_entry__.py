@@ -336,7 +336,111 @@ def q_partition_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.relops import session_stats
+
+    from okay_spark.relops import epoch_seconds
+
+    events = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    out = session_stats(events, gap_seconds=1800.0)
+    ts_type = events.schema["ts"].dataType
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.round(epoch_seconds(F.col("t_start"), ts_type), 6).alias("t_start_epoch"),
+        F.round(epoch_seconds(F.col("t_end"), ts_type), 6).alias("t_end_epoch"),
+        "duration_sec",
+        "sum_value",
+    )
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.relops import asof_join
+
+    events = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    from okay_spark.relops import diff_seconds
+
+    ts_type = events.schema["ts"].dataType
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.round(diff_seconds(F.col("ts"), F.col("click_ts"), ts_type), 6).alias("gap_sec"),
+    )
+
+
+VALUE_BANDS = [
+    ("micro", 0.0, 5.0),
+    ("small", 5.0, 25.0),
+    ("mid", 25.0, 100.0),
+    ("large", 100.0, 1e9),
+]
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.relops import range_join
+
+    events = _read(spark, sf_dir, "events")
+    joined = range_join(events, VALUE_BANDS, value_col="value")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+def q_distinct_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import distinct_counts
+
+    return distinct_counts(
+        _read(spark, sf_dir, "events"), ["user_id", "event_type", "props"]
+    )
+
+
+def q_cube_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.engine import validate_dataframe
+
+    df = _read(spark, sf_dir, "documents")
+    v = validate_dataframe(df, _documents_schema, id_cols=["doc_id", "source"])
+    return v.cube("source", "rule").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_click_days_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, day) pairs with clicks but no purchases — EXCEPT set op."""
+    events = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    return clicks.subtract(buys)
+
+
 # --- rows-only (no SQL oracle: fixture inputs / approximate algorithms) ------
+
+
+def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch counts (rows-only: estimator differs from DuckDB's);
+    accuracy vs exact counts is asserted in tests/test_new_ops.py."""
+    from okay_spark.checks import approx_distinct_counts
+
+    return approx_distinct_counts(
+        _read(spark, sf_dir, "events"), ["user_id", "event_type", "props"]
+    )
 
 
 def q_battery_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,7 +541,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_documents": q_rollup_documents,
         "topk_events_per_type": q_topk_events_per_type,
         "partition_summary_documents": q_partition_summary_documents,
+        "sessions_events": q_sessions_events,
+        "asof_purchase_click": q_asof_purchase_click,
+        "range_join_events": q_range_join_events,
+        "distinct_counts_events": q_distinct_counts_events,
+        "cube_documents": q_cube_documents,
+        "click_days_no_purchase": q_click_days_no_purchase,
         # rows-only checks (approximate / fixture-input operators)
+        "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
         "battery_interleaved": q_battery_interleaved,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -720,6 +831,68 @@ SELECT source, rule, COUNT(*)::BIGINT AS cnt FROM v GROUP BY ROLLUP (source, rul
 """
 
 
+_SESSIONS_SQL = """
+WITH s AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+  round(epoch_us(MIN(ts)) / 1e6, 6) AS t_start_epoch,
+  round(epoch_us(MAX(ts)) / 1e6, 6) AS t_end_epoch,
+  round((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_sec,
+  round(SUM(value), 4) AS sum_value
+FROM g GROUP BY user_id, session_idx
+"""
+
+_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE ts IS NOT NULL AND event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS cts, event_id AS click_id FROM events
+  WHERE ts IS NOT NULL AND event_type = 'click'
+)
+SELECT p.event_id, p.user_id, c.click_id,
+  round((epoch_us(p.ts) - epoch_us(c.cts)) / 1e6, 6) AS gap_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+"""
+
+_RANGE_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('micro', 0.0, 5.0), ('small', 5.0, 25.0),
+         ('mid', 25.0, 100.0), ('large', 100.0, 1e9)
+)
+SELECT band, COUNT(*)::BIGINT AS n, round(AVG(value), 4) AS avg_value
+FROM events LEFT JOIN bands ON events.value >= bands.lo AND events.value < bands.hi
+GROUP BY band
+"""
+
+_DISTINCT_COUNTS_SQL = """
+SELECT 'user_id' AS col_name, COUNT(DISTINCT user_id)::BIGINT AS n_distinct FROM events
+UNION ALL SELECT 'event_type', COUNT(DISTINCT event_type)::BIGINT FROM events
+UNION ALL SELECT 'props', COUNT(DISTINCT props)::BIGINT FROM events
+"""
+
+_CUBE_SQL = _ROLLUP_SQL.replace("GROUP BY ROLLUP (source, rule)", "GROUP BY CUBE (source, rule)")
+
+_EXCEPT_SQL = """
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+WHERE ts IS NOT NULL AND event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+WHERE ts IS NOT NULL AND event_type = 'purchase'
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
@@ -785,4 +958,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) WHERE rn <= 3"
         ),
         "partition_summary_documents": _PARTITION_SUMMARY_SQL,
+        "sessions_events": _SESSIONS_SQL,
+        "asof_purchase_click": _ASOF_SQL,
+        "range_join_events": _RANGE_JOIN_SQL,
+        "distinct_counts_events": _DISTINCT_COUNTS_SQL,
+        "cube_documents": _CUBE_SQL,
+        "click_days_no_purchase": _EXCEPT_SQL,
     }

@@ -78,6 +78,34 @@ def column_stats(
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def distinct_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """EXACT distinct count per column, long format, in ONE aggregate pass.
+
+    ``count(distinct a), count(distinct b), ...`` in a single agg: Spark
+    plans one expand + partial/final aggregate (nulls excluded, SQL
+    semantics). Use :func:`column_stats` for the sketch-based approximate
+    version when exactness isn't required at 10^12 rows."""
+    aggs = [F.countDistinct(F.col("`" + c + "`")).alias(c) for c in cols]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(F.lit(c).alias("col_name"), F.col(c).alias("n_distinct")) for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def approx_distinct_counts(df: DataFrame, cols: list[str], *, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ distinct estimate per column — single pass, O(1) state
+    per column, the scale path for cardinality monitoring (exact distinct on
+    a 10^12-row key would shuffle the full table)."""
+    aggs = [F.approx_count_distinct(F.col("`" + c + "`"), rsd).alias(c) for c in cols]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(F.lit(c).alias("col_name"), F.col(c).alias("n_distinct_approx"))
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def numeric_quantiles(df: DataFrame, cols: list[str], probabilities=(0.5, 0.9, 0.99)) -> DataFrame:
     """Approximate quantiles (t-digest style sketch, single pass)."""
     aggs = [

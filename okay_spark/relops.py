@@ -1,0 +1,179 @@
+"""Relational pipeline operators: sessionization, as-of join, range join.
+
+The reference has no joins or windows at all (single-document validator —
+``/root/reference/docs/user-guide.md:529``); these are engine-level
+operations a large-scale training-data pipeline needs around validation
+(event sessionization for per-session rules, as-of alignment of feature
+streams, banded range classification). All are pure DataFrame plans:
+
+- ``sessionize``      one shuffle on the user key (window lag + running sum);
+- ``asof_join``       the union/last-value formulation — ONE shuffle on the
+                      join key, no range explosion, no per-row Python; this
+                      is the scalable shape (a naive join + groupBy max would
+                      shuffle the full cross product of key matches);
+- ``range_join``      broadcast nested-loop against a tiny bands dim — the
+                      right physical plan when the dim is a handful of rows.
+
+Timestamp arithmetic uses ``timestamp_diff(MICROSECOND, ...)`` which is
+timezone-free and exact for TIMESTAMP and TIMESTAMP_NTZ alike (casting NTZ
+through double/long is both forbidden and session-timezone-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import DataType, DateType, TimestampNTZType, TimestampType
+
+_TS_TYPES = (TimestampType, TimestampNTZType, DateType)
+
+
+def _is_ts(dtype: DataType) -> bool:
+    return isinstance(dtype, _TS_TYPES)
+
+
+def epoch_seconds(col: Column, dtype: DataType) -> Column:
+    """Microsecond-exact epoch seconds as double, timezone-free: micros since
+    1970-01-01 00:00:00 in the column's own type (NTZ stays naive — matches
+    DuckDB ``epoch_us`` semantics on naive timestamps)."""
+    zero = F.lit("1970-01-01 00:00:00").cast(dtype.simpleString())
+    return F.timestamp_diff("MICROSECOND", zero, col) / F.lit(1e6)
+
+
+def diff_seconds(later: Column, earlier: Column, dtype: DataType) -> Column:
+    """(later - earlier) in seconds; microsecond-exact for timestamp types,
+    plain subtraction for numeric ordering columns."""
+    if _is_ts(dtype):
+        return F.timestamp_diff("MICROSECOND", earlier, later) / F.lit(1e6)
+    return later.cast("double") - earlier.cast("double")
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    out: str = "session_idx",
+) -> DataFrame:
+    """Assign per-user session indices: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds`` (strict).
+
+    One hash shuffle on ``user_col``; the two window functions (lag + running
+    sum) share the same partitioning/ordering so Catalyst plans a single
+    sort+Window pipeline — no second exchange."""
+    dtype = df.schema[ts_col].dataType
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = diff_seconds(F.col(ts_col), prev, dtype)
+    is_new = F.when(prev.isNull() | (gap > F.lit(gap_seconds)), 1).otherwise(0)
+    running = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out, F.sum(is_new).over(running))
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-session aggregates (events, span, value sum) on top of
+    :func:`sessionize`. The groupBy reuses the sessionize shuffle's
+    partitioning (both key on ``user_col``), so no second full exchange of
+    the event rows is needed."""
+    dtype = df.schema[ts_col].dataType
+    s = sessionize(df, user_col=user_col, ts_col=ts_col, gap_seconds=gap_seconds)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    out = s.groupBy(F.col(user_col), F.col("session_idx")).agg(*aggs)
+    return out.withColumn(
+        "duration_sec",
+        F.round(diff_seconds(F.col("t_end"), F.col("t_start"), dtype), 6),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with the
+    greatest ``right_ts`` <= ``left_ts`` for the same key (ties on equal
+    timestamps take the right row — the "<=" side).
+
+    Scalable formulation: tag and union both sides, one hash shuffle on the
+    key, then ``last(..., ignorenulls=True)`` over a running window carries
+    the most recent right payload forward — O(n log n) per key, never a
+    key-match cross product. Equivalent to DuckDB/pandas ASOF JOIN (the
+    conformance oracle uses DuckDB's native ``ASOF LEFT JOIN``).
+    """
+    dtype = right.schema[right_ts].dataType
+    lcols = list(left.columns)
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).cast(dtype.simpleString()).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in lcols],
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        r.unionByName(l)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_seconds is not None:
+        within = diff_seconds(F.col("__ts"), F.col("__match.__rts"), dtype) <= F.lit(
+            tolerance_seconds
+        )
+        out = out.withColumn("__match", F.when(within, F.col("__match")))
+    sel = [F.col(c) for c in lcols] + [
+        F.col(f"__match.{c}").alias(c + suffix if c in lcols else c) for c in right_cols
+    ]
+    return out.select(*sel)
+
+
+def range_join(
+    fact: DataFrame,
+    bands: list[tuple],
+    *,
+    value_col: str,
+    band_schema: str = "band string, lo double, hi double",
+) -> DataFrame:
+    """Join a fact table against a small list of [lo, hi) bands.
+
+    The dim is a handful of literal rows, so the correct physical plan is a
+    broadcast nested-loop join on the non-equi predicate — each task streams
+    its fact partition once against the in-memory bands; no shuffle."""
+    spark = fact.sparkSession
+    dim = F.broadcast(spark.createDataFrame(bands, band_schema))
+    cond = (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi"))
+    return fact.join(dim, cond, "left")
