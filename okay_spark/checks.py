@@ -222,7 +222,12 @@ def referential_violations(
             F.broadcast(dim_keys), on=probe[fk_col] == dim_keys["__pk"], how="left_anti"
         )
     elif salt_buckets:
-        salted_dim = replicate_with_salts(dim_keys, salt_buckets)
+        # hint("merge") pins the sort-merge strategy: without it, Catalyst's
+        # auto-broadcast threshold silently converts a small-dim test run to a
+        # broadcast join and the salting never engages — the plan must have
+        # the same shape at sf0.01 and at 10^12 rows for the audit to mean
+        # anything
+        salted_dim = replicate_with_salts(dim_keys, salt_buckets).hint("merge")
         probe = probe.withColumn("_salt", hash_salt(fk_col, buckets=salt_buckets))
         missing = probe.join(
             salted_dim,
@@ -230,7 +235,9 @@ def referential_violations(
             how="left_anti",
         ).drop("_salt")
     else:
-        missing = probe.join(dim_keys, on=probe[fk_col] == dim_keys["__pk"], how="left_anti")
+        missing = probe.join(
+            dim_keys.hint("merge"), on=probe[fk_col] == dim_keys["__pk"], how="left_anti"
+        )
 
     return missing.select(
         *id_cols,

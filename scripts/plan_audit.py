@@ -1,0 +1,284 @@
+"""Physical-plan audit: verify each headline operator compiles to the plan
+we would want on a 1000-executor cluster, and emit SCALE.md evidence.
+
+For every operator this checks, from the *executed* plan string:
+- scan pruning (ReadSchema carries only needed columns),
+- shuffle count (Exchange hashpartitioning occurrences),
+- broadcast joins where a side is known-small,
+- absence of Python evaluation (BatchEvalPython/ArrowEvalPython) outside
+  the explicitly-Arrow operators,
+- whole-stage codegen presence in the hot path.
+
+Run: python scripts/plan_audit.py   (writes SCALE.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+CHECKS: list[dict] = []
+
+
+def audit(name: str, df, *, max_shuffles: int, want: list[str] = (), forbid: list[str] = (),
+          note: str = ""):
+    df.collect()  # drive execution so AQE's FINAL plan (with codegen marks) is audited
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE appends the pre-execution tree under "== Initial Plan ==" — audit
+    # only the final plan or every exchange double-counts
+    plan = plan.split("== Initial Plan ==")[0]
+    shuffles = plan.count("Exchange hashpartitioning")
+    problems = []
+    if shuffles > max_shuffles:
+        problems.append(f"{shuffles} shuffles > budget {max_shuffles}")
+    for w in want:
+        if w not in plan:
+            problems.append(f"missing `{w}`")
+    for f_ in forbid:
+        if f_ in plan:
+            problems.append(f"forbidden `{f_}` present")
+    scans = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    # whole-stage-codegen stages appear as "*(n) Operator" prefixes
+    codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    CHECKS.append(
+        {
+            "name": name,
+            "shuffles": shuffles,
+            "budget": max_shuffles,
+            "codegen_spans": codegen,
+            "scans": scans[:3],
+            "problems": problems,
+            "note": note,
+        }
+    )
+    status = "OK " if not problems else "BAD"
+    print(f"{status} {name}: shuffles={shuffles}/{max_shuffles} codegen={codegen} {problems}")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("plan-audit")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from okay_spark.checks import (
+        column_stats,
+        distinct_counts,
+        drift_metrics,  # noqa: F401  (driver-side dict; audited via histogram below)
+        duplicate_keys,
+        media_ref_violations,
+        numeric_histogram,
+        partition_summary,
+        referential_violations,
+    )
+    from okay_spark.dedup import minhash_lsh_buckets, simhash_near_duplicates
+    from okay_spark.engine import validate_dataframe
+    from okay_spark.fixtures import document_schema, interleaved_documents, media_catalog
+    from okay_spark.relops import asof_join, range_join, sessionize
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    inter = interleaved_documents(spark, 10_000, parts=8)
+    catalog = media_catalog(spark, 10_000)
+
+    def doc_schema():
+        from okay_spark import ignore_extra_fields, required
+
+        required("lang", type="string", options=["en", "fr", "de"])
+        required("n_chars", type="int", min=1, max=500)
+        ignore_extra_fields()
+
+    # 1. battery: shuffle-free, pruned scan, zero Python
+    audit(
+        "battery (flat, 2-col schema)",
+        validate_dataframe(docs, doc_schema, id_cols=["doc_id"]),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="scan must read only doc_id,lang,n_chars; entire battery in one codegen stage",
+    )
+    audit(
+        "battery (interleaved spans[])",
+        validate_dataframe(inter, document_schema, id_cols=["doc_id"]),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="posexplode plan; array rules stay in codegen",
+    )
+
+    # 2. partition summary: one partial+final aggregate
+    audit(
+        "partition_summary",
+        partition_summary(inter, document_schema, "part"),
+        max_shuffles=1,
+        want=["partial"],
+        note="map-side partial aggregation before the single exchange",
+    )
+
+    # 3. column stats: ONE aggregate pass, no per-column jobs
+    audit(
+        "column_stats (4 cols)",
+        column_stats(lineitem, ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]),
+        max_shuffles=0,
+        note="single-row global aggregate; partial agg per partition, final on one reducer",
+    )
+
+    audit(
+        "distinct_counts (2 cols)",
+        distinct_counts(events, ["user_id", "event_type"]),
+        max_shuffles=2,
+        note="expand + two-phase distinct aggregate",
+    )
+
+    # 4. uniqueness: plain and salted
+    audit(
+        "duplicate_keys",
+        duplicate_keys(lineitem, "l_orderkey"),
+        max_shuffles=1,
+        want=["partial"],
+        note="partial count per partition -> one exchange on the key",
+    )
+    audit(
+        "duplicate_keys salted",
+        duplicate_keys(events, "user_id", salt_buckets=8),
+        max_shuffles=2,
+        note="stage 1 keyed by (key, salt) caps any single reducer's share of a hot key",
+    )
+
+    # 5. referential: broadcast vs salted SMJ
+    audit(
+        "referential broadcast",
+        referential_violations(orders, "o_custkey", customer, "c_custkey", id_cols=["o_orderkey"]),
+        max_shuffles=1,
+        want=["BroadcastHashJoin"],
+        note="the ONE exchange is the dim-side key dedup (tiny); the fact side never shuffles",
+    )
+    audit(
+        "referential salted SMJ",
+        referential_violations(
+            events.select("event_id", "user_id"), "user_id",
+            spark.read.parquet(f"{SF_DIR}/supplier.parquet"), "s_suppkey",
+            id_cols=["event_id"], broadcast=False, salt_buckets=4,
+        ),
+        max_shuffles=3,
+        forbid=["BroadcastHashJoin"],
+        note="replicated-salt join: fact side salted, dim replicated x salt",
+    )
+    audit(
+        "media_ref_violations broadcast",
+        media_ref_violations(inter, catalog, broadcast=True),
+        max_shuffles=1,
+        want=["BroadcastHashJoin"],
+        note="explode spans -> broadcast anti-join; only the catalog's keys shuffle (dedup)",
+    )
+
+    # 6. drift histogram: partial aggregation of bins
+    audit(
+        "numeric_histogram",
+        numeric_histogram(events.filter(F.col("event_type") == "click"), "value", 0.0, 400.0, 20),
+        max_shuffles=1,
+        want=["partial"],
+        note="bin id computed map-side; only 20-row histogram crosses the wire",
+    )
+
+    # 7. dedup: minhash buckets + simhash banded pairs
+    audit(
+        "minhash_lsh_buckets",
+        minhash_lsh_buckets(docs, num_hashes=8, bands=4, shingle_k=3),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        note="signature = native expressions; banding is a projection, no shuffle until the bucket join",
+    )
+    audit(
+        "simhash_near_duplicates",
+        simhash_near_duplicates(docs, bits=32, band_bits=4, max_hamming=7),
+        max_shuffles=4,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        note="banded self-join: candidates meet only within shared 4-bit band buckets",
+    )
+
+    # 8. relops
+    audit(
+        "sessionize",
+        sessionize(events.filter(F.col("ts").isNotNull())),
+        max_shuffles=1,
+        note="lag + running sum share one sort/partitioning",
+    )
+    p = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    audit(
+        "asof_join",
+        asof_join(p, c, on="user_id", left_ts="ts", right_ts="ts", right_cols=["click_id"]),
+        max_shuffles=1,
+        forbid=["SortMergeJoin", "CartesianProduct"],
+        note="union + last-value: ONE shuffle, no key-match cross product",
+    )
+    audit(
+        "range_join",
+        range_join(events, [("lo", 0.0, 25.0), ("hi", 25.0, 1e9)], value_col="value"),
+        max_shuffles=0,
+        want=["BroadcastNestedLoopJoin"],
+        note="tiny literal dim broadcast; fact streamed once",
+    )
+
+    bad = [c for c in CHECKS if c["problems"]]
+    write_scale_md()
+    print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
+    sys.exit(1 if bad else 0)
+
+
+def write_scale_md() -> None:
+    lines = [
+        "# SCALE.md — physical-plan audit (would this survive 1000 executors?)",
+        "",
+        "Generated by `python scripts/plan_audit.py` from the *executed* plans at",
+        f"`{SF_DIR}` on local[8]. Shuffle budget = the number of exchanges the",
+        "operator needs *by design*; exceeding it means an accidental shuffle",
+        "crept in. Python eval operators are forbidden outside the explicitly",
+        "Arrow-batched surfaces (`custom` rules, multimodal kernels).",
+        "",
+        "| operator | shuffles (budget) | codegen spans | status |",
+        "|---|---|---|---|",
+    ]
+    for c in CHECKS:
+        status = "OK" if not c["problems"] else "**" + "; ".join(c["problems"]) + "**"
+        lines.append(
+            f"| {c['name']} | {c['shuffles']} ({c['budget']}) | {c['codegen_spans']} | {status} |"
+        )
+    lines.append("")
+    lines.append("## Notes per operator")
+    lines.append("")
+    for c in CHECKS:
+        lines.append(f"- **{c['name']}** — {c['note']}")
+        for s in c["scans"]:
+            lines.append(f"  - scan: `{s[:160]}`")
+    lines.append("")
+    lines.append(
+        "Scaling argument: the rule battery (the 10^12-row pass) is shuffle-free —\n"
+        "cost is exactly one scan + one codegen'd projection per partition, so\n"
+        "throughput scales with executors until the storage layer saturates. The\n"
+        "shuffle-bearing checks exchange only keys/aggregates (uniqueness: partial\n"
+        "counts; drift: 20-row histograms; referential: nothing from the fact side\n"
+        "when broadcast, salted otherwise), and every skew-exposed stage has a\n"
+        "deterministic salting path (`okay_spark.salt`)."
+    )
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
