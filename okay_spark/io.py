@@ -69,6 +69,35 @@ def write_table(
     w.parquet(target)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str] | str,
+    num_buckets: int,
+    sort_cols: list[str] | str | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (optionally sorted) table.
+
+    Bucketing pre-shuffles ONCE at write time: any later aggregate or join
+    keyed on ``bucket_cols`` (same bucket count) runs exchange-free — this is
+    how the 10^12-row uniqueness and referential checks avoid re-shuffling
+    the corpus on every validation run. The scan's bucket layout satisfies
+    the required hash distribution, so Catalyst drops the Exchange (verified
+    in ``tests/test_bucketed.py`` and SCALE.md). Equivalent to Iceberg's
+    ``bucket(N, col)`` partition transform on the identifier path."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def table_exists(spark: SparkSession, target: str) -> bool:
     if _is_table_ident(target) and iceberg_available(spark):
         return spark.catalog.tableExists(target)
