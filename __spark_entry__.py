@@ -405,6 +405,13 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import numeric_histogram
+
+    events = _read(spark, sf_dir, "events")
+    return numeric_histogram(events, "value", 0.0, 400.0, 20)
+
+
 def q_distinct_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.checks import distinct_counts
 
@@ -544,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_events": q_sessions_events,
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_events": q_range_join_events,
+        "histogram_events_value": q_histogram_events_value,
         "distinct_counts_events": q_distinct_counts_events,
         "cube_documents": q_cube_documents,
         "click_days_no_purchase": q_click_days_no_purchase,
@@ -961,6 +969,11 @@ def oracle_sql() -> dict[str, str]:
         "sessions_events": _SESSIONS_SQL,
         "asof_purchase_click": _ASOF_SQL,
         "range_join_events": _RANGE_JOIN_SQL,
+        "histogram_events_value": (
+            "SELECT CAST(LEAST(GREATEST(FLOOR(value / 20.0), 0), 19) AS INT) AS bucket, "
+            "COUNT(*)::BIGINT AS cnt FROM events "
+            "WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1"
+        ),
         "distinct_counts_events": _DISTINCT_COUNTS_SQL,
         "cube_documents": _CUBE_SQL,
         "click_days_no_purchase": _EXCEPT_SQL,
