@@ -405,6 +405,23 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static table-vs-declared-schema reconciliation (no data scanned):
+    'title' is declared required but absent; 'source' exists undeclared."""
+    from okay_spark.checks import schema_table_diff
+
+    def schema():
+        from okay_spark import required
+
+        required("doc_id", type="int")
+        required("title", type="string")
+        required("text", type="string")
+        required("lang", type="string")
+        required("n_chars", type="int")
+
+    return schema_table_diff(_read(spark, sf_dir, "documents"), schema)
+
+
 def q_histogram_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.checks import numeric_histogram
 
@@ -552,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_events": q_range_join_events,
         "histogram_events_value": q_histogram_events_value,
+        "schema_diff_documents": q_schema_diff_documents,
         "distinct_counts_events": q_distinct_counts_events,
         "cube_documents": q_cube_documents,
         "click_days_no_purchase": q_click_days_no_purchase,
@@ -973,6 +991,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(LEAST(GREATEST(FLOOR(value / 20.0), 0), 19) AS INT) AS bucket, "
             "COUNT(*)::BIGINT AS cnt FROM events "
             "WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1"
+        ),
+        "schema_diff_documents": (
+            "SELECT 'title' AS path, 'missing_field' AS rule "
+            "UNION ALL SELECT 'source', 'extra_field'"
         ),
         "distinct_counts_events": _DISTINCT_COUNTS_SQL,
         "cube_documents": _CUBE_SQL,

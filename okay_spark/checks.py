@@ -78,6 +78,63 @@ def column_stats(
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def schema_table_diff(df: DataFrame, schema) -> DataFrame:
+    """Static reconciliation of the declared okay schema against the table's
+    Spark schema — the fixed-schema analogue of O17/O18 (missing/extra) at
+    TABLE scope, evaluated on the driver with zero data scanned.
+
+    - ``missing_field``: a ``required`` path that cannot resolve anywhere in
+      the table schema (the column/member simply does not exist, so every row
+      would fail — report once, at the table level, before launching a
+      10^12-row job);
+    - ``unresolvable_field``: an ``optional``/rule-bearing path that cannot
+      resolve (its rules can never fire — almost always a typo);
+    - ``extra_field``: a struct member present in the table but not declared
+      (topmost path only, matching the reference's pruned walk,
+      ``/root/reference/src/okay/index.py:24-26``); suppressed by
+      ``ignore_extra_fields()``. MapType segments are open by construction
+      and contribute no static extras (their keys are checked per row by the
+      engine's ``map_keys`` set-minus).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StringType, StructType
+
+    from .engine import _resolves
+    from .paths import parse_path
+
+    compiled = schema if isinstance(schema, CompiledSchema) else compile_cached(schema)
+    rows: list[tuple[str, str]] = []
+
+    for path, spec in compiled.fields.items():
+        if path == ".":
+            continue
+        if not _resolves(df.schema, parse_path(path)):
+            if spec.strictness == "required":
+                rows.append((path, "missing_field"))
+            elif spec.rules or spec.strictness == "optional":
+                rows.append((path, "unresolvable_field"))
+
+    def extras(dtype, fname: str) -> None:
+        if isinstance(dtype, StructType):
+            for m in dtype.names:
+                child = m if fname == "" else f"{fname}.{m}"
+                if child not in compiled.fields:
+                    rows.append((child, "extra_field"))
+                else:
+                    extras(dtype[m].dataType, child)
+        elif isinstance(dtype, ArrayType):
+            elem = fname + "[]"
+            if elem in compiled.fields:
+                extras(dtype.elementType, elem)
+        # MapType: open segment, no static extras
+
+    if not compiled.ignore_extra_fields:
+        extras(df.schema, "")
+
+    return df.sparkSession.createDataFrame(
+        rows, "path string, rule string"
+    )
+
+
 def distinct_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     """EXACT distinct count per column, long format, in ONE aggregate pass.
 

@@ -16,6 +16,9 @@ def _final_plan(df) -> str:
 
 
 def test_battery_is_shuffle_free_and_python_free(spark):
+    # other modules cache this parquet; a cache hit would swap the FileScan
+    # for InMemoryTableScan and break the ReadSchema pruning assertion
+    spark.catalog.clearCache()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
     def schema():
@@ -42,6 +45,7 @@ def test_interleaved_battery_plan(spark):
 def test_column_stats_single_pass(spark):
     from okay_spark.checks import column_stats
 
+    spark.catalog.clearCache()
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     plan = _final_plan(column_stats(li, ["l_quantity", "l_extendedprice"]))
     # global aggregate: partial per partition, single-partition final — no
