@@ -94,6 +94,46 @@ def extract_media_features(
     return media.select(*cols).mapInPandas(kernel, MEDIA_FEATURES_DDL)
 
 
+def resize_images(
+    media: DataFrame,
+    *,
+    width: int = 224,
+    height: int = 224,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Image-resize plumbing: (ref, width, height, resized binary) per image.
+
+    Real path would decode -> resample -> re-encode inside the batch loop
+    (PIL's ``Image.resize``); here the resized payload is a deterministic
+    digest of (payload, target size) so downstream schema/partitioning/
+    dedup-on-resized-bytes logic is testable without codecs. Arrow-batched:
+    bytes cross the boundary once per batch."""
+    if use_real_codecs:
+        raise NotImplementedError("PIL is not available in this environment")
+
+    ddl = "media_ref string, width int, height int, resized binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        tag = f"|{width}x{height}".encode()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf[ref_col].values,
+                    "width": width,
+                    "height": height,
+                    "resized": [
+                        hashlib.sha256((p or b"") + tag).digest() for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return media.select(ref_col, payload_col).mapInPandas(kernel, ddl)
+
+
 def sample_frames(
     media: DataFrame,
     *,

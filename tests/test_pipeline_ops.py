@@ -232,6 +232,24 @@ def test_multimodal_plumbing(spark):
         extract_media_features(media, use_real_codecs=True)
 
 
+def test_multimodal_resize(spark):
+    from okay_spark.fixtures import media_catalog
+    from okay_spark.multimodal import attach_payload, resize_images
+
+    media = attach_payload(media_catalog(spark, 30))
+    out = resize_images(media, width=64, height=64).collect()
+    assert len(out) == 30
+    assert all(r["width"] == 64 and r["height"] == 64 and len(r["resized"]) == 32 for r in out)
+    # deterministic and size-sensitive
+    again = {r["media_ref"]: bytes(r["resized"]) for r in resize_images(media, width=64, height=64).collect()}
+    other = {r["media_ref"]: bytes(r["resized"]) for r in resize_images(media, width=32, height=32).collect()}
+    for r in out:
+        assert again[r["media_ref"]] == bytes(r["resized"])
+        assert other[r["media_ref"]] != bytes(r["resized"])
+    with pytest.raises(NotImplementedError):
+        resize_images(media, use_real_codecs=True)
+
+
 # --- lineage / resume -----------------------------------------------------------
 
 
