@@ -284,8 +284,12 @@ def referential_violations(
         # broadcast join and the salting never engages — the plan must have
         # the same shape at sf0.01 and at 10^12 rows for the audit to mean
         # anything
+        # the probe salt MUST vary *within* a key (partition-derived) — a salt
+        # hashed from the key itself sends every hot-key row to the same
+        # reducer and defeats the whole construction (caught by
+        # scripts/skew_bench.py's max-reducer-share metric)
         salted_dim = replicate_with_salts(dim_keys, salt_buckets).hint("merge")
-        probe = probe.withColumn("_salt", hash_salt(fk_col, buckets=salt_buckets))
+        probe = probe.withColumn("_salt", partition_salt(salt_buckets))
         missing = probe.join(
             salted_dim,
             on=(probe[fk_col] == salted_dim["__pk"]) & (probe["_salt"] == salted_dim["_salt"]),
