@@ -142,6 +142,17 @@ def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("event_id", "user_id")
 
 
+def q_referential_valid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi complement: events whose user_id resolves in supplier."""
+    from okay_spark.checks import referential_valid
+
+    events = _read(spark, sf_dir, "events")
+    supplier = _read(spark, sf_dir, "supplier")
+    return referential_valid(
+        events.select("event_id", "user_id"), "user_id", supplier, "s_suppkey"
+    )
+
+
 def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.textops import fingerprint
 
@@ -546,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_salted_events": q_uniqueness_salted_events,
         "referential_orders_customer": q_referential_orders_customer,
         "referential_events_supplier": q_referential_events_supplier,
+        "referential_valid_events": q_referential_valid_events,
         "fingerprint_documents": q_fingerprint_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_count_documents": q_token_count_documents,
@@ -940,6 +952,10 @@ def oracle_sql() -> dict[str, str]:
         "referential_events_supplier": (
             "SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL "
             "AND user_id NOT IN (SELECT s_suppkey FROM supplier)"
+        ),
+        "referential_valid_events": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE user_id IN (SELECT s_suppkey FROM supplier)"
         ),
         "fingerprint_documents": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "

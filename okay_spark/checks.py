@@ -308,6 +308,26 @@ def referential_violations(
     )
 
 
+def referential_valid(
+    fact: DataFrame,
+    fk_col: str,
+    dim: DataFrame,
+    pk_col: str,
+    *,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Rows of ``fact`` whose ``fk_col`` DOES resolve in ``dim`` — the
+    left-semi complement of :func:`referential_violations`, used to feed only
+    referentially-sound documents into downstream pipeline stages. Same join
+    strategy rules (broadcast the dim when it fits)."""
+    dim_keys = dim.select(F.col(pk_col).alias("__pk")).dropDuplicates(["__pk"])
+    if broadcast:
+        dim_keys = F.broadcast(dim_keys)
+    else:
+        dim_keys = dim_keys.hint("merge")
+    return fact.join(dim_keys, on=fact[fk_col] == dim_keys["__pk"], how="left_semi")
+
+
 def media_ref_violations(
     docs: DataFrame,
     catalog: DataFrame,
