@@ -366,6 +366,22 @@ def q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation; must equal the window-function
+    formulation (q_sessions_events) minus the session index column."""
+    from okay_spark.relops import epoch_seconds, session_window_stats
+
+    events = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    out = session_window_stats(events, gap="30 minutes")
+    ts_type = events.schema["ts"].dataType
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round(epoch_seconds(F.col("t_start"), ts_type), 6).alias("t_start_epoch"),
+        "sum_value",
+    )
+
+
 def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.relops import asof_join
 
@@ -578,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_type": q_topk_events_per_type,
         "partition_summary_documents": q_partition_summary_documents,
         "sessions_events": q_sessions_events,
+        "session_windows_events": q_session_windows_events,
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_events": q_range_join_events,
         "histogram_events_value": q_histogram_events_value,
@@ -1001,6 +1018,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "partition_summary_documents": _PARTITION_SUMMARY_SQL,
         "sessions_events": _SESSIONS_SQL,
+        "session_windows_events": (
+            "WITH s AS (" + _SESSIONS_SQL + ") "
+            "SELECT user_id, n_events, t_start_epoch, sum_value FROM s"
+        ),
         "asof_purchase_click": _ASOF_SQL,
         "range_join_events": _RANGE_JOIN_SQL,
         "histogram_events_value": (

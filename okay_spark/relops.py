@@ -100,6 +100,38 @@ def session_stats(
     )
 
 
+def session_window_stats(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-session aggregates via Spark's native ``session_window`` — the
+    idiomatic grouped-session aggregation (one shuffle, merge-able session
+    state, works unchanged on a STREAMING DataFrame with a watermark, which
+    the window-function formulation in :func:`session_stats` cannot).
+
+    Boundary semantics match :func:`sessionize` exactly: an event exactly
+    ``gap`` after the previous one MERGES into the session (session_window
+    extends through ``ts + gap`` inclusive; sessionize splits only on strict
+    ``> gap``) — asserted by the conformance tests, including the boundary
+    case."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    return (
+        df.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("__w"))
+        .agg(*aggs)
+        .drop("__w")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

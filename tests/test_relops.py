@@ -160,6 +160,41 @@ def test_distinct_counts_exact_and_approx(spark):
     assert abs(approx["a"] - 97) <= 0.1 * 97
 
 
+def test_session_window_stats_agrees_with_windowed(spark):
+    from okay_spark.relops import session_stats, session_window_stats
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    a = {
+        (r["user_id"], r["t_start"]): (r["n_events"], r["sum_value"])
+        for r in session_stats(ev, gap_seconds=1800.0).collect()
+    }
+    b = {
+        (r["user_id"], r["t_start"]): (r["n_events"], r["sum_value"])
+        for r in session_window_stats(ev, gap="30 minutes").collect()
+    }
+    assert a == b
+
+
+def test_session_window_boundary_agrees(spark, events):
+    """Exactly-gap event merges under BOTH formulations (session_window
+    extends through ts+gap inclusive; sessionize splits on strict > gap)."""
+    from okay_spark.relops import session_window_stats, sessionize
+
+    ev = spark.createDataFrame(
+        [(9, _ts(0), 0.0), (9, _ts(0, 30), 0.0)], "user_id int, ts timestamp, value double"
+    )
+    assert sessionize(ev, gap_seconds=30.0).agg(F.max("session_idx")).first()[0] == 1
+    assert session_window_stats(ev, gap="30 seconds").count() == 1
+    # one microsecond past the gap splits both
+    ev2 = spark.createDataFrame(
+        [(9, _ts(0), 0.0), (9, _ts(0, 30, 1), 0.0)], "user_id int, ts timestamp, value double"
+    )
+    assert sessionize(ev2, gap_seconds=30.0).agg(F.max("session_idx")).first()[0] == 2
+    assert session_window_stats(ev2, gap="30 seconds").count() == 2
+
+
 def test_sessionize_single_window_exchange(spark, events):
     """lag + running sum must share one sort/partitioning: no second exchange."""
     plan = sessionize(events)._jdf.queryExecution().executedPlan().toString()
