@@ -313,6 +313,21 @@ def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_violating_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k violation summary (SURVEY §2.2.6): events with the most battery
+    violations, deterministic tiebreak on event_id."""
+    from okay_spark.engine import validate_dataframe
+
+    df = _read(spark, sf_dir, "events").drop("ts")
+    v = validate_dataframe(df, _events_schema, id_cols=["event_id"])
+    return (
+        v.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy(F.col("n_violations").desc(), F.col("event_id"))
+        .limit(10)
+    )
+
+
 def q_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.engine import validate_dataframe
 
@@ -591,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_events_hourly": q_window_events_hourly,
         "drift_events_value": q_drift_events_value,
         "rollup_documents": q_rollup_documents,
+        "top_violating_events": q_top_violating_events,
         "topk_events_per_type": q_topk_events_per_type,
         "partition_summary_documents": q_partition_summary_documents,
         "sessions_events": q_sessions_events,
@@ -1010,6 +1026,11 @@ def oracle_sql() -> dict[str, str]:
         "window_events_hourly": _WINDOW_EVENTS_SQL,
         "drift_events_value": _DRIFT_SQL,
         "rollup_documents": _ROLLUP_SQL,
+        "top_violating_events": (
+            "WITH v AS (" + _BATTERY_EVENTS_SQL + ") "
+            "SELECT event_id, COUNT(*)::BIGINT AS n_violations FROM v "
+            "GROUP BY event_id ORDER BY n_violations DESC, event_id LIMIT 10"
+        ),
         "topk_events_per_type": (
             "SELECT event_type, event_id, value, rn FROM ("
             "SELECT event_type, event_id, value, "

@@ -97,6 +97,25 @@ def bench_queries(spark) -> dict[str, dict]:
             acc, accommodation_schema_native, id_cols=[]
         ).count()
 
+    def battery_custom():
+        # the Arrow (mapInPandas/compat) slow path: a cross-element custom
+        # rule the native battery can't express, over the same 6M docs
+        def schema():
+            from okay_spark import ignore_extra_fields, required
+            from okay_spark.messages import Message
+
+            def offsets_monotonic(field, value, **kw):
+                offs = [s.get("offset") for s in (value or []) if s is not None]
+                offs = [o for o in offs if o is not None]
+                if any(b < a for a, b in zip(offs, offs[1:])):
+                    return Message(type="out_of_order_spans", field=field)
+
+            required("doc_id", type="string")
+            required("spans", type="custom", validator=offsets_monotonic)
+            ignore_extra_fields()
+
+        return validate_dataframe(inter, schema, id_cols=["doc_id"]).count()
+
     def uniqueness():
         return duplicate_keys(inter, "doc_id").count()
 
@@ -127,6 +146,7 @@ def bench_queries(spark) -> dict[str, dict]:
         "battery_interleaved": (battery_interleaved, BATTERY_DOCS),
         "summary_interleaved": (summary_interleaved, BATTERY_DOCS),
         "battery_accommodations": (battery_accommodations, ACC_DOCS),
+        "battery_custom_arrow": (battery_custom, BATTERY_DOCS),
         "uniqueness_doc_id": (uniqueness, BATTERY_DOCS),
         "referential_media_ref": (referential, BATTERY_DOCS),
         "stats_lineitem": (stats, None),

@@ -23,8 +23,26 @@ from .schema import (
 )
 
 from .dynamic import validate, validate_document, validate_json
+from .validators import (
+    AnyValidator,
+    BoolValidator,
+    CustomValidator,
+    IntValidator,
+    ListValidator,
+    NumberValidator,
+    ObjectValidator,
+    StringValidator,
+)
 
 __all__ = [
+    "AnyValidator",
+    "BoolValidator",
+    "CustomValidator",
+    "IntValidator",
+    "ListValidator",
+    "NumberValidator",
+    "ObjectValidator",
+    "StringValidator",
     "validate",
     "validate_document",
     "validate_json",
