@@ -313,6 +313,23 @@ def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by md5(doc_id) — same rows on any engine."""
+    from okay_spark.sampling import deterministic_sample
+
+    df = _read(spark, sf_dir, "documents")
+    return deterministic_sample(df, "doc_id", 0.10).select("doc_id")
+
+
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment; counts per split."""
+    from okay_spark.sampling import split_column
+
+    df = _read(spark, sf_dir, "documents")
+    out = split_column(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_top_violating_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k violation summary (SURVEY §2.2.6): events with the most battery
     violations, deterministic tiebreak on event_id."""
@@ -606,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_events_hourly": q_window_events_hourly,
         "drift_events_value": q_drift_events_value,
         "rollup_documents": q_rollup_documents,
+        "sample_documents": q_sample_documents,
+        "split_documents": q_split_documents,
         "top_violating_events": q_top_violating_events,
         "topk_events_per_type": q_topk_events_per_type,
         "partition_summary_documents": q_partition_summary_documents,
@@ -1026,6 +1045,17 @@ def oracle_sql() -> dict[str, str]:
         "window_events_hourly": _WINDOW_EVENTS_SQL,
         "drift_events_value": _DRIFT_SQL,
         "rollup_documents": _ROLLUP_SQL,
+        "sample_documents": (
+            "SELECT doc_id FROM documents "
+            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 < 0.10"
+        ),
+        "split_documents": (
+            "WITH f AS (SELECT doc_id, "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS fr "
+            "FROM documents) "
+            "SELECT CASE WHEN fr < 0.8 THEN 'train' WHEN fr < 0.9 THEN 'val' "
+            "ELSE 'test' END AS split, COUNT(*)::BIGINT AS n FROM f GROUP BY 1"
+        ),
         "top_violating_events": (
             "WITH v AS (" + _BATTERY_EVENTS_SQL + ") "
             "SELECT event_id, COUNT(*)::BIGINT AS n_violations FROM v "
