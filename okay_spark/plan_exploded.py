@@ -455,7 +455,10 @@ def _extra_walk(
                     continue  # undeclared lists are never walked (index.py:39-40)
                 if elem_fname == next_chain_fname:
                     continue  # handled at the next chain level
-                sub = _extra_descend(child, cdt, elem_fname, cpath, compiled, seq)
+                # _extra_descend expects the ARRAY's own fname (it appends
+                # "[]" itself) — passing elem_fname here made it probe
+                # "spans[][]" and silently skip off-chain element extras
+                sub = _extra_descend(child, cdt, child_fname, cpath, compiled, seq)
                 if sub is not None:
                     arr = (
                         sub
@@ -512,7 +515,7 @@ def _extra_walk(
             elif isinstance(cdt, ArrayType):
                 elem_fname = child_fname + "[]"
                 if elem_fname in compiled.fields and elem_fname != next_chain_fname:
-                    sub = _extra_descend(child, cdt, elem_fname, cpath, compiled, seq)
+                    sub = _extra_descend(child, cdt, child_fname, cpath, compiled, seq)
                     if sub is not None:
                         arr2 = (
                             sub

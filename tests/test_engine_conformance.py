@@ -179,6 +179,26 @@ CASES = [
         "m array<array<bigint>>",
         [([[1, -2], [3]],), ([[]],), ([],)],
     ),
+    case(
+        # regression: a declared list whose struct elements have only
+        # UNDECLARED members must report per-element extra_field even when
+        # another array family is the exploded plan's primary chain
+        # (plan_exploded passed the element fname to _extra_descend, probing
+        # "spans[][]" and silently dropping the extras)
+        "off_chain_list_element_extras",
+        [
+            ("required", "spans", "list", {"min": 1}),
+            ("required", "mat[]", "list", {"min": 1}),
+            ("required", "arr[]", "int", {"min": 0}),
+        ],
+        "spans array<struct<kind:string, offset:bigint>>, "
+        "mat array<array<bigint>>, arr array<bigint>",
+        [
+            ([("x", 0), ("y", None)], [[1]], [2]),
+            (None, [[]], []),
+            ([], None, None),
+        ],
+    ),
     # --- nested structs ---------------------------------------------------------
     case(
         "nested_struct_rules",
