@@ -30,7 +30,9 @@ DDL = (
     "arr array<bigint>, tags array<string>, "
     "obj struct<x:bigint, y:string>, "
     "spans array<struct<kind:string, text:string, offset:bigint>>, "
-    "mat array<array<bigint>>"
+    "mat array<array<bigint>>, "
+    "meta map<string, bigint>, "
+    "deep struct<items: array<struct<q:bigint, tag:string>>>"
 )
 
 _STRINGS = ["en", "fr", "DE", "xy", "x123y", "12", "abcd", "", "text span"]
@@ -80,7 +82,32 @@ def _row(rng: random.Random):
             for _ in range(rng.randint(0, 2))
         ],
     )
-    return (s, n, d, b, arr, tags, obj, spans, mat)
+    meta = _maybe(
+        rng,
+        0.3,
+        lambda: {
+            k: _maybe(rng, 0.25, lambda: rng.randint(0, 9))
+            for k in rng.sample(["k1", "k2", "zz"], rng.randint(0, 3))
+        },
+    )
+    deep = _maybe(
+        rng,
+        0.35,
+        lambda: (
+            _maybe(
+                rng,
+                0.3,
+                lambda: [
+                    (  # no None elements (reference crash, SURVEY.md §2.3)
+                        _maybe(rng, 0.3, lambda: rng.randint(0, 9)),
+                        _maybe(rng, 0.3, lambda: rng.choice(_STRINGS)),
+                    )
+                    for _ in range(rng.randint(0, 2))
+                ],
+            ),
+        ),
+    )
+    return (s, n, d, b, arr, tags, obj, spans, mat, meta, deep)
 
 
 # candidate declarations: (strictness, path, type, kwargs); types deliberately
@@ -113,6 +140,15 @@ _DECL_POOL = [
     ("optional", "obj", "object?", {}),
     ("required", "s", "string?", {"min": 1}),
     ("required", "d", "number?", {"min": -10}),
+    # open MapType segment: declared keys get rules, others are extras
+    ("optional", "meta", "object", {}),
+    ("required", "meta.k1", "int", {"min": 1}),
+    ("optional", "meta.k2", "number", {"max": 5}),
+    # struct -> array-of-struct -> scalar (deep off-chain candidates)
+    ("optional", "deep", "object", {}),
+    ("required", "deep.items", "list", {"max": 2}),
+    ("required", "deep.items[].q", "int", {"min": 2}),
+    ("optional", "deep.items[].tag", "string", {"max": 3}),
 ]
 
 
