@@ -488,6 +488,18 @@ def q_histogram_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_histogram(events, "value", 0.0, 400.0, 20)
 
 
+def q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import heavy_hitters
+
+    return heavy_hitters(_read(spark, sf_dir, "events"), "user_id", k=10)
+
+
+def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.checks import column_entropy
+
+    return column_entropy(_read(spark, sf_dir, "documents"), ["lang", "source", "doc_id"])
+
+
 def q_distinct_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.checks import distinct_counts
 
@@ -633,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_events": q_range_join_events,
         "histogram_events_value": q_histogram_events_value,
+        "heavy_hitters_events": q_heavy_hitters_events,
+        "entropy_documents": q_entropy_documents,
         "schema_diff_documents": q_schema_diff_documents,
         "distinct_counts_events": q_distinct_counts_events,
         "cube_documents": q_cube_documents,
@@ -1079,6 +1093,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(LEAST(GREATEST(FLOOR(value / 20.0), 0), 19) AS INT) AS bucket, "
             "COUNT(*)::BIGINT AS cnt FROM events "
             "WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1"
+        ),
+        "heavy_hitters_events": (
+            "WITH t AS (SELECT COUNT(*)::DOUBLE AS total FROM events) "
+            "SELECT user_id::VARCHAR AS value, COUNT(*)::BIGINT AS cnt, "
+            "round(COUNT(*) / (SELECT total FROM t), 6) AS share "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY user_id "
+            "ORDER BY cnt DESC, value LIMIT 10"
+        ),
+        "entropy_documents": (
+            "SELECT 'lang' AS col_name, CAST(SUM(cnt) AS BIGINT) AS n_values, "
+            "round(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy_nats "
+            "FROM (SELECT COUNT(*)::DOUBLE AS cnt FROM documents WHERE lang IS NOT NULL GROUP BY lang) "
+            "UNION ALL "
+            "SELECT 'source', CAST(SUM(cnt) AS BIGINT), "
+            "round(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) "
+            "FROM (SELECT COUNT(*)::DOUBLE AS cnt FROM documents WHERE source IS NOT NULL GROUP BY source) "
+            "UNION ALL "
+            "SELECT 'doc_id', CAST(SUM(cnt) AS BIGINT), "
+            "round(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) "
+            "FROM (SELECT COUNT(*)::DOUBLE AS cnt FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id)"
         ),
         "schema_diff_documents": (
             "SELECT 'title' AS path, 'missing_field' AS rule "

@@ -163,6 +163,59 @@ def approx_distinct_counts(df: DataFrame, cols: list[str], *, rsd: float = 0.02)
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def heavy_hitters(df: DataFrame, col: str, *, k: int = 10) -> DataFrame:
+    """Top-k most frequent values with their share of all rows — the input
+    to salting decisions (SKEW.md: a key holding >1/parallelism of the rows
+    pins a reducer; salt stages keyed on it). Exact two-phase aggregate:
+    partial counts map-side, one exchange on the value, top-k on the counts.
+    Deterministic tiebreak on the value itself."""
+    c = F.col("`" + col + "`")
+    total = df.count()
+    counts = df.filter(c.isNotNull()).groupBy(c.alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("value"))
+        .limit(k)
+        .select(
+            F.col("value").cast("string").alias("value"),
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+        )
+    )
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) of each column's value distribution — a
+    degenerate-column detector (entropy ~0: constant column; ~ln(n):
+    unique-per-row). One aggregate per column over its value counts; only
+    (value, count) pairs cross the wire."""
+    spark = df.sparkSession
+    outs = []
+    for col in cols:
+        c = F.col("`" + col + "`")
+        counts = df.filter(c.isNotNull()).groupBy(c.alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        e = counts.agg(
+            F.sum("cnt").alias("n"),
+            F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("slc"),
+        ).select(
+            F.lit(col).alias("col_name"),
+            F.col("n").alias("n_values"),
+            F.round(
+                F.when(F.col("n") > 0, F.log(F.col("n")) - F.col("slc") / F.col("n"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("entropy_nats"),
+        )
+        outs.append(e)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def numeric_quantiles(df: DataFrame, cols: list[str], probabilities=(0.5, 0.9, 0.99)) -> DataFrame:
     """Approximate quantiles (t-digest style sketch, single pass)."""
     aggs = [

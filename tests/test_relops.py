@@ -195,6 +195,23 @@ def test_session_window_boundary_agrees(spark, events):
     assert session_window_stats(ev2, gap="30 seconds").count() == 2
 
 
+def test_heavy_hitters_and_entropy(spark):
+    import math
+
+    from okay_spark.checks import column_entropy, heavy_hitters
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 700, F.lit("hot")).otherwise(F.col("id").cast("string")).alias("k"),
+        F.lit("const").alias("c"),
+        (F.col("id") % 4).cast("string").alias("u"),
+    )
+    hh = heavy_hitters(df, "k", k=3).collect()
+    assert hh[0]["value"] == "hot" and hh[0]["cnt"] == 700 and hh[0]["share"] == 0.7
+    ent = {r["col_name"]: r["entropy_nats"] for r in column_entropy(df, ["c", "u"]).collect()}
+    assert ent["c"] == 0.0  # constant column
+    assert abs(ent["u"] - math.log(4)) < 1e-6  # uniform over 4 values
+
+
 def test_sessionize_single_window_exchange(spark, events):
     """lag + running sum must share one sort/partitioning: no second exchange."""
     plan = sessionize(events)._jdf.queryExecution().executedPlan().toString()
