@@ -508,6 +508,35 @@ def q_distinct_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parsing: props is a JSON string '{"k": N}'; extract k
+    with from_json (schema-checked, JVM-side) and aggregate per event type."""
+    events = _read(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by (type, user),
+    by type alone, and grand total — via the SQL surface."""
+    events = _read(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        "SELECT event_type, user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value "
+        "FROM events_gs "
+        "GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())"
+    )
+
+
 def q_cube_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.engine import validate_dataframe
 
@@ -650,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff_documents": q_schema_diff_documents,
         "distinct_counts_events": q_distinct_counts_events,
         "cube_documents": q_cube_documents,
+        "props_json_events": q_props_json_events,
+        "grouping_sets_events": q_grouping_sets_events,
         "click_days_no_purchase": q_click_days_no_purchase,
         # rows-only checks (approximate / fixture-input operators)
         "approx_distinct_events": q_approx_distinct_events,
@@ -1120,5 +1151,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_counts_events": _DISTINCT_COUNTS_SQL,
         "cube_documents": _CUBE_SQL,
+        "props_json_events": (
+            "SELECT event_type, COUNT(*)::BIGINT AS n, "
+            "round(AVG((props::JSON ->> 'k')::INT), 4) AS avg_k, "
+            "MAX((props::JSON ->> 'k')::INT) AS max_k "
+            "FROM events WHERE props IS NOT NULL AND (props::JSON ->> 'k') IS NOT NULL "
+            "GROUP BY event_type"
+        ),
+        "grouping_sets_events": (
+            "SELECT event_type, user_id, COUNT(*)::BIGINT AS n, "
+            "round(SUM(value), 4) AS sum_value FROM events "
+            "GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())"
+        ),
         "click_days_no_purchase": _EXCEPT_SQL,
     }
