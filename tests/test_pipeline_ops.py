@@ -278,6 +278,38 @@ def test_resumable_validation(spark, tmp_path):
     assert viols.filter(F.col("run_id") == "r2").count() == 0
 
 
+def test_resume_prunes_partitions_at_scan(spark, tmp_path):
+    """The skip of already-validated partitions must reach the FileScan as a
+    PartitionFilter on a hive-partitioned input — a resumed 10^12-row run
+    never reads completed partitions' bytes at all."""
+    from okay_spark.fixtures import document_schema, interleaved_documents
+    from okay_spark.state import completed_partitions, run_resumable_validation, schema_fingerprint
+    from okay_spark.schema import compile_cached
+
+    src = str(tmp_path / "docs_parted")
+    interleaved_documents(spark, 300, parts=4).write.partitionBy("part").parquet(src)
+    docs = spark.read.parquet(src)
+    kwargs = dict(
+        schema=document_schema,
+        partition_col="part",
+        violations_target=str(tmp_path / "viol"),
+        lineage_target=str(tmp_path / "lineage"),
+        snapshot="s1",
+    )
+    run_resumable_validation(docs, run_id="r1", **kwargs)
+
+    fp = schema_fingerprint(compile_cached(document_schema))
+    done = completed_partitions(spark, str(tmp_path / "lineage"), "s1", fp)
+    assert len(done) == 4
+    # the resume filter compiles to partition pruning, not a data filter
+    pruned = docs.filter(~F.col("part").cast("string").isin(*done))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert seg.strip(), f"empty partition filters: {plan[:500]}"
+    assert pruned.count() == 0
+
+
 # --- streaming --------------------------------------------------------------------
 
 
