@@ -27,7 +27,11 @@ under an ``int`` rule) lowers to a value-level predicate.
 Documented divergences (SURVEY.md §2.3): NaN/±inf under an ``int`` rule yield
 ``invalid_type`` instead of the reference's uncaught OverflowError/ValueError;
 ``number`` comparisons run in the column's native numeric type rather than
-``decimal.Decimal``.
+``decimal.Decimal``; regex patterns evaluate in Java's dialect (``rlike``)
+rather than Python ``re`` — identical for the common subset (classes,
+quantifiers, alternation, anchors), but Python-only constructs like
+``(?P<name>...)`` belong on the dynamic path (:mod:`okay_spark.dynamic`),
+which runs Python ``re`` exactly.
 """
 
 from __future__ import annotations
