@@ -545,6 +545,19 @@ def q_cube_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.cube("source", "rule").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user decile x event type (explicit value list
+    so the plan needs no extra pass to discover pivot columns)."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.withColumn("decile", (F.col("user_id") % 10).cast("int"))
+        .groupBy("decile")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "error"])
+    )
+
+
 def q_click_days_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user, day) pairs with clicks but no purchases — EXCEPT set op."""
     events = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
@@ -681,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_documents": q_cube_documents,
         "props_json_events": q_props_json_events,
         "grouping_sets_events": q_grouping_sets_events,
+        "pivot_events": q_pivot_events,
         "click_days_no_purchase": q_click_days_no_purchase,
         # rows-only checks (approximate / fixture-input operators)
         "approx_distinct_events": q_approx_distinct_events,
@@ -1162,6 +1176,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, user_id, COUNT(*)::BIGINT AS n, "
             "round(SUM(value), 4) AS sum_value FROM events "
             "GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())"
+        ),
+        "pivot_events": (
+            "SELECT CAST(user_id % 10 AS INT) AS decile, "
+            "COUNT(*) FILTER (event_type = 'click')::BIGINT AS click, "
+            "COUNT(*) FILTER (event_type = 'view')::BIGINT AS view, "
+            "COUNT(*) FILTER (event_type = 'purchase')::BIGINT AS purchase, "
+            "COUNT(*) FILTER (event_type = 'error')::BIGINT AS error "
+            "FROM events GROUP BY 1"
         ),
         "click_days_no_purchase": _EXCEPT_SQL,
     }
