@@ -54,6 +54,25 @@ CASES = [
         [("x", "xyz"), ("xy", "xy")],
     ),
     case(
+        # unicode parity: Python str.lower/len vs JVM lower/length must agree
+        # on folding (ß/ẞ, Greek final sigma, Turkish İ) and code-point length
+        # (astral emoji, fullwidth forms)
+        "string_unicode_folding_and_length",
+        [
+            ("required", "s", "string", {"options": ["é", "ß", "İ", "σ"], "case_sensitive": False}),
+            ("optional", "t", "string", {"min": 2, "max": 3}),
+        ],
+        "s string, t string",
+        [
+            ("É", "🙂🙂"),
+            ("ẞ", "a🙂b"),
+            ("ς", "é"),
+            ("İ", "日本語テキスト"),
+            ("ı", "ｆｕｌｌ"),
+            ("SS", None),
+        ],
+    ),
+    case(
         "string_type_only",
         [("required", "s", "string", {})],
         "s string",
