@@ -5,11 +5,16 @@ queries()     -> one DataFrame-producing callable per implemented operator
 oracle_sql()  -> DuckDB-equivalent SQL for every SQL-expressible query
 
 Column names and value rounding are aligned on both sides (the driver hashes
-values after sorting columns by name). Approximate/LSH operators whose exact
-output is not SQL-reproducible are included WITHOUT an oracle entry (driver
-records a rows-only check): battery_interleaved (fixture input),
-minhash_near_duplicates (approximate candidate set), embedding_neardup_lsh,
-multimodal_features (mapInPandas binary plumbing).
+values after sorting columns by name). Approximate/fixture operators whose
+exact output is not SQL-reproducible are included WITHOUT an oracle entry
+(driver records a rows-only check): battery_interleaved (fixture input),
+minhash_near_duplicates (approximate candidate set), ivf/lsh ANN variants,
+multimodal_features and referential_media_catalog (fixture + mapInPandas
+binary plumbing), approx_distinct (sketch). Those two fixture queries and
+embedding_neardup_lsh produced no/vacuous driver rows in round 1 (the run
+appears to have truncated at the tail of the dict), so the fixture-input
+entries now run EARLY in the dict and embedding_neardup_lsh gained a planted
+duplicate plus a real DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -241,16 +246,13 @@ def q_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_categorical_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from okay_spark.checks import categorical_drift
+    from okay_spark.checks import categorical_drift_frame
 
     events = _read(spark, sf_dir, "events")
     cur = events.filter(F.col("event_type") == "error")
     ref = events.filter(F.col("event_type") == "click")
-    m = categorical_drift(cur, ref, "user_id")
-    return spark.createDataFrame(
-        [(round(m["psi"], 6), m["n_current"], m["n_reference"])],
-        "psi double, n_current bigint, n_reference bigint",
-    )
+    out = categorical_drift_frame(cur, ref, "user_id")
+    return out.select(F.round("psi", 6).alias("psi"), "n_current", "n_reference")
 
 
 def q_bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,12 +278,14 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from okay_spark.relops import decimal_avg
+
     events = _read(spark, sf_dir, "events")
     win = F.window("ts", "1 hour")
     return (
         events.filter(F.col("ts").isNotNull())
         .groupBy(win.alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(decimal_avg("value"), 4).alias("avg_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             "event_type",
@@ -455,12 +459,12 @@ VALUE_BANDS = [
 
 
 def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from okay_spark.relops import range_join
+    from okay_spark.relops import decimal_avg, range_join
 
     events = _read(spark, sf_dir, "events")
     joined = range_join(events, VALUE_BANDS, value_col="value")
     return joined.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+        F.count(F.lit(1)).alias("n"), F.round(decimal_avg("value"), 4).alias("avg_value")
     )
 
 
@@ -530,8 +534,11 @@ def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     by type alone, and grand total — via the SQL surface."""
     events = _read(spark, sf_dir, "events")
     events.createOrReplaceTempView("events_gs")
+    # sum in decimal so the grouped double sums are order-independent (same
+    # fix as sessions_events; see okay_spark.relops.decimal_sum)
     return spark.sql(
-        "SELECT event_type, user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value "
+        "SELECT event_type, user_id, COUNT(*) AS n, "
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
         "FROM events_gs "
         "GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())"
     )
@@ -619,11 +626,37 @@ def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup with a PLANTED duplicate of vec 0 (id -1),
+    derived deterministically from the input table. The testdata embeddings
+    top out at cosine ~0.51 between distinct vectors, so at threshold 0.9 the
+    exact answer is exactly the planted pair — identical vectors always share
+    an LSH bucket, making the approximate plan's output oracle-checkable
+    (round 1 ran this at threshold 0.9 with no planted pair: 0 rows, a
+    vacuous check)."""
     from okay_spark.dedup import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    planted = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(-1).cast(emb.schema["vec_id"].dataType).alias("vec_id"), "embedding"
+    )
+    out = embedding_near_duplicates(emb.unionByName(planted), dim=dim, threshold=0.9, planes=8)
+    return out.select("a", "b", F.round("cos", 4).alias("cos"))
+
+
+def q_lsh_knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query approximate k-NN join (rows-only: LSH recall is probabilistic
+    by design; fixed-seed recall vs brute force is asserted in
+    tests/test_new_ops.py). Ten query vectors against the full corpus."""
+    from okay_spark.similarity import lsh_knn_join
 
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.first()["embedding"])
-    return embedding_near_duplicates(emb, dim=dim, threshold=0.9, planes=8)
+    q = emb.filter(F.col("vec_id") < 10)
+    out = lsh_knn_join(q, emb, dim=dim, k=5, planes=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
+        # fixture-input rows-only entries early: round 1's driver run produced
+        # no CORRECTNESS rows for the last dict entries (tail truncation)
+        "multimodal_features": q_multimodal_features,
+        "referential_media_catalog": q_referential_media_catalog,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "lsh_knn_join_embeddings": q_lsh_knn_join_embeddings,
         "stats_documents": q_stats_documents,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "uniqueness_salted_events": q_uniqueness_salted_events,
@@ -702,9 +741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "battery_interleaved": q_battery_interleaved,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "multimodal_features": q_multimodal_features,
-        "referential_media_catalog": q_referential_media_catalog,
     }
 
 
@@ -873,7 +909,7 @@ j AS (
   FROM cur FULL OUTER JOIN ref ON cur.user_id IS NOT DISTINCT FROM ref.user_id
   CROSS JOIN tot
 )
-SELECT round(SUM((p - q) * LN(p / q)), 6) AS psi,
+SELECT round(CAST(SUM(CAST((p - q) * LN(p / q) AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi,
   (SELECT CAST(nc AS BIGINT) FROM tot) AS n_current,
   (SELECT CAST(nr AS BIGINT) FROM tot) AS n_reference
 FROM j
@@ -916,7 +952,10 @@ FROM lineitem
 
 _WINDOW_EVENTS_SQL = """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-       event_type, COUNT(*)::BIGINT AS n, round(AVG(value), 4) AS avg_value
+       event_type, COUNT(*)::BIGINT AS n,
+       CASE WHEN COUNT(value) > 0
+            THEN round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(value), 4)
+       END AS avg_value
 FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
@@ -998,7 +1037,7 @@ SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
   round(epoch_us(MIN(ts)) / 1e6, 6) AS t_start_epoch,
   round(epoch_us(MAX(ts)) / 1e6, 6) AS t_end_epoch,
   round((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_sec,
-  round(SUM(value), 4) AS sum_value
+  round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value
 FROM g GROUP BY user_id, session_idx
 """
 
@@ -1020,7 +1059,10 @@ WITH bands(band, lo, hi) AS (
   VALUES ('micro', 0.0, 5.0), ('small', 5.0, 25.0),
          ('mid', 25.0, 100.0), ('large', 100.0, 1e9)
 )
-SELECT band, COUNT(*)::BIGINT AS n, round(AVG(value), 4) AS avg_value
+SELECT band, COUNT(*)::BIGINT AS n,
+  CASE WHEN COUNT(value) > 0
+       THEN round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(value), 4)
+  END AS avg_value
 FROM events LEFT JOIN bands ON events.value >= bands.lo AND events.value < bands.hi
 GROUP BY band
 """
@@ -1174,7 +1216,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouping_sets_events": (
             "SELECT event_type, user_id, COUNT(*)::BIGINT AS n, "
-            "round(SUM(value), 4) AS sum_value FROM events "
+            "round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
+            "FROM events "
             "GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())"
         ),
         "pivot_events": (
@@ -1186,4 +1229,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1"
         ),
         "click_days_no_purchase": _EXCEPT_SQL,
+        "embedding_neardup_lsh": (
+            "WITH aug AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT -1, embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos "
+            "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9"
+        ),
     }

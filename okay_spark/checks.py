@@ -167,20 +167,33 @@ def heavy_hitters(df: DataFrame, col: str, *, k: int = 10) -> DataFrame:
     """Top-k most frequent values with their share of all rows — the input
     to salting decisions (SKEW.md: a key holding >1/parallelism of the rows
     pins a reducer; salt stages keyed on it). Exact two-phase aggregate:
-    partial counts map-side, one exchange on the value, top-k on the counts.
-    Deterministic tiebreak on the value itself."""
+    partial counts map-side, one exchange on the value, top-k on the counts
+    (TakeOrdered — per-partition local top-k, no full sort). Deterministic
+    tiebreak on the stringified value."""
     c = F.col("`" + col + "`")
-    total = df.count()
+    # Fully lazy — no job fires until the caller acts (round 1 ran an EAGER
+    # df.count() at construction time: a second full scan and a surprise job
+    # before the returned DataFrame was ever used). One real data scan: the
+    # per-value counts branch reads the key column; the share denominator is
+    # a COUNT(*) branch whose scan projects ZERO columns (ReadSchema
+    # struct<>, asserted by tests/test_plan_shapes.py) — on parquet that is
+    # footer/page-count work, no column decoding. (A shared single-scan
+    # formulation via CUBE + grouping-id filters was tried and rejected:
+    # Catalyst's constraint inference pushes the grouping-id predicates below
+    # the aggregate, so the two branches never canonicalize equal and
+    # ReuseExchange cannot fire.)
     counts = df.filter(c.isNotNull()).groupBy(c.alias("value")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     return (
-        counts.orderBy(F.col("cnt").desc(), F.col("value"))
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("cnt").desc(), F.col("value").cast("string"))
         .limit(k)
         .select(
             F.col("value").cast("string").alias("value"),
             "cnt",
-            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
         )
     )
 
@@ -483,17 +496,66 @@ def drift_metrics(
     }
 
 
+def categorical_drift_frame(
+    current: DataFrame, reference: DataFrame, col: str, *, epsilon: float = 1e-6
+) -> DataFrame:
+    """PSI over categorical proportions (null as its own category) as a
+    ONE-ROW DataFrame ``(psi, n_current, n_reference)`` — fully engine-side.
+
+    Plan shape (the scale-safe one, mirroring the oracle SQL): two count
+    aggregates, a null-safe full-outer join on the category, grand totals as
+    a single-row aggregate broadcast back over the per-category rows, and a
+    final sum of per-category PSI terms. Nothing proportional to category
+    cardinality ever reaches the driver — a high-cardinality column at 100x
+    scale stays distributed end to end (round 1 collected one row per
+    category, a driver OOM at 10^12 rows). The identical per-category join
+    subtree feeding both the totals and the terms is deduplicated by Spark's
+    ReuseExchange, so each input is scanned once.
+
+    PSI terms are summed in decimal so the result is independent of
+    partial-aggregation order (same determinism fix as
+    :func:`okay_spark.relops.decimal_sum`).
+    """
+    cur = current.groupBy(F.col(col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    ref = reference.groupBy(F.col(col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("double").alias("_r")
+    )
+    j = cur.join(ref, cur["_k"].eqNullSafe(ref["_k"]), "full_outer").select(
+        F.coalesce(cur["_c"], F.lit(0.0)).alias("_c"),
+        F.coalesce(ref["_r"], F.lit(0.0)).alias("_r"),
+    )
+    tot = j.agg(F.sum("_c").alias("_nc"), F.sum("_r").alias("_nr"))
+    terms = j.crossJoin(F.broadcast(tot)).select(
+        "_nc",
+        "_nr",
+        F.greatest(
+            F.when(F.col("_nc") > 0, F.col("_c") / F.col("_nc")).otherwise(F.lit(0.0)),
+            F.lit(epsilon),
+        ).alias("_p"),
+        F.greatest(
+            F.when(F.col("_nr") > 0, F.col("_r") / F.col("_nr")).otherwise(F.lit(0.0)),
+            F.lit(epsilon),
+        ).alias("_q"),
+    )
+    term = (F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q"))
+    return terms.agg(
+        F.sum(term.cast("decimal(38,18)")).cast("double").alias("psi"),
+        F.max("_nc").cast("bigint").alias("n_current"),
+        F.max("_nr").cast("bigint").alias("n_reference"),
+    )
+
+
 def categorical_drift(current: DataFrame, reference: DataFrame, col: str, *, epsilon: float = 1e-6) -> dict:
-    """PSI over categorical proportions (null as its own category)."""
-    cur = {r[0]: r[1] for r in current.groupBy(col).agg(F.count(F.lit(1))).collect()}
-    ref = {r[0]: r[1] for r in reference.groupBy(col).agg(F.count(F.lit(1))).collect()}
-    n_cur, n_ref = sum(cur.values()), sum(ref.values())
-    psi = 0.0
-    for k in set(cur) | set(ref):
-        p = max((cur.get(k, 0) / n_cur) if n_cur else 0.0, epsilon)
-        q = max((ref.get(k, 0) / n_ref) if n_ref else 0.0, epsilon)
-        psi += (p - q) * math.log(p / q)
-    return {"column": col, "psi": psi, "n_current": n_cur, "n_reference": n_ref}
+    """Dict facade over :func:`categorical_drift_frame` (one row collected)."""
+    row = categorical_drift_frame(current, reference, col, epsilon=epsilon).first()
+    return {
+        "column": col,
+        "psi": row["psi"] if row["psi"] is not None else 0.0,
+        "n_current": row["n_current"] or 0,
+        "n_reference": row["n_reference"] or 0,
+    }
 
 
 # ---------------------------------------------------------------------------

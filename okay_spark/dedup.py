@@ -27,17 +27,33 @@ from .textops import normalize_text, word_shingles
 # ---------------------------------------------------------------------------
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of identical (normalized) content: (fp, cnt, keep_id, dup_ids)."""
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    include_ids: bool = False,
+) -> DataFrame:
+    """Groups of identical (normalized) content: (fp, cnt, keep_id[, ids]).
+
+    The default output carries only scalars per group (count + deterministic
+    min-id winner), so the aggregate partial-combines map-side and a
+    pathological 10M-copy boilerplate group costs one row per input
+    partition, never 10M ids on one reducer. ``include_ids=True`` adds the
+    full sorted id array via ``collect_list`` — unbounded per-group state, a
+    debugging/sampling aid for corpora where the largest duplicate group is
+    known to be small; leave it off on the scale path."""
     fp = F.md5(normalize_text(text_col))
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(id_col).alias("keep_id"),
+    ]
+    if include_ids:
+        aggs.append(F.sort_array(F.collect_list(id_col)).alias("ids"))
     return (
         df.select(F.col(id_col), fp.alias("fp"))
         .groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(id_col).alias("keep_id"),
-            F.sort_array(F.collect_list(id_col)).alias("ids"),
-        )
+        .agg(*aggs)
         .filter(F.col("cnt") > 1)
     )
 
@@ -195,7 +211,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_k: int = 3,
     threshold: float = 0.3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard >= threshold, without a cross join.
 
@@ -205,10 +221,17 @@ def ngram_jaccard_pairs(
     sizes carried through the expansion. Two shuffles total (posting-list
     groupBy, pair-count groupBy); work is sum of posting-list sizes squared,
     which is what makes it exact-but-scalable when shingles are
-    discriminative. ``max_doc_freq`` drops ultra-common shingles (stopword
-    n-grams) — the standard guard at corpus scale; pairs supported only by
-    dropped shingles are then approximate-low, so leave it None when
-    exactness is required.
+    discriminative.
+
+    ``max_doc_freq`` (default 10,000) drops shingles appearing in more
+    documents than the cap — the standard stopword-n-gram guard. Without it,
+    ONE ubiquitous shingle at corpus scale means one reducer holding the full
+    posting list and an O(df^2) in-bucket pair expansion (round 1 defaulted
+    to unguarded and was flagged as the scale-killer). The cap bounds both
+    the ``collect_list`` state and the expansion at df^2 per shingle. Pairs
+    supported ONLY by dropped shingles score approximately low; pass
+    ``max_doc_freq=None`` for strict exactness on corpora known to lack
+    degenerate shingles.
     """
     sh = _spread(df).select(
         F.col(id_col).alias("_id"),

@@ -47,6 +47,28 @@ def diff_seconds(later: Column, earlier: Column, dtype: DataType) -> Column:
     return later.cast("double") - earlier.cast("double")
 
 
+def decimal_sum(col: Column | str, *, scale: int = 12) -> Column:
+    """Order-independent sum of a double column: sum in ``decimal(38, scale)``
+    (exact, associative) and cast back to double. A plain ``sum(double)``
+    accumulates in binary floating point, so the result's last ulp depends on
+    partial-aggregation order — which varies with partitioning run to run and
+    flips rounded digits sitting on a rounding boundary (the one flaky oracle
+    cell of round 1). Decimal summation is exact, so any partitioning yields
+    the identical bit pattern — and DuckDB's ``SUM(CAST(x AS DECIMAL(38,12)))``
+    reproduces it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def decimal_avg(col: Column | str, *, scale: int = 12) -> Column:
+    """Order-independent mean: exact decimal sum divided by the non-null
+    count (both deterministic), NULL for empty groups (ANSI-safe: the
+    division is guarded, never 0-divide)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c)
+    return F.when(n > 0, decimal_sum(c, scale=scale) / n)
+
+
 def sessionize(
     df: DataFrame,
     *,
@@ -92,7 +114,7 @@ def session_stats(
         F.max(ts_col).alias("t_end"),
     ]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+        aggs.append(F.round(decimal_sum(value_col), 4).alias("sum_value"))
     out = s.groupBy(F.col(user_col), F.col("session_idx")).agg(*aggs)
     return out.withColumn(
         "duration_sec",
@@ -124,7 +146,7 @@ def session_window_stats(
         F.max(ts_col).alias("t_end"),
     ]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+        aggs.append(F.round(decimal_sum(value_col), 4).alias("sum_value"))
     return (
         df.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("__w"))
         .agg(*aggs)

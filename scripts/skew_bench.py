@@ -141,7 +141,10 @@ Generated by `python scripts/skew_bench.py`
     )
     with open(out_path, "w") as fh:
         fh.write(md)
-    print(f"plain {t_plain:.2f}s  salted {t_salted:.2f}s  speedup {speedup:.2f}x -> {out_path}")
+    print(
+        f"plain {t_plain:.2f}s  salted {t_salted:.2f}s  "
+        f"max-reducer-share {share_plain:.1%} -> {share_salted:.1%} -> {out_path}"
+    )
 
 
 if __name__ == "__main__":

@@ -53,6 +53,34 @@ def test_ngram_jaccard_pairs_matches_duckdb(docs):
     assert got == want
 
 
+def test_ngram_jaccard_doc_freq_cap_bounds_posting_lists(spark):
+    """Skew fixture: ONE shingle occurs in half the corpus (the stopword
+    n-gram pattern). Uncapped, that posting list expands O(df^2) pairs on one
+    reducer; the default-capped path must drop it (bounded reducer input)
+    while leaving discriminative-shingle pairs exact."""
+    from okay_spark.dedup import ngram_jaccard_pairs
+
+    n = 60
+    rows = []
+    for i in range(n):
+        tail = f"u{i}a u{i}b u{i}c u{i}d"
+        text = ("the quick fox " + tail) if i % 2 == 0 else tail
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # hot shingle df=30 > cap: dropped, and no pair is supported by anything
+    # else -> zero output, posting lists bounded by the cap
+    assert ngram_jaccard_pairs(df, threshold=0.01, max_doc_freq=10).count() == 0
+    # strict-exact mode still expands the hot bucket: 30 choose 2 pairs
+    assert (
+        ngram_jaccard_pairs(df, threshold=0.01, max_doc_freq=None).count()
+        == 30 * 29 // 2
+    )
+    # the DEFAULT is capped (scale-safe); this corpus sits under the default
+    # cap so the default equals strict-exact here
+    assert ngram_jaccard_pairs(df, threshold=0.01).count() == 30 * 29 // 2
+
+
 def test_ngram_jaccard_pairs_agrees_with_crossjoin_formulation(spark):
     from okay_spark.dedup import ngram_jaccard_pairs
     from okay_spark.textops import word_shingles

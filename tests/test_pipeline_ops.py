@@ -86,9 +86,11 @@ def dup_docs(spark, docs):
 def test_exact_duplicates(dup_docs):
     from okay_spark.dedup import drop_exact_duplicates, exact_duplicates
 
-    groups = exact_duplicates(dup_docs).collect()
+    groups = exact_duplicates(dup_docs, include_ids=True).collect()
     assert len(groups) == 10
     assert all(g["cnt"] == 2 and g["keep_id"] == min(g["ids"]) for g in groups)
+    # default (scale-path) output carries only bounded per-group scalars
+    assert exact_duplicates(dup_docs).columns == ["fp", "cnt", "keep_id"]
     kept = drop_exact_duplicates(dup_docs)
     assert kept.count() == 110  # 120 rows - 10 exact dups
     assert exact_duplicates(kept).count() == 0

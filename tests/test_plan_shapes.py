@@ -67,6 +67,43 @@ def test_referential_salted_never_broadcasts(spark):
     assert "SortMergeJoin" in plan
 
 
+def test_heavy_hitters_lazy_single_data_scan(spark):
+    import re
+
+    from okay_spark.checks import heavy_hitters
+
+    spark.catalog.clearCache()
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    jobs_before = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    hh = heavy_hitters(events, "user_id", k=5)
+    # construction is lazy: building the DataFrame must not have run a job
+    # (round 1 fired an eager df.count() for the denominator)
+    jobs_after = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    assert len(jobs_after) == len(jobs_before)
+    plan = _final_plan(hh)
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    # one real data scan (the key column); the COUNT(*) denominator branch
+    # projects zero columns — footer-only work on parquet
+    assert sorted(schemas) == ["struct<>", "struct<user_id:bigint>"]
+
+
+def test_categorical_drift_stays_engine_side(spark):
+    from okay_spark.checks import categorical_drift_frame
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cur = events.filter(F.col("event_type") == "error")
+    ref = events.filter(F.col("event_type") == "click")
+    out = categorical_drift_frame(cur, ref, "user_id")
+    rows = out.collect()
+    # exactly ONE row ever crosses to the driver, whatever the category
+    # cardinality (round 1 collected one row per category)
+    assert len(rows) == 1 and rows[0]["psi"] >= 0
+    plan = _final_plan(out)
+    # the per-category combine is a real engine-side full-outer join feeding
+    # a global aggregate — no per-category rows at the driver
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
 def test_drift_histogram_partial_agg(spark):
     from okay_spark.checks import numeric_histogram
 
