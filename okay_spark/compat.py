@@ -28,26 +28,81 @@ from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 from .errors import SchemaError
 from .messages import Message, expected_json
 from .paths import ELEM, ROOT, Name, Step, parse_path
-from .rules import VIOL_ARRAY_DDL
+from .rules import _STRING_TYPES, VIOL_ARRAY_DDL
 from .schema import CompiledSchema, Rule
 
 
-def _to_py(value: Any, dtype: DataType) -> Any:
-    """Arrow/pandas value -> plain-Python value, driven by the Spark type."""
+def _scalar_item(value: Any) -> Any:
     if value is None:
         return None
+    return value.item() if hasattr(value, "item") else value
+
+
+def _build_converter(dtype: DataType, *, top: bool) -> Any:
+    """Compile a minimal pandas-cell -> plain-Python converter for ``dtype``,
+    or ``None`` when the cell already arrives as plain Python.
+
+    Conversion is driven by how Spark's Arrow deserializer actually delivers
+    values to a pandas_udf (measured, not assumed):
+
+    - a TOP-LEVEL field of the wrapper struct becomes its own pandas Series:
+      numeric/bool scalars are numpy scalars (``.item()`` needed so user
+      callables' ``isinstance(value, int)`` checks behave), strings are plain;
+    - NESTED values inside object cells come via Arrow ``as_py``: struct ->
+      plain dict, scalars plain (no numpy) — identity;
+    - list nodes (any level) surface as ``numpy.ndarray`` -> convert to
+      ``list`` (reference callables isinstance-check list);
+    - map nodes surface as a list of (key, value) tuples -> ``dict``.
+
+    Round 1 recursively rebuilt every value through a generic ``_to_py``
+    (dict comprehensions per struct, per-scalar dispatch) — 42% of the
+    headline bench. The compiled converter touches only the nodes that need
+    touching; a rule on a plain string column converts nothing at all."""
     if isinstance(dtype, StructType):
-        if isinstance(value, float) and math.isnan(value):  # null struct in some paths
-            return None
-        return {f.name: _to_py(value.get(f.name), f.dataType) for f in dtype.fields}
+        subs = [(f.name, _build_converter(f.dataType, top=False)) for f in dtype.fields]
+        convs = [(n, c) for n, c in subs if c is not None]
+
+        def null_struct(v: Any) -> bool:
+            # a null struct can surface as NaN on some pandas paths
+            return v is None or (isinstance(v, float) and math.isnan(v))
+
+        if not convs:
+            return lambda v: None if null_struct(v) else v
+
+        def conv_struct(v: Any, _convs=convs) -> Any:
+            if null_struct(v):
+                return None
+            out = dict(v)
+            for n, c in _convs:
+                out[n] = c(out.get(n))
+            return out
+
+        return conv_struct
     if isinstance(dtype, ArrayType):
-        return [_to_py(v, dtype.elementType) for v in value]
+        c = _build_converter(dtype.elementType, top=False)
+        if c is None:
+            return lambda v: None if v is None else list(v)
+        return lambda v, _c=c: None if v is None else [_c(x) for x in v]
     if isinstance(dtype, MapType):
-        items = value.items() if isinstance(value, dict) else value
-        return {k: _to_py(v, dtype.valueType) for k, v in items}
-    if hasattr(value, "item"):  # numpy scalar
-        return value.item()
-    return value
+        c = _build_converter(dtype.valueType, top=False)
+        if c is None:
+            return lambda v: (
+                None if v is None else (v if isinstance(v, dict) else dict(v))
+            )
+
+        def conv_map(v: Any, _c=c) -> Any:
+            if v is None:
+                return None
+            items = v.items() if isinstance(v, dict) else v
+            return {k: _c(x) for k, x in items}
+
+        return conv_map
+    if top and not isinstance(dtype, _STRING_TYPES):
+        # top-level numeric/bool Series deliver numpy scalars (and NaN for
+        # null doubles — the documented artifact, preserved for parity with
+        # round 1: comparisons against NaN are False either way)
+        return _scalar_item
+    return None
 
 
 def _walk(value: Any, steps: list[Step], path: str, out: list[tuple[str, Any]]) -> None:
@@ -92,10 +147,28 @@ def _apply_custom(rule: Rule, ipath: str, value: Any, seq: int) -> dict | None:
     }
 
 
+def _apply_arrow_rule(rule: Rule, ipath: str, value: Any, seq: int) -> dict | None:
+    """Evaluate one Arrow-routed rule on one non-null instance value.
+
+    ``custom`` rules run the user callable; Python-dialect ``string`` rules
+    run the dynamic interpreter's exact Python ``re`` twin (same priority
+    ladder / OR-semantics as the reference, ``string_validator.py:36-70``)."""
+    if rule.type == "custom":
+        return _apply_custom(rule, ipath, value, seq)
+    from .dynamic import _check_string
+
+    v = _check_string(rule, ipath, value)
+    if v is None:
+        return None
+    rule_name, path, expected = v
+    return {"path": path, "rule": rule_name, "expected": expected, "seq": seq}
+
+
 def custom_violation_arrays(
     df_schema: StructType, compiled: CompiledSchema
 ) -> list[Column]:
-    """One array<violation> Column per field that carries custom rules.
+    """One array<violation> Column per field that carries Arrow-routed rules
+    (custom rules and Python-dialect regex string rules).
 
     The relevant top-level column is wrapped in ``struct(v := col)`` before
     crossing Arrow: Spark hands struct columns to a pandas_udf as a
@@ -106,12 +179,14 @@ def custom_violation_arrays(
     comparing against such fields see ``nan`` where the reference sees
     ``None`` (documented divergence; comparisons involving NaN are False
     either way)."""
+    from .rules import is_arrow_routed
+
     arrays: list[Column] = []
     for fidx, (path, spec) in enumerate(compiled.fields.items()):
         custom_rules = [
             (fidx * 1_000 + ridx, rule)
             for ridx, rule in enumerate(spec.rules)
-            if rule.type == "custom"
+            if is_arrow_routed(rule)
         ]
         if not custom_rules:
             continue
@@ -131,19 +206,29 @@ def custom_violation_arrays(
         wrapped = F.struct(inner.alias("v"))
 
         def make_udf(rules=custom_rules, dtype=top_dt, base=base_path, rem=rest):
+            conv = _build_converter(dtype, top=True)
+
             @F.pandas_udf(VIOL_ARRAY_DDL)
             def run(col: pd.DataFrame) -> pd.Series:
+                # Series.tolist() is the C fast path: object cells come out
+                # as-is, numeric Series as plain Python scalars (so the
+                # compiled converter's top-scalar branch is usually a no-op)
+                values = col["v"].tolist()
                 results = []
-                for rec in col.to_dict("records"):
-                    value = _to_py(rec.get("v"), dtype)
-                    instances: list[tuple[str, Any]] = []
-                    _walk(value, rem, base, instances)
+                for value in values:
+                    if conv is not None:
+                        value = conv(value)
+                    if not rem:
+                        instances = [(base, value)]
+                    else:
+                        instances = []
+                        _walk(value, rem, base, instances)
                     viols = [
                         v
                         for ipath, val in instances
                         if val is not None
                         for seq, rule in rules
-                        if (v := _apply_custom(rule, ipath, val, seq)) is not None
+                        if (v := _apply_arrow_rule(rule, ipath, val, seq)) is not None
                     ]
                     results.append(viols)
                 return pd.Series(results, dtype=object)

@@ -200,6 +200,45 @@ def _build_index(doc: Any, schema_fields) -> tuple[dict[str, list[tuple[str, Any
     return index, extras
 
 
+class IndexEntry:
+    """One instance of a schema field in a document (path + value) — the
+    okay-compatible view of ``_build_index``'s ``(path, value)`` tuples
+    (``/root/reference/src/okay/index.py:7-9``)."""
+
+    __slots__ = ("path", "value")
+
+    def __init__(self, path: str, value: Any) -> None:
+        self.path = path
+        self.value = value
+
+
+class Index:
+    """okay-compatible document index (``/root/reference/src/okay/index.py:1-4``):
+    ``fields`` maps field name -> list[IndexEntry]; ``extra_fields`` lists the
+    topmost undeclared paths. Built by :func:`create_index`."""
+
+    def __init__(self) -> None:
+        self.fields: dict[str, list[IndexEntry]] = {}
+        self.extra_fields: list[str] = []
+
+
+def create_index(document: Any, schema_fields) -> Index:
+    """Drop-in for the reference's ``okay.index.create_index``
+    (``index.py:11-18``): a thin object view over :func:`_build_index`, which
+    is the interpreter's actual walk. Exists so the reference's 18
+    ``test_index.py`` unit tests execute against this engine (they are run by
+    ``scripts/reference_suite.py``); the columnar engine itself never builds
+    a per-document index."""
+    fields, extras = _build_index(document, set(schema_fields))
+    index = Index()
+    index.fields = {
+        fname: [IndexEntry(path, value) for path, value in entries]
+        for fname, entries in fields.items()
+    }
+    index.extra_fields = extras
+    return index
+
+
 def validate_document(compiled: CompiledSchema, doc: Any) -> list[Violation]:
     """Validate ONE document (any JSON value) with full okay semantics."""
     index, extras = _build_index(doc, compiled.fields.keys())
@@ -320,4 +359,11 @@ def validate(schema, document, message_values=None) -> list[Message]:
     return messages
 
 
-__all__ = ["validate", "validate_document", "validate_json"]
+__all__ = [
+    "Index",
+    "IndexEntry",
+    "create_index",
+    "validate",
+    "validate_document",
+    "validate_json",
+]

@@ -333,7 +333,12 @@ def violations_array(
 
 
 def _has_custom(compiled: CompiledSchema) -> bool:
-    return any(r.type == "custom" for f in compiled.fields.values() for r in f.rules)
+    """True when any rule needs the Arrow pass: custom rules, plus string
+    rules auto-routed there because their regex uses Python-only dialect
+    constructs (see okay_spark.rules.is_arrow_routed)."""
+    from .rules import is_arrow_routed
+
+    return any(is_arrow_routed(r) for f in compiled.fields.values() for r in f.rules)
 
 
 def validate_dataframe(

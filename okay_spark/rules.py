@@ -27,11 +27,12 @@ under an ``int`` rule) lowers to a value-level predicate.
 Documented divergences (SURVEY.md §2.3): NaN/±inf under an ``int`` rule yield
 ``invalid_type`` instead of the reference's uncaught OverflowError/ValueError;
 ``number`` comparisons run in the column's native numeric type rather than
-``decimal.Decimal``; regex patterns evaluate in Java's dialect (``rlike``)
-rather than Python ``re`` — identical for the common subset (classes,
-quantifiers, alternation, anchors), but Python-only constructs like
-``(?P<name>...)`` belong on the dynamic path (:mod:`okay_spark.dynamic`),
-which runs Python ``re`` exactly.
+``decimal.Decimal``. Regex patterns evaluate in Java's dialect (``rlike``)
+ONLY when the pattern is in the shared subset (classes, quantifiers,
+alternation, anchors — identical semantics); patterns using Python-only
+constructs are detected at compile time (``schema._PY_ONLY_REGEX``) and the
+rule auto-routes to the Arrow pass, which runs Python ``re`` exactly
+(:func:`is_arrow_routed`; enforced by tests/test_regex_dialect.py).
 """
 
 from __future__ import annotations
@@ -71,6 +72,18 @@ _FRACTIONAL_TYPES = (FloatType, DoubleType)
 
 VIOL_STRUCT_DDL = "struct<path:string,rule:string,expected:string,seq:bigint>"
 VIOL_ARRAY_DDL = f"array<{VIOL_STRUCT_DDL}>"
+
+
+def is_arrow_routed(rule: Rule) -> bool:
+    """Rules whose BODY cannot lower to Column expressions and runs in the
+    Arrow pass instead (:mod:`okay_spark.compat`): ``custom`` rules (arbitrary
+    Python callables) and ``string`` rules whose regex uses Python-only
+    dialect constructs (detected at compile time, schema.py). The native
+    battery still emits their null checks; only the non-null body crosses to
+    Python."""
+    return rule.type == "custom" or (
+        rule.type == "string" and bool(rule.params.get("python_regex"))
+    )
 
 
 def null_violation() -> Column:
@@ -279,7 +292,7 @@ def lower_checks(
     for seq, rule in rules:
         body = (
             null_violation()
-            if rule.type == "custom"
+            if is_arrow_routed(rule)
             else lower_rule_nonnull(rule, value, dtype, path, seq)
         )
         if value_never_null:

@@ -39,6 +39,27 @@ VALID_TYPES = frozenset(
     {"any", "bool", "custom", "int", "list", "number", "object", "string"}
 )
 
+# Regex constructs that exist only in Python's `re` dialect (or carry
+# different semantics in Java's): named groups/backrefs `(?P<..>`/`(?P=..)`,
+# comments `(?#...)`, conditional groups `(?(id)...)`, Python-only inline
+# flags a/u/L, and `\Z` (absolute end in Python; before-final-newline in
+# Java). The reference evaluates patterns with Python `re.fullmatch`
+# (string_validator.py:7,36); the columnar battery runs Java `rlike` — rules
+# whose pattern matches this detector are auto-routed to the Arrow pass so
+# they run under Python `re` exactly. The common subset (classes,
+# quantifiers, alternation, anchors, plain groups, shared inline flags)
+# stays on the JVM fast path.
+_PY_ONLY_REGEX = re.compile(
+    r"""
+    \(\?P[<=]                      # (?P<name>...) / (?P=name)
+  | \(\?\#                         # (?#comment)
+  | \(\?\(                         # (?(id/name)yes|no) conditional
+  | \(\?[aiLmsux\-]*[auL][aiLmsux\-]*[):]   # inline flags incl. a/u/L
+  | (?<!\\)(?:\\\\)*\\Z            # \Z (odd number of backslashes before Z)
+    """,
+    re.VERBOSE,
+)
+
 _STRUCTURAL = ("object", "list")
 
 
@@ -144,6 +165,11 @@ def _normalize_params(type_name: str, field_name: str, kwargs: dict[str, Any]) -
             "case_sensitive": case_sensitive,
             "min": kwargs.get("min"),
             "max": kwargs.get("max"),
+            # Python-dialect constructs are detected HERE, at compile time, and
+            # the whole rule auto-routes to the Arrow pass (Python re) instead
+            # of Java rlike — silently-diverging patterns can't happen
+            # (rules.py routes on this flag; okay_spark.compat evaluates).
+            "python_regex": pattern is not None and bool(_PY_ONLY_REGEX.search(pattern)),
         }
     if type_name == "custom":
         # custom_validator.py:6-11 — same error messages for parity.

@@ -1,19 +1,20 @@
 """Run the REFERENCE's own test suite against okay_spark.
 
-The strongest parity proof available: 191 of the reference's 209 tests —
+The strongest parity proof available: ALL 209 of the reference's tests —
 the 87 golden end-to-end tests (``test_validator.py``, the conformance
-contract per SURVEY.md §5), the 38 schema-compiler tests, and the 66
-type-validator unit tests — execute unmodified, with ``okay`` aliased to
-okay_spark's drop-in surfaces (``okay_spark.dynamic.validate``,
-``okay_spark.validators``, the okay-compatible ``Message``/``SchemaError``
-and schema DSL). No reference code is copied — the tests run from their
-original location, read-only.
+contract per SURVEY.md §5), the 38 schema-compiler tests, the 66
+type-validator unit tests, and the 18 ``test_index.py`` unit tests —
+execute unmodified, with ``okay`` aliased to okay_spark's drop-in surfaces
+(``okay_spark.dynamic.validate``/``create_index``, ``okay_spark.validators``,
+the okay-compatible ``Message``/``SchemaError`` and schema DSL). No
+reference code is copied — the tests run from their original location,
+read-only.
 
-``test_index.py`` (18 tests) is excluded by design: it unit-tests the
-reference's internal ``Index`` object, which this engine intentionally does
-not have (the document walk is a columnar plan / ``_build_index`` with a
-different shape); its observable semantics are covered end-to-end by the 87
-validator tests.
+``test_index.py`` runs against :func:`okay_spark.dynamic.create_index`, a
+thin ``Index``-shaped view over the interpreter's ``_build_index`` walk —
+the engine itself never builds a per-document index (the document walk is a
+columnar plan), but the walk's semantics are now unit-verified directly in
+addition to the end-to-end coverage.
 
 Pre-registering the alias modules in ``sys.modules`` takes precedence over
 the reference's own ``src/`` path that its conftest inserts.
@@ -64,13 +65,23 @@ okay_sc.optional = optional
 okay_sc.compile = validators.compile
 okay.schema_compiler = okay_sc
 
+from okay_spark.dynamic import Index, IndexEntry, create_index  # noqa: E402
+
+okay_index = types.ModuleType("okay.index")
+okay_index.Index = Index
+okay_index.IndexEntry = IndexEntry
+okay_index.create_index = create_index
+okay.index = okay_index
+
 sys.modules["okay"] = okay
 sys.modules["okay.schema"] = okay_schema
 sys.modules["okay.message"] = okay_message
 sys.modules["okay.type_validators"] = okay_tv
 sys.modules["okay.schema_compiler"] = okay_sc
+sys.modules["okay.index"] = okay_index
 
 FILES = [
+    "test_index.py",
     "test_validator.py",
     "test_schema_compiler.py",
     "test_string_validator.py",

@@ -1,7 +1,7 @@
-"""CI gate: the reference's own 191 runnable tests (validator end-to-end,
-schema compiler, type-validator units) must pass against okay_spark's
-drop-in surfaces. See scripts/reference_suite.py for the aliasing scheme
-and why test_index.py (internal Index object) is out of scope."""
+"""CI gate: ALL 209 of the reference's own tests (validator end-to-end,
+schema compiler, type-validator units, and the Index walk units via the
+create_index view) must pass against okay_spark's drop-in surfaces. See
+scripts/reference_suite.py for the aliasing scheme."""
 
 from __future__ import annotations
 
@@ -21,4 +21,4 @@ def test_reference_suite_full_parity():
         timeout=300,
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
-    assert "191 passed" in r.stdout
+    assert "209 passed" in r.stdout

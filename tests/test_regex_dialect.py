@@ -1,0 +1,110 @@
+"""Python-regex dialect auto-routing (round-2 guard).
+
+The columnar battery evaluates regex rules in Java's dialect (`rlike`); the
+reference runs Python `re.fullmatch` (string_validator.py:7,36). Patterns
+using Python-only constructs — `(?P<name>...)`, `(?P=name)`, `(?#...)`,
+conditionals, a/u/L inline flags, `\\Z` — are detected at COMPILE time and
+the whole rule auto-routes to the Arrow pass, which runs Python `re`
+exactly. Round 1 documented this divergence; this file makes it enforced
+behavior: a user porting a real okay schema with such a regex gets the
+reference's answers, not silent Java-dialect drift.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from okay_spark.engine import validate_dataframe
+from okay_spark.schema import _PY_ONLY_REGEX, compile_schema
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        r"(?P<h>\d+)h",
+        r"(?P<a>x)(?P=a)",
+        r"ab(?#comment)c",
+        r"(?a)\w+",
+        r"(?i:x)(?u)y",
+        r"abc\Z",
+        r"a\\\Z",  # escaped backslash then \Z -> still the \Z anchor
+    ],
+)
+def test_python_only_constructs_detected(pattern):
+    assert _PY_ONLY_REGEX.search(pattern), pattern
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        r"src[0-5]",
+        r"(?:ab|cd)+e?",
+        r"^a.b$",
+        r"(?i)hello",
+        r"(?<name>x)",  # Java-style named group is NOT Python-only
+        r"a\\Z",  # escaped backslash + literal Z, not the anchor
+        r"\d{2}:\d{2}",
+    ],
+)
+def test_shared_dialect_stays_native(pattern):
+    assert not _PY_ONLY_REGEX.search(pattern), pattern
+
+
+def test_compile_flags_python_regex():
+    def schema():
+        from okay_spark import required
+
+        required("a", type="string", regex=r"(?P<h>\d+)h")
+        required("b", type="string", regex=r"b+")
+
+    compiled = compile_schema(schema)
+    assert compiled.fields["a"].rules[0].params["python_regex"] is True
+    assert compiled.fields["b"].rules[0].params["python_regex"] is False
+
+
+def _dur_schema_for(required, ignore_extra_fields):
+    def schema():
+        required("dur", type="string", regex=r"(?P<h>\d+)h")
+        ignore_extra_fields()
+
+    return schema
+
+
+def test_python_regex_routes_to_arrow_and_matches_reference(spark, okay_reference):
+    import okay_spark as dsl
+    from okay.schema import ignore_extra_fields as r_ief, required as r_req  # type: ignore
+
+    docs = spark.createDataFrame(
+        [(1, "12h"), (2, "xh"), (3, None), (4, "7h"), (5, "h")],
+        "doc_id bigint, dur string",
+    )
+    out = validate_dataframe(
+        docs, _dur_schema_for(dsl.required, dsl.ignore_extra_fields), id_cols=["doc_id"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # the rule body runs under Python re
+
+    got = {(r["doc_id"], r["path"], r["rule"]) for r in out.collect()}
+    want = set()
+    ref_schema = _dur_schema_for(r_req, r_ief)
+    for row in docs.collect():
+        msgs = okay_reference.validate(ref_schema, {"doc_id": row["doc_id"], "dur": row["dur"]})
+        for m in msgs:
+            want.add((row["doc_id"], m.field, m.type))
+    assert want  # fixture must actually exercise failures
+    assert got == want
+
+
+def test_native_regex_battery_stays_python_free(spark):
+    docs = spark.createDataFrame([(1, "src3"), (2, "nope")], "doc_id bigint, source string")
+
+    def schema():
+        from okay_spark import ignore_extra_fields, required
+
+        required("source", type="string", regex=r"src[0-5]")
+        ignore_extra_fields()
+
+    out = validate_dataframe(docs, schema, id_cols=["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert {r["doc_id"] for r in out.collect()} == {2}
