@@ -25,7 +25,6 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checks import partition_summary
 from .engine import validate_dataframe
 from .io import read_table, table_exists, write_table
 from .schema import CompiledSchema, compile_cached
@@ -70,6 +69,15 @@ def completed_partitions(
     return {r["part"] for r in rows}
 
 
+def partition_doc_counts(df: DataFrame, partition_col: str) -> DataFrame:
+    """Per-partition row counts, reading ONLY the partition column (Catalyst
+    prunes the scan to ``struct<partition_col>``; on a hive/Iceberg-
+    partitioned source it is pure partition metadata). The cheap half of the
+    resumable run's scan budget — asserted by tests/test_pipeline_ops.py."""
+    part_str = F.col(partition_col).cast("string")
+    return df.groupBy(part_str.alias("part")).agg(F.count(F.lit(1)).alias("n"))
+
+
 def run_resumable_validation(
     df: DataFrame,
     schema,
@@ -87,6 +95,11 @@ def run_resumable_validation(
     partitions whose lineage row landed; interrupted partitions are re-run
     wholesale (violation sinks should be de-duplicated downstream by
     (run_id, part) if exactly-once matters).
+
+    Scan budget (tests/test_pipeline_ops.py asserts it): ONE full-data scan
+    per run — the violations write. The per-partition doc counts read only
+    the partition column, and the lineage metrics aggregate the violations
+    already written to the sink instead of re-validating the source.
     """
     spark = df.sparkSession
     compiled = schema if isinstance(schema, CompiledSchema) else compile_cached(schema)
@@ -96,31 +109,62 @@ def run_resumable_validation(
     if done:
         df = df.filter(~F.col(partition_col).cast("string").isin(*done))
 
-    summary = partition_summary(df, compiled, partition_col).collect()
-    if not summary:
+    # ONE full-data scan per run (round 1 scanned twice: once for the
+    # partition summary, once for the violations write). Order of work:
+    #
+    # 1. per-partition doc counts — a scan that reads ONLY the partition
+    #    column (column-pruned; on a hive/Iceberg-partitioned source this is
+    #    metadata-weight) and doubles as the cheap emptiness check;
+    # 2. the battery + violations write — the single full scan, with the
+    #    partition value stamped on every violation row (per-partition
+    #    violation rows are themselves a north-rule deliverable);
+    # 3. the lineage metrics derive from the WRITTEN violations (sparse,
+    #    already durable) joined driver-side with the doc counts — the source
+    #    table is not scanned again.
+    doc_counts = {
+        r["part"]: r["n"] for r in partition_doc_counts(df, partition_col).collect()
+    }
+    if not doc_counts:
         return {"run_id": run_id, "partitions": 0, "skipped": len(done), "n_docs": 0}
 
-    violations = validate_dataframe(df, compiled).withColumn("run_id", F.lit(run_id))
+    id_cols = [c for c in df.columns if c == "doc_id"]
+    violations = validate_dataframe(
+        df, compiled, id_cols=[partition_col, *id_cols]
+    ).withColumn("run_id", F.lit(run_id))
     write_table(violations, violations_target, mode="append")
+
+    written = read_table(spark, violations_target).filter(F.col("run_id") == run_id)
+    vaggs = [F.count(F.lit(1)).alias("n_violations")]
+    if id_cols:
+        # distinct failing doc ids (a doc duplicated in the input counts once)
+        vaggs.append(F.count_distinct(*[F.col(c) for c in id_cols]).alias("n_failed_docs"))
+    else:
+        vaggs.append(F.lit(None).cast("bigint").alias("n_failed_docs"))
+    viol_counts = {
+        r["part"]: (r["n_violations"], r["n_failed_docs"])
+        for r in written.groupBy(
+            F.col(partition_col).cast("string").alias("part")
+        ).agg(*vaggs).collect()
+    }
 
     lineage_rows = [
         (
-            str(r[partition_col]),
+            part,
             run_id,
             snapshot,
             fp,
             "done",
-            r["n_docs"],
-            r["n_violations"],
-            r["n_failed_docs"],
+            n_docs,
+            viol_counts.get(part, (0, 0))[0],
+            viol_counts.get(part, (0, 0))[1],
         )
-        for r in summary
+        for part, n_docs in sorted(doc_counts.items())
     ]
     write_table(spark.createDataFrame(lineage_rows, LINEAGE_DDL), lineage_target, mode="append")
     return {
         "run_id": run_id,
-        "partitions": len(summary),
+        "partitions": len(lineage_rows),
         "skipped": len(done),
-        "n_docs": sum(r["n_docs"] for r in summary),
-        "n_violations": sum(r["n_violations"] for r in summary),
+        "n_docs": sum(doc_counts.values()),
+        "n_violations": sum(v[0] for v in viol_counts.values()),
     }
