@@ -502,29 +502,27 @@ def categorical_drift_frame(
     """PSI over categorical proportions (null as its own category) as a
     ONE-ROW DataFrame ``(psi, n_current, n_reference)`` — fully engine-side.
 
-    Plan shape (the scale-safe one, mirroring the oracle SQL): two count
-    aggregates, a null-safe full-outer join on the category, grand totals as
-    a single-row aggregate broadcast back over the per-category rows, and a
-    final sum of per-category PSI terms. Nothing proportional to category
+    Plan shape (the scale-safe one): UNION the two inputs with a side tag
+    and count both sides per category in ONE keyed aggregate (the full-outer
+    join of two aggregates the oracle SQL spells out, collapsed into a
+    single shuffle — no null-safe join, and the union's partial aggregation
+    combines map-side). Grand totals are a single-row aggregate broadcast
+    back over the per-category rows; a final sum of per-category PSI terms
+    produces the one output row. Nothing proportional to category
     cardinality ever reaches the driver — a high-cardinality column at 100x
     scale stays distributed end to end (round 1 collected one row per
-    category, a driver OOM at 10^12 rows). The identical per-category join
-    subtree feeding both the totals and the terms is deduplicated by Spark's
-    ReuseExchange, so each input is scanned once.
+    category, a driver OOM at 10^12 rows).
 
     PSI terms are summed in decimal so the result is independent of
     partial-aggregation order (same determinism fix as
     :func:`okay_spark.relops.decimal_sum`).
     """
-    cur = current.groupBy(F.col(col).alias("_k")).agg(
-        F.count(F.lit(1)).cast("double").alias("_c")
+    tagged = current.select(F.col(col).alias("_k"), F.lit(1).alias("_s")).unionByName(
+        reference.select(F.col(col).alias("_k"), F.lit(0).alias("_s"))
     )
-    ref = reference.groupBy(F.col(col).alias("_k")).agg(
-        F.count(F.lit(1)).cast("double").alias("_r")
-    )
-    j = cur.join(ref, cur["_k"].eqNullSafe(ref["_k"]), "full_outer").select(
-        F.coalesce(cur["_c"], F.lit(0.0)).alias("_c"),
-        F.coalesce(ref["_r"], F.lit(0.0)).alias("_r"),
+    j = tagged.groupBy("_k").agg(
+        F.sum("_s").cast("double").alias("_c"),
+        F.sum(F.lit(1) - F.col("_s")).cast("double").alias("_r"),
     )
     tot = j.agg(F.sum("_c").alias("_nc"), F.sum("_r").alias("_nr"))
     terms = j.crossJoin(F.broadcast(tot)).select(

@@ -78,12 +78,17 @@ def is_arrow_routed(rule: Rule) -> bool:
     """Rules whose BODY cannot lower to Column expressions and runs in the
     Arrow pass instead (:mod:`okay_spark.compat`): ``custom`` rules (arbitrary
     Python callables) and ``string`` rules whose regex uses Python-only
-    dialect constructs (detected at compile time, schema.py). The native
-    battery still emits their null checks; only the non-null body crosses to
-    Python."""
-    return rule.type == "custom" or (
-        rule.type == "string" and bool(rule.params.get("python_regex"))
-    )
+    dialect constructs (``schema._PY_ONLY_REGEX``). The native battery still
+    emits their null checks; only the non-null body crosses to Python.
+    Evaluated at plan-lowering time (driver-side, once per rule)."""
+    if rule.type == "custom":
+        return True
+    if rule.type == "string":
+        from .schema import _PY_ONLY_REGEX
+
+        pattern = rule.params.get("regex")
+        return pattern is not None and bool(_PY_ONLY_REGEX.search(pattern))
+    return False
 
 
 def null_violation() -> Column:

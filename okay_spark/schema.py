@@ -159,17 +159,17 @@ def _normalize_params(type_name: str, field_name: str, kwargs: dict[str, Any]) -
         if options and not case_sensitive:
             # okay folds the options once at build time (string_validator.py:10-13).
             options = [o.lower() for o in options]
+        # NOTE: params stay exactly reference-shaped (they are re-fed into the
+        # reference-API validator constructors by okay_spark.validators).
+        # Python-dialect regex detection happens at lowering time
+        # (okay_spark.rules.is_arrow_routed consults _PY_ONLY_REGEX), not via
+        # an extra params key.
         return {
             "regex": pattern,
             "options": options,
             "case_sensitive": case_sensitive,
             "min": kwargs.get("min"),
             "max": kwargs.get("max"),
-            # Python-dialect constructs are detected HERE, at compile time, and
-            # the whole rule auto-routes to the Arrow pass (Python re) instead
-            # of Java rlike — silently-diverging patterns can't happen
-            # (rules.py routes on this flag; okay_spark.compat evaluates).
-            "python_regex": pattern is not None and bool(_PY_ONLY_REGEX.search(pattern)),
         }
     if type_name == "custom":
         # custom_validator.py:6-11 — same error messages for parity.

@@ -163,6 +163,74 @@ def _nearest_centroid_expr(v: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    *,
+    n_lists: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Materialize the IVF index: vectors written to ``path`` partitioned by
+    ``list_id``, centroids persisted alongside (``_centroids.json``).
+
+    This is the deployment form round 1 only described: with ``list_id`` a
+    PARTITION column of the index table, a probe of ``n_probe`` lists is
+    partition pruning at scan time — :func:`ivf_search` reads n_probe/n_lists
+    of the data and never touches the rest (PartitionFilters asserted by
+    tests/test_new_ops.py). Build cost is ``iters + 1`` scans (k-means is
+    centroid-broadcast + hash aggregate per round, no vector shuffle) plus
+    one write shuffled on ``list_id``.
+    """
+    import json
+    import os
+
+    assign, cents = ivf_assignments(
+        df, n_lists=n_lists, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    indexed = df.join(assign, on=id_col)
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(cents, fh)
+    return cents
+
+
+def ivf_search(
+    spark,
+    path: str,
+    query: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted IVF index: score the query against the stored
+    centroids on the driver (k x dim floats), scan ONLY the ``n_probe``
+    nearest list partitions (partition pruning — no data read outside them),
+    exact cosine re-rank inside. ``n_probe = n_lists`` degrades to exact
+    brute force over the whole index."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        cents = json.load(fh)
+    qv = [float(x) for x in query]
+    ranked = sorted(range(len(cents)), key=lambda i: -_py_cosine(qv, cents[i]))
+    probe = ranked[:n_probe]
+    candidates = spark.read.parquet(path).filter(F.col("list_id").isin(probe))
+    scored = candidates.select(F.col(id_col), cosine_to_query(vec_col, qv).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    da = sum(x * x for x in a) ** 0.5
+    db = sum(x * x for x in b) ** 0.5
+    return num / (da * db) if da > 0 and db > 0 else 0.0
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -184,14 +252,7 @@ def ivf_topk(
         df, n_lists=n_lists, iters=iters, vec_col=vec_col, id_col=id_col
     )
     qv = [float(x) for x in query]
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        da = sum(x * x for x in a) ** 0.5
-        db = sum(x * x for x in b) ** 0.5
-        return num / (da * db) if da > 0 and db > 0 else 0.0
-
-    ranked = sorted(range(len(cents)), key=lambda i: -_cos(qv, cents[i]))
+    ranked = sorted(range(len(cents)), key=lambda i: -_py_cosine(qv, cents[i]))
     probe = ranked[:n_probe]
     # Filter by the assignment expression inline — no join, no shuffle. In the
     # persisted deployment list_id is a partition column of the index table,

@@ -193,6 +193,59 @@ def main() -> None:
         note="bin id computed map-side; only 20-row histogram crosses the wire",
     )
 
+    # 6b. round-2 operators: lazy heavy hitters, engine-side categorical PSI,
+    # capped inverted-index jaccard, persisted-IVF partition pruning
+    from okay_spark.checks import categorical_drift_frame, heavy_hitters
+    from okay_spark.dedup import ngram_jaccard_pairs
+
+    audit(
+        "heavy_hitters",
+        heavy_hitters(events, "user_id", k=10),
+        max_shuffles=1,
+        want=["struct<>"],
+        note="one keyed count exchange + TakeOrdered; the COUNT(*) share "
+        "denominator is a zero-column scan (ReadSchema struct<>)",
+    )
+    audit(
+        "categorical_drift_frame",
+        categorical_drift_frame(
+            events.filter(F.col("event_type") == "error"),
+            events.filter(F.col("event_type") == "click"),
+            "user_id",
+        ),
+        max_shuffles=2,
+        want=["Union"],
+        note="tagged union -> ONE keyed count aggregate (both sides in one "
+        "shuffle, reused by the totals branch); totals broadcast back; ONE "
+        "row to the driver regardless of cardinality",
+    )
+    audit(
+        "ngram_jaccard_pairs (df-capped)",
+        ngram_jaccard_pairs(docs, threshold=0.2),
+        max_shuffles=2,
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        note="inverted index: posting-list groupBy + pair-count groupBy; "
+        "max_doc_freq cap bounds any posting list (no O(df^2) hot reducer)",
+    )
+
+    import tempfile
+
+    from okay_spark.similarity import build_ivf_index, ivf_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ivf_dir = tempfile.mkdtemp(prefix="ivf_audit_")
+    build_ivf_index(emb, ivf_dir, n_lists=8, iters=1)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    ivf_df = ivf_search(spark, ivf_dir, qv, k=10, n_probe=2)
+    audit(
+        "ivf_search (persisted index)",
+        ivf_df,
+        max_shuffles=0,
+        want=["PartitionFilters: [list_id"],
+        note="n_probe lists = partition pruning on the index table; "
+        "2/8 of the data read, TakeOrdered top-k, no shuffle",
+    )
+
     # 7. dedup: minhash buckets + simhash banded pairs
     audit(
         "minhash_lsh_buckets",

@@ -164,6 +164,31 @@ def test_ivf_partial_probe_recall(embeddings):
     assert recall >= 0.5, f"recall@10 = {recall}"
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, embeddings, tmp_path):
+    """The deployment form: list_id is a PARTITION column of the written
+    index, so an n_probe search is partition pruning at scan time — the plan
+    must show a list_id PartitionFilter and read no data outside the probed
+    lists. Exhaustive probe over the persisted index equals brute force."""
+    from okay_spark.similarity import brute_force_topk, build_ivf_index, ivf_search
+
+    path = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(embeddings, path, n_lists=8, iters=1)
+    assert len(cents) == 8
+
+    query = [float(x) for x in embeddings.first()["embedding"]]
+    out = ivf_search(spark, path, query, k=10, n_probe=2)
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "list_id" in seg, plan[:800]
+    assert len(rows) == 10
+
+    # n_probe = n_lists degrades to exact brute force
+    exact = {r["vec_id"] for r in brute_force_topk(embeddings, query, k=10).collect()}
+    full = {r["vec_id"] for r in ivf_search(spark, path, query, k=10, n_probe=8).collect()}
+    assert full == exact
+
+
 def test_ivf_assignments_deterministic_and_complete(embeddings):
     from okay_spark.similarity import ivf_assignments
 

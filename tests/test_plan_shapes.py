@@ -99,9 +99,11 @@ def test_categorical_drift_stays_engine_side(spark):
     # cardinality (round 1 collected one row per category)
     assert len(rows) == 1 and rows[0]["psi"] >= 0
     plan = _final_plan(out)
-    # the per-category combine is a real engine-side full-outer join feeding
-    # a global aggregate — no per-category rows at the driver
-    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    # the per-category combine is ONE keyed aggregate over the tagged union
+    # of both inputs feeding a global aggregate — no per-category rows at
+    # the driver, no join
+    assert "Union" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_drift_histogram_partial_agg(spark):

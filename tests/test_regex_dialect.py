@@ -51,6 +51,8 @@ def test_shared_dialect_stays_native(pattern):
 
 
 def test_compile_flags_python_regex():
+    from okay_spark.rules import is_arrow_routed
+
     def schema():
         from okay_spark import required
 
@@ -58,8 +60,11 @@ def test_compile_flags_python_regex():
         required("b", type="string", regex=r"b+")
 
     compiled = compile_schema(schema)
-    assert compiled.fields["a"].rules[0].params["python_regex"] is True
-    assert compiled.fields["b"].rules[0].params["python_regex"] is False
+    assert is_arrow_routed(compiled.fields["a"].rules[0]) is True
+    assert is_arrow_routed(compiled.fields["b"].rules[0]) is False
+    # params stay reference-shaped: no internal routing keys leak into the
+    # validator-constructor surface
+    assert "python_regex" not in compiled.fields["a"].rules[0].params
 
 
 def _dur_schema_for(required, ignore_extra_fields):
