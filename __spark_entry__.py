@@ -245,6 +245,17 @@ def q_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein near-dup pairs over the pigeonhole-complete SimHash
+    Hamming gate — both conditions exact, so the banded plan's output equals
+    the all-pairs SQL oracle."""
+    from okay_spark.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _read(spark, sf_dir, "documents"), max_distance=60, max_hamming=7
+    )
+
+
 def q_categorical_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.checks import categorical_drift_frame
 
@@ -529,6 +540,41 @@ def q_props_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_value_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation between value and the JSON prop k —
+    deterministic decimal accumulators (okay_spark.checks.pairwise_corr), so
+    the hash matches DuckDB bit-for-bit at any partitioning."""
+    from okay_spark.checks import pairwise_corr
+
+    events = _read(spark, sf_dir, "events")
+    base = events.select(
+        "event_type", "value", F.from_json(F.col("props"), "k int")["k"].alias("k")
+    )
+    out = pairwise_corr(base, "value", "k", group_by="event_type")
+    return out.select("event_type", "n", F.round("corr", 6).alias("corr"))
+
+
+def q_user_value_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery: row_number / lag / percent_rank / ntile over
+    a fully-deterministic per-user ordering; top-5 rows per user."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.lag("value").over(w).alias("prev_value"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
 def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube): totals by (type, user),
     by type alone, and grand total — via the SQL surface."""
@@ -710,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "categorical_drift_events": q_categorical_drift_events,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -733,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_documents": q_cube_documents,
         "props_json_events": q_props_json_events,
         "grouping_sets_events": q_grouping_sets_events,
+        "corr_value_k_events": q_corr_value_k_events,
+        "user_value_rank_events": q_user_value_rank_events,
         "pivot_events": q_pivot_events,
         "click_days_no_purchase": q_click_days_no_purchase,
         # rows-only checks (approximate / fixture-input operators)
@@ -897,6 +946,27 @@ FROM h
 SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sh, b.sh))::INT AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 7
+"""
+
+_EDIT_DISTANCE_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents
+), h AS (
+  SELECT doc_id, [('0x' || substr(md5(x), 1, 8))::BIGINT FOR x IN toks] AS hs FROM t
+), s AS (
+SELECT doc_id,
+  CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, v -> ((v >> i) & 1) = 1)) > len(hs)
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                 FOR i IN range(0, 32)]) AS BIGINT) AS sh
+FROM h
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sh, b.sh))::INT AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 7
+)
+SELECT p.a, p.b, p.hamming, levenshtein(da.text, db.text)::INT AS edit_distance
+FROM p JOIN documents da ON da.doc_id = p.a JOIN documents db ON db.doc_id = p.b
+WHERE levenshtein(da.text, db.text) <= 60
 """
 
 _CATEGORICAL_DRIFT_SQL = """
@@ -1140,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_pairs_documents": _SIMHASH_PAIRS_SQL,
         "categorical_drift_events": _CATEGORICAL_DRIFT_SQL,
+        "edit_distance_pairs": _EDIT_DISTANCE_PAIRS_SQL,
         "bpe_token_count_documents": _BPE_TOKENS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "quantiles_lineitem": _QUANTILES_SQL,
@@ -1213,6 +1284,36 @@ def oracle_sql() -> dict[str, str]:
             "MAX((props::JSON ->> 'k')::INT) AS max_k "
             "FROM events WHERE props IS NOT NULL AND (props::JSON ->> 'k') IS NOT NULL "
             "GROUP BY event_type"
+        ),
+        "corr_value_k_events": (
+            "WITH b AS (SELECT event_type, "
+            "CASE WHEN value IS NOT NULL AND (props::JSON ->> 'k') IS NOT NULL "
+            "THEN value END AS x, "
+            "CASE WHEN value IS NOT NULL AND (props::JSON ->> 'k') IS NOT NULL "
+            "THEN (props::JSON ->> 'k')::INT::DOUBLE END AS y "
+            "FROM events), a AS ("
+            "SELECT event_type, COUNT(x)::BIGINT AS n, "
+            "CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx, "
+            "CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy, "
+            "CAST(SUM(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE) AS sxx, "
+            "CAST(SUM(CAST(y*y AS DECIMAL(38,12))) AS DOUBLE) AS syy, "
+            "CAST(SUM(CAST(x*y AS DECIMAL(38,12))) AS DOUBLE) AS sxy "
+            "FROM b GROUP BY event_type) "
+            "SELECT event_type, n, "
+            "CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0 "
+            "THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) "
+            "END AS corr FROM a"
+        ),
+        "user_value_rank_events": (
+            "SELECT user_id, event_id, value, rn, prev_value, pct_rank, quartile FROM ("
+            "SELECT user_id, event_id, value, "
+            "row_number() OVER w AS rn, "
+            "lag(value) OVER w AS prev_value, "
+            "round(percent_rank() OVER w, 6) AS pct_rank, "
+            "ntile(4) OVER w AS quartile "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)"
+            ") WHERE rn <= 5"
         ),
         "grouping_sets_events": (
             "SELECT event_type, user_id, COUNT(*)::BIGINT AS n, "

@@ -556,6 +556,45 @@ def categorical_drift(current: DataFrame, reference: DataFrame, col: str, *, eps
     }
 
 
+def pairwise_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_by: list[str] | str | None = None,
+) -> DataFrame:
+    """Pearson correlation with ORDER-INDEPENDENT accumulation.
+
+    ``F.corr`` sums doubles in partial-aggregation order, so its last ulps
+    vary run to run — the same nondeterminism class as the round-1 flaky
+    oracle cell. Here every accumulator (sum x, y, x^2, y^2, xy) is summed in
+    ``decimal(38,12)`` (exact, associative) and the correlation assembled
+    from those scalars, so any partitioning yields the identical bit pattern
+    — and the same SQL on DuckDB reproduces it. One hash aggregate; pairs
+    with a null/NaN on either side are excluded (SQL ``corr`` semantics)."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+    xs, ys = F.when(both, x), F.when(both, y)
+
+    def dec(c: Column) -> Column:
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    n = F.count(xs)
+    sx, sy = dec(xs), dec(ys)
+    sxx, syy, sxy = dec(xs * xs), dec(ys * ys), dec(xs * ys)
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    aggs = [
+        n.alias("n"),
+        F.when(den > 0, num / den).alias("corr"),
+    ]
+    if group_by is None:
+        return df.agg(*aggs)
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    return df.groupBy(*keys).agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # Per-partition pass/fail summaries (north rule)
 # ---------------------------------------------------------------------------

@@ -382,6 +382,42 @@ def simhash_near_duplicates(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_distance: int = 40,
+    bits: int = 32,
+    band_bits: int = 4,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """EXACT Levenshtein near-dup pairs, gated by a SimHash Hamming prefilter.
+
+    Semantics (well-defined, oracle-checkable): pairs whose 32-bit SimHash
+    Hamming distance is <= ``max_hamming`` AND whose exact Levenshtein
+    distance is <= ``max_distance``. The Hamming gate is banded
+    (:func:`simhash_near_duplicates` — pigeonhole-complete for the gate, so
+    the candidate set is exact, never a recall guess), which is what keeps
+    the O(len^2)-per-pair edit-distance kernel off the full pair space at
+    corpus scale: only banded candidates ever join their texts. The
+    Levenshtein itself runs JVM-side with the threshold variant
+    (early-exit rows above ``max_distance``).
+    """
+    pairs = simhash_near_duplicates(
+        df, text_col, id_col, bits=bits, band_bits=band_bits, max_hamming=max_hamming
+    )
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+    a = texts.select(F.col("_tid").alias("a"), F.col("_txt").alias("_ta"))
+    b = texts.select(F.col("_tid").alias("b"), F.col("_txt").alias("_tb"))
+    joined = pairs.join(a, "a").join(b, "b")
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance)
+    return (
+        joined.select("a", "b", "hamming", dist.alias("edit_distance"))
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (LSH over random hyperplanes)
 # ---------------------------------------------------------------------------

@@ -48,9 +48,11 @@ def main(only: list[str] | None = None) -> int:
 
     import __spark_entry__ as entrymod
 
+    # SHUFFLE_PARTITIONS env: rerun with an odd partition count to shake out
+    # partial-aggregation-order dependence (the round-1 flaky-hash class)
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('CPUS', '8')}]")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SHUFFLE_PARTITIONS", "16"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .appName("oracle-check")

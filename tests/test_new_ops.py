@@ -164,6 +164,49 @@ def test_ivf_partial_probe_recall(embeddings):
     assert recall >= 0.5, f"recall@10 = {recall}"
 
 
+def test_edit_distance_pairs_finds_planted_neardups(spark):
+    from pyspark.sql import functions as F
+
+    from okay_spark.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(1, base), (2, base.replace("lazy", "hazy")), (3, "zz qq ww ee rr tt yy uu")]
+    # filler docs pairwise far apart in edit distance (distinct word stems)
+    words = ["kestrel", "lagoon", "marble", "nimbus", "orchid", "plinth",
+             "quasar", "rivet", "sable", "tundra"]
+    rows += [
+        (10 + i, " ".join(f"{w}{i * 7 + j}" for j, w in enumerate(words)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    out = edit_distance_pairs(df, max_distance=5, max_hamming=10)
+    got = {(r["a"], r["b"]): r["edit_distance"] for r in out.collect()}
+    assert got.get((1, 2)) == 1  # one-char substitution
+    assert all(d <= 5 for d in got.values())
+    assert (1, 3) not in got and (2, 3) not in got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # banded candidates, never all-pairs
+
+
+def test_pairwise_corr_matches_numpy_and_is_exact(spark):
+    import numpy as np
+
+    from okay_spark.checks import pairwise_corr
+
+    rng = [(i, float((i * 37) % 101), float(((i * 17) % 13) + (i % 7))) for i in range(500)]
+    df = spark.createDataFrame(rng, "id int, x double, y double")
+    got = pairwise_corr(df, "x", "y").first()
+    xs = np.array([r[1] for r in rng])
+    ys = np.array([r[2] for r in rng])
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert got["n"] == 500
+    assert abs(got["corr"] - want) < 1e-9
+    # null/NaN pairs excluded
+    df2 = df.union(spark.createDataFrame([(999, None, 1.0)], df.schema))
+    assert pairwise_corr(df2, "x", "y").first()["n"] == 500
+
+
 def test_ivf_persisted_index_prunes_partitions(spark, embeddings, tmp_path):
     """The deployment form: list_id is a PARTITION column of the written
     index, so an n_probe search is partition pruning at scan time — the plan
