@@ -654,6 +654,34 @@ def q_battery_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_json(df, "body", schema, id_cols=["doc_id"]).select("doc_id", "path", "rule")
 
 
+def q_streaming_battery_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rule battery executed as a Structured Streaming job
+    (Trigger.AvailableNow, exactly-once parquet sink + checkpoint), then the
+    sink read back — streaming execution must produce bit-identical
+    violations to the batch oracle. This is the driver-visible proof of the
+    C8 streaming surface (round 1 had streaming under pytest only)."""
+    import tempfile
+
+    from okay_spark.streaming import run_incremental
+
+    sink = tempfile.mkdtemp(prefix="okay_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="okay_stream_ckpt_")
+    # the file-stream source wants a DIRECTORY; expose the single-file table
+    # through a symlink dir (no data copied)
+    src_dir = tempfile.mkdtemp(prefix="okay_stream_src_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet")
+    run_incremental(
+        spark,
+        source_dir=src_dir,
+        source_ddl=spark.read.parquet(f"{sf_dir}/documents.parquet").schema,
+        schema=_documents_schema,
+        sink_dir=sink,
+        checkpoint_dir=ckpt,
+        id_cols=["doc_id"],
+    )
+    return spark.read.parquet(sink).select("doc_id", "path", "rule")
+
+
 def q_battery_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.engine import validate_dataframe
     from okay_spark.fixtures import document_schema, interleaved_documents
@@ -787,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks (approximate / fixture-input operators)
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
+        "streaming_battery_documents": q_streaming_battery_documents,
         "battery_interleaved": q_battery_interleaved,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -1159,6 +1188,8 @@ def oracle_sql() -> dict[str, str]:
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
+        # streaming execution of the battery must equal the batch answer
+        "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,
         "stats_documents": _STATS_SQL,
         "uniqueness_lineitem": (
             "SELECT l_orderkey, COUNT(*)::BIGINT AS cnt FROM lineitem "

@@ -100,6 +100,82 @@ def test_python_regex_routes_to_arrow_and_matches_reference(spark, okay_referenc
     assert got == want
 
 
+def test_unicode_and_newline_regex_parity_vs_reference(spark, okay_reference):
+    """Two Java-vs-Python traps, verified fixed against the reference by
+    execution: Python \\d matches Unicode digits (Java defaults to ASCII —
+    (?U) aligns it); Python fullmatch rejects a trailing newline (Java
+    ^...$ would accept it — \\A..\\z aligns it)."""
+    from okay.schema import ignore_extra_fields as r_ief, required as r_req  # type: ignore
+
+    import okay_spark as dsl
+
+    def make(required, ief):
+        def schema():
+            required("v", type="string", regex=r"\d+")
+            ief()
+
+        return schema
+
+    docs = spark.createDataFrame([(1, "123"), (2, "١٢٣"), (3, "12\n"), (4, "x1")],
+                                 "doc_id bigint, v string")
+    out = validate_dataframe(docs, make(dsl.required, dsl.ignore_extra_fields),
+                             id_cols=["doc_id"])
+    got = {r["doc_id"] for r in out.collect()}
+    want = set()
+    ref_schema = make(r_req, r_ief)
+    for row in docs.collect():
+        if okay_reference.validate(ref_schema, {"doc_id": row["doc_id"], "v": row["v"]}):
+            want.add(row["doc_id"])
+    assert got == want
+    assert 2 not in got  # unicode digits accepted, like Python re
+    assert 3 in got  # trailing newline rejected, like Python fullmatch
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [r"doc-\d{12}", r"media-\d{8}", r"src[0-5]", r"[0-2]\d:[0-2]\d", r"ab{3}c\.x"],
+)
+def test_fast_prefilter_is_sound_subset(spark, pattern):
+    """The native fixed-width prefilter may only accept strings Python
+    re.fullmatch accepts (no false positives); engine pass/fail must equal
+    Python exactly with the prefilter in front."""
+    import random
+    import re as pyre
+
+    from pyspark.sql import functions as F
+
+    from okay_spark.rules import regex_fast_prefilter
+
+    rng = random.Random(42)
+    alphabet = "abcdxz0157-.:\n ١"
+    samples = {"", "doc-000000000000", "media-00000000", "src3", "12:04", "abbbc.x"}
+    for _ in range(300):
+        samples.add("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 18))))
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    fast = regex_fast_prefilter(pattern, F.col("s"))
+    assert fast is not None
+    rows = df.select(
+        "s", fast.alias("fast"), F.col("s").rlike(f"(?U)\\A(?:{pattern})\\z").alias("full")
+    ).collect()
+    for r in rows:
+        want = bool(pyre.fullmatch(pattern, r["s"]))
+        assert (r["fast"] or r["full"]) == want, (pattern, repr(r["s"]))
+        if r["fast"]:
+            assert want, f"false positive: {pattern} {r['s']!r}"
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [r"a|b", r"a+", r"(ab)c", r"\w+", r"a{2,4}", r"[^ab]", r"a*", r".x"],
+)
+def test_fast_prefilter_bails_outside_subset(pattern):
+    from pyspark.sql import functions as F
+
+    from okay_spark.rules import regex_fast_prefilter
+
+    assert regex_fast_prefilter(pattern, F.col("s")) is None
+
+
 def test_native_regex_battery_stays_python_free(spark):
     docs = spark.createDataFrame([(1, "src3"), (2, "nope")], "doc_id bigint, source string")
 
