@@ -752,6 +752,51 @@ def q_referential_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_ref_violations(docs, catalog, broadcast=True)
 
 
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style in-document repetition: duplicate word-bigram fraction."""
+    from okay_spark.textops import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"), k=2)
+
+
+def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap of every corpus doc
+    (source != src5) against the 'benchmark' slice (source = src5)."""
+    from okay_spark.textops import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src5")
+    benchmark = docs.filter(F.col("source") == "src5")
+    return ngram_contamination(corpus, benchmark, k=3)
+
+
+def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the pigeonhole-complete
+    SimHash candidate graph (so the edge set is exact, hence the component
+    structure is exact and the DuckDB recursive-CTE oracle reproduces it),
+    singletons included, canonical keeper = min doc_id per cluster."""
+    from okay_spark.dedup import dedup_clusters, simhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = simhash_near_duplicates(docs, bits=32, band_bits=4, max_hamming=7)
+    return dedup_clusters(docs, edges)
+
+
+def q_label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean embedding, long form (label, pos,
+    centroid, n) — one posexplode + one decimal-summed hash aggregate."""
+    from okay_spark.embedops import label_centroids
+
+    return label_centroids(_read(spark, sf_dir, "embeddings"))
+
+
+def q_quantization_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization reconstruction error per label."""
+    from okay_spark.embedops import quantization_error
+
+    return quantization_error(_read(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_battery_documents(spark, SF_DEFAULT)
@@ -812,6 +857,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_rank_events": q_user_value_rank_events,
         "pivot_events": q_pivot_events,
         "click_days_no_purchase": q_click_days_no_purchase,
+        "repetition_documents": q_repetition_documents,
+        "contamination_documents": q_contamination_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "label_centroids_embeddings": q_label_centroids_embeddings,
+        "quantization_error_embeddings": q_quantization_error_embeddings,
         # rows-only checks (approximate / fixture-input operators)
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
@@ -1183,6 +1233,109 @@ WHERE ts IS NOT NULL AND event_type = 'purchase'
 """
 
 
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_grams,
+    CASE WHEN len(w) >= 2
+         THEN len(list_distinct([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]))
+         ELSE 0 END AS n_distinct_grams
+  FROM t
+)
+SELECT doc_id, n_grams::INT AS n_grams, n_distinct_grams::INT AS n_distinct_grams,
+  round(CASE WHEN n_grams > 0 THEN 1.0 - n_distinct_grams::DOUBLE / n_grams ELSE 0.0 END, 6)
+    AS dup_gram_ratio
+FROM g
+"""
+
+_CONTAMINATION_SQL = """
+WITH t AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(w) >= 3
+         THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+         ELSE [] END AS s
+  FROM t
+), bench AS (
+  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src5'
+), corp AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source != 'src5'
+), hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_overlap FROM corp c JOIN bench b USING (shingle) GROUP BY 1
+)
+SELECT s.doc_id, len(s.s)::INT AS n_shingles, COALESCE(h.n_overlap, 0)::BIGINT AS n_overlap,
+  round(CASE WHEN len(s.s) > 0 THEN COALESCE(h.n_overlap, 0)::DOUBLE / len(s.s) ELSE 0.0 END, 6)
+    AS contamination
+FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE s.source != 'src5'
+"""
+
+# Connected components as a recursive CTE over the exact (pigeonhole-complete)
+# SimHash pair graph: reach(node, comp) enumerates reachable starts, MIN is
+# the component id — the declarative twin of the engine's min-label loop.
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents
+), h AS (
+  SELECT doc_id, [('0x' || substr(md5(x), 1, 8))::BIGINT FOR x IN toks] AS hs FROM t
+), s AS (
+  SELECT doc_id,
+    CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, v -> ((v >> i) & 1) = 1)) > len(hs)
+                        THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                   FOR i IN range(0, 32)]) AS BIGINT) AS sh
+  FROM h
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 7
+), e AS (
+  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+), reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(comp)::BIGINT AS component, (MIN(comp) = node) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+_LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+)
+SELECT label, pos::INT AS pos,
+  round(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(x), 6) AS centroid,
+  COUNT(x)::BIGINT AS n
+FROM e GROUP BY label, pos
+"""
+
+_QUANT_ERROR_SQL = """
+WITH s AS (
+  SELECT label, embedding,
+    CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0
+         THEN 127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+         ELSE 1.0 END AS scale
+  FROM embeddings
+), err AS (
+  SELECT label,
+    list_transform(embedding,
+      x -> pow(x::DOUBLE - floor(x::DOUBLE * scale + 0.5) / scale, 2)) AS e2,
+    len(embedding) AS dim
+  FROM s
+), rowm AS (
+  SELECT label, list_sum(e2) / dim AS mse, sqrt(list_max(e2)) AS maxerr FROM err
+)
+SELECT label,
+  round(CAST(SUM(CAST(mse AS DECIMAL(38,12))) AS DOUBLE) / COUNT(mse), 8) AS avg_mse,
+  round(MAX(maxerr), 8) AS max_abs_err, COUNT(*)::BIGINT AS n
+FROM rowm GROUP BY label
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
@@ -1244,6 +1397,11 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _EDIT_DISTANCE_PAIRS_SQL,
         "bpe_token_count_documents": _BPE_TOKENS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "repetition_documents": _REPETITION_SQL,
+        "contamination_documents": _CONTAMINATION_SQL,
+        "dedup_clusters_documents": _DEDUP_CLUSTERS_SQL,
+        "label_centroids_embeddings": _LABEL_CENTROIDS_SQL,
+        "quantization_error_embeddings": _QUANT_ERROR_SQL,
         "quantiles_lineitem": _QUANTILES_SQL,
         "window_events_hourly": _WINDOW_EVENTS_SQL,
         "drift_events_value": _DRIFT_SQL,

@@ -501,3 +501,101 @@ def embedding_near_duplicates(
         .distinct()
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    *,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list by iterative
+    min-label propagation: ``(node, component)`` where ``component`` is the
+    smallest node id reachable from ``node``.
+
+    This is the clustering step every near-dup pipeline needs between
+    "candidate pairs" (MinHash/SimHash/LSH output) and "keep one doc per
+    cluster": pairs (a,b),(b,c) must collapse to one cluster {a,b,c} even
+    though (a,c) was never emitted as a pair.
+
+    Scale design: per round, one join of the current labels against the
+    symmetrized edges + one min-aggregate — both shuffles keyed on node id,
+    so skew follows node degree (already bounded upstream by the banded LSH
+    emitters, which never produce super-nodes beyond band-bucket caps).
+    Label frames are ``localCheckpoint``-ed each round to truncate lineage
+    (the classic iterative-DataFrame OOM) and the loop exits as soon as a
+    round changes nothing. Rounds needed = O(log diameter) in the
+    small/large-star formulations; plain propagation used here is
+    O(diameter), fine for near-dup graphs whose clusters are dense and
+    shallow. No counterpart in the reference (single-dict validator).
+
+    If ``nodes`` is given (a frame with ``id_col``), isolated documents are
+    kept as singleton components; otherwise only endpoint nodes appear.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    endpoints = sym.select(F.col("src").alias("node")).distinct()
+    if nodes is not None:
+        universe = nodes.select(F.col(id_col).alias("node")).distinct()
+    else:
+        universe = endpoints
+    labels = universe.select("node", F.col("node").alias("component")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # candidate label for each node: min over its own label and its
+        # neighbors' labels this round
+        neighbor = (
+            sym.join(labels, on=sym.dst == labels.node)
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full dedup decision table: ``(doc_id, component, is_canonical)``.
+
+    ``component`` is the connected-component id over the candidate-pair
+    graph (singletons included); ``is_canonical`` marks the one document per
+    cluster a dedup pipeline would keep (smallest id — deterministic)."""
+    comp = connected_components(
+        edges, a_col, b_col, nodes=df, id_col=id_col, max_iter=max_iter
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

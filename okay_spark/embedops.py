@@ -1,0 +1,130 @@
+"""Embedding-column analytics for large-scale training-data pipelines.
+
+All pure Column expressions over ``array<float>`` embeddings (JVM-side
+higher-order functions — no UDFs, no shuffle beyond the declared groupBy):
+
+- :func:`l2_norm` / :func:`l2_normalize` — vector norms as ``aggregate``.
+- :func:`label_centroids` — per-group element-wise mean via a single
+  ``posexplode`` + hash aggregate. Output is long-form ``(label, pos,
+  centroid)`` so it partitions by (label, pos) at any dimensionality and
+  hashes stably cross-engine after rounding.
+- :func:`quantize_int8` / :func:`quantization_error` — symmetric per-row
+  int8 quantization (scale = 127 / max|v|) with reconstruction-MSE stats,
+  the standard storage/ANN compression check.
+
+At cluster scale the posexplode multiplies rows by ``dim`` (64 → 64×) but
+every derived row is 20 bytes and the aggregate is partial/map-side combined
+on (label, pos) — a wide but shallow shuffle that AQE coalesces. No driver
+collection anywhere.
+
+No counterpart in the reference (a single-dict validator,
+/root/reference/src/okay/validator.py:10-24); these are the engine-level
+embedding checks the north-star brief's pipeline would run alongside
+validation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .relops import decimal_avg
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def l2_norm(vec: Column | str) -> Column:
+    """Euclidean norm of an array column (double), single ``aggregate``."""
+    v = _c(vec)
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def l2_normalize(vec: Column | str, *, epsilon: float = 1e-12) -> Column:
+    """Unit-normalized copy of the vector (``array<double>``); zero vectors
+    map to zeros rather than NaNs."""
+    v = _c(vec)
+    n = F.greatest(l2_norm(v), F.lit(epsilon))
+    return F.transform(v, lambda x: x.cast("double") / n)
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    *,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Element-wise mean embedding per label, long form ``(label, pos,
+    centroid, n)``.
+
+    One ``posexplode`` then one hash aggregate keyed on (label, pos): the
+    shuffle key cardinality is ``labels × dim`` regardless of row count, and
+    the mean is decimal-summed so the result is independent of partial-
+    aggregation order (the round-1 float-sum-hash lesson)."""
+    lbl, v = F.col(label_col), _c(vec_col)
+    exploded = df.select(lbl.alias("label"), F.posexplode(v).alias("pos", "_x"))
+    cent = decimal_avg(F.col("_x").cast("double"))
+    if round_to is not None:
+        cent = F.round(cent, round_to)
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(cent.alias("centroid"), F.count("_x").alias("n"))
+        .orderBy("label", "pos")
+    )
+
+
+def quantize_int8(vec: Column | str) -> tuple[Column, Column]:
+    """Symmetric int8 quantization: returns ``(scale, q)`` where
+    ``scale = 127 / max|v|`` and ``q[i] = floor(v[i] * scale + 0.5)``.
+
+    ``floor(x + 0.5)`` (not ``round``) so Spark and any SQL oracle agree on
+    halfway cases bit-for-bit; all arithmetic in IEEE double."""
+    v = _c(vec)
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"))
+    return scale, q
+
+
+def quantization_error(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    *,
+    round_to: int = 8,
+) -> DataFrame:
+    """Per-label reconstruction error of int8 quantization: mean MSE and
+    worst element error. Per-row math is order-free double arithmetic; the
+    cross-row mean is decimal-summed, so the whole result hashes stably."""
+    v = _c(vec_col)
+    scale, q = quantize_int8(v)
+    recon_err2 = F.zip_with(
+        v, q, lambda x, qi: F.pow(x.cast("double") - qi.cast("double") / scale, F.lit(2.0))
+    )
+    mse = F.aggregate(recon_err2, F.lit(0.0), lambda acc, e: acc + e) / F.size(v)
+    max_abs_err = F.sqrt(F.aggregate(recon_err2, F.lit(0.0), lambda acc, e: F.greatest(acc, e)))
+    keys = [F.col(label_col).alias("label")] if label_col else [F.lit(0).alias("label")]
+    per_row = df.select(*keys, mse.alias("_mse"), max_abs_err.alias("_maxerr"))
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.round(decimal_avg("_mse"), round_to).alias("avg_mse"),
+            F.round(F.max("_maxerr"), round_to).alias("max_abs_err"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label")
+    )
+
+
+def normalized_self_cosine_check(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Sanity/violation scan: rows whose normalized self-dot deviates from 1
+    (zero or non-finite vectors) — the embedding analogue of a null-rule."""
+    v = _c(vec_col)
+    unit = l2_normalize(v)
+    selfdot = F.aggregate(unit, F.lit(0.0), lambda acc, x: acc + x * x)
+    return df.select("*", selfdot.alias("_selfdot")).filter(
+        (F.col("_selfdot") < 0.999) | (F.col("_selfdot") > 1.001) | F.isnan("_selfdot")
+    )

@@ -115,3 +115,84 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
         F.transform(zipped, lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(k)]))
     )
     return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 2,
+) -> DataFrame:
+    """Gopher-style in-document repetition metric: the fraction of word
+    k-grams that are duplicates of an earlier k-gram in the same document
+    (``1 - distinct/total``). High values flag boilerplate / machine-looped
+    text that length and stopword filters miss.
+
+    Row-local Column expressions only — embarrassingly parallel, no shuffle;
+    the same shifted-slice ``arrays_zip`` construction as
+    :func:`word_shingles` (HOF arguments evaluate once per row, index
+    lambdas re-evaluate per element)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    width = F.greatest(n - F.lit(k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, width) for j in range(k)])
+    grams = F.transform(zipped, lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(k)]))
+    total = F.when(n >= k, n - F.lit(k - 1)).otherwise(F.lit(0))
+    distinct = F.when(n >= k, F.size(F.array_distinct(grams))).otherwise(F.lit(0))
+    ratio = F.when(
+        total > 0, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        distinct.alias("n_distinct_grams"),
+        F.round(ratio, 6).alias("dup_gram_ratio"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination check: for each corpus document, how many
+    of its distinct word k-gram shingles also occur anywhere in the
+    benchmark set (the standard train/test n-gram-overlap scan).
+
+    Plan: explode distinct shingles on both sides, inner-join on the
+    shingle (the benchmark side is deduplicated to distinct shingles first,
+    so its size is bounded by its vocabulary, not its row count), then
+    re-aggregate per corpus document. At cluster scale the join key is the
+    shingle hash — uniformly distributed, no skew beyond natural stopword
+    shingles, which the benchmark-side dedup caps at one row each."""
+    c_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("_shingle")
+    )
+    b_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, k)).alias("_shingle"))
+        .distinct()
+    )
+    hits = c_sh.join(b_sh, on="_shingle")
+    n_sh = corpus.select(
+        F.col(id_col), F.size(word_shingles(text_col, k)).alias("n_shingles")
+    )
+    overlap = hits.groupBy(id_col).agg(F.count("*").alias("n_overlap"))
+    return (
+        n_sh.join(overlap, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination"),
+        )
+    )

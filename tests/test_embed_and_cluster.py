@@ -1,0 +1,175 @@
+"""Unit tests for the round-2 pipeline operators: connected-component dedup
+clustering, embedding analytics (centroids, int8 quantization, normalize),
+in-document repetition stats, and n-gram decontamination.
+
+All semantics are also oracle-checked against DuckDB SQL at sf0.01 via
+scripts/check_oracle.py; these tests pin the behavior on tiny hand-built
+frames where the expected answer is computable by eye.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+# ---------------------------------------------------------------------------
+# connected components / dedup clustering
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_merges_transitive_pairs(spark):
+    from okay_spark.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 3)], ["a", "b"]
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_needs_multiple_rounds(spark):
+    from okay_spark.dedup import connected_components
+
+    # a path graph 0-1-2-...-9: min label must walk the full diameter
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], ["a", "b"])
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_dedup_clusters_keeps_singletons_and_marks_canonical(spark):
+    from okay_spark.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    edges = spark.createDataFrame([(0, 4), (4, 5)], ["a", "b"])
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, edges).collect()}
+    assert len(rows) == 6
+    assert rows[0]["component"] == 0 and rows[0]["is_canonical"]
+    assert rows[4]["component"] == 0 and not rows[4]["is_canonical"]
+    assert rows[5]["component"] == 0 and not rows[5]["is_canonical"]
+    for singleton in (1, 2, 3):
+        assert rows[singleton]["component"] == singleton
+        assert rows[singleton]["is_canonical"]
+
+
+# ---------------------------------------------------------------------------
+# embedding analytics
+# ---------------------------------------------------------------------------
+
+
+def test_l2_normalize_unit_norm_and_zero_safe(spark):
+    from okay_spark.embedops import l2_norm, l2_normalize
+
+    df = spark.createDataFrame(
+        [Row(v=[3.0, 4.0]), Row(v=[0.0, 0.0])]
+    )
+    out = df.select(
+        l2_norm("v").alias("n"), l2_normalize("v").alias("u")
+    ).collect()
+    assert out[0]["n"] == pytest.approx(5.0)
+    assert out[0]["u"] == pytest.approx([0.6, 0.8])
+    assert out[1]["u"] == pytest.approx([0.0, 0.0])  # no NaN on zero vectors
+
+
+def test_label_centroids_elementwise_mean(spark):
+    from okay_spark.embedops import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            Row(label=0, embedding=[1.0, 2.0]),
+            Row(label=0, embedding=[3.0, 6.0]),
+            Row(label=1, embedding=[10.0, 0.0]),
+        ]
+    )
+    out = {(r["label"], r["pos"]): (r["centroid"], r["n"]) for r in label_centroids(df).collect()}
+    assert out == {
+        (0, 0): (2.0, 2),
+        (0, 1): (4.0, 2),
+        (1, 0): (10.0, 1),
+        (1, 1): (0.0, 1),
+    }
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from okay_spark.embedops import quantization_error, quantize_int8
+
+    df = spark.createDataFrame(
+        [Row(label=0, embedding=[1.0, -0.5, 0.25]), Row(label=0, embedding=[0.1, 0.2, -0.3])]
+    )
+    scale, q = quantize_int8("embedding")
+    row = df.select(scale.alias("s"), q.alias("q")).first()
+    assert row["s"] == pytest.approx(127.0)
+    assert row["q"] == [127, -63, 32]  # floor(x*127 + 0.5)
+    err = quantization_error(df).collect()
+    assert len(err) == 1
+    # worst-case symmetric int8 error is half a quantization step (the
+    # reported value is rounded to 8 decimals, hence the 5e-9 slack)
+    assert err[0]["max_abs_err"] <= 0.5 / 127.0 + 5e-9
+    assert err[0]["avg_mse"] >= 0.0
+    assert err[0]["n"] == 2
+
+
+def test_self_cosine_check_flags_zero_vectors(spark):
+    from okay_spark.embedops import normalized_self_cosine_check
+
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 1.0]), Row(vec_id=1, embedding=[0.0, 0.0])]
+    )
+    bad = normalized_self_cosine_check(df).collect()
+    assert [r["vec_id"] for r in bad] == [1]
+
+
+# ---------------------------------------------------------------------------
+# repetition + contamination
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_detects_looped_text(spark):
+    from okay_spark.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam"),
+            Row(doc_id=2, text="all words here are unique"),
+            Row(doc_id=3, text="one"),  # shorter than the gram width
+        ]
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, k=2).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["n_distinct_grams"] == 1
+    assert out[1]["dup_gram_ratio"] == pytest.approx(0.75)
+    assert out[2]["dup_gram_ratio"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["dup_gram_ratio"] == 0.0
+
+
+def test_ngram_contamination_counts_benchmark_overlap(spark):
+    from okay_spark.textops import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely disjoint words nothing shared here at all"),
+        ]
+    )
+    benchmark = spark.createDataFrame(
+        [Row(doc_id=100, text="quick brown fox leaps again")]
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(corpus, benchmark, k=3).collect()}
+    # only "quick brown fox" is shared
+    assert out[1]["n_overlap"] == 1
+    assert out[1]["n_shingles"] == 7
+    assert out[1]["contamination"] == pytest.approx(1 / 7, abs=1e-6)
+    assert out[2]["n_overlap"] == 0 and out[2]["contamination"] == 0.0
+
+
+def test_contamination_scales_benchmark_side_to_distinct_shingles(spark):
+    from okay_spark.textops import ngram_contamination
+
+    # duplicate benchmark docs must not double-count overlaps
+    corpus = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    benchmark = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c x y z") for i in range(5)]
+    )
+    out = ngram_contamination(corpus, benchmark, k=3).collect()[0]
+    assert out["n_overlap"] == 1
