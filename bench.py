@@ -166,8 +166,12 @@ def bench_queries(spark) -> dict[str, dict]:
     repeats = 3 if "--battery-only" in sys.argv else 2
     results = {}
     for name, (fn, n_rows) in suite.items():
+        # the interleaved battery is the headline docs/sec figure and this
+        # machine shows ±50% run-to-run noise at 2-3s scale — give it an
+        # extra repeat so the recorded best is a real operator time
+        n_rep = max(repeats, 3) if name == "battery_interleaved" else repeats
         best, out = None, None
-        for _ in range(repeats):
+        for _ in range(n_rep):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0

@@ -288,6 +288,49 @@ def main() -> None:
         note="tiny literal dim broadcast; fact streamed once",
     )
 
+    # 9. round-2 pipeline ops
+    from okay_spark.embedops import label_centroids, quantization_error
+    from okay_spark.textops import ngram_contamination, repetition_stats
+
+    audit(
+        "repetition_stats",
+        repetition_stats(docs, k=2),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="row-local k-gram dup ratio: pure codegen'd array expressions, "
+        "embarrassingly parallel",
+    )
+    audit(
+        "ngram_contamination",
+        ngram_contamination(
+            docs.filter(F.col("source") != "src5"),
+            docs.filter(F.col("source") == "src5"),
+            k=3,
+        ),
+        max_shuffles=6,
+        forbid=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+        note="benchmark side deduped to distinct shingles (bounded by its "
+        "vocabulary) before the shingle join; per-doc re-aggregate + one "
+        "left join for zero-overlap docs",
+    )
+    audit(
+        "label_centroids",
+        label_centroids(emb),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        note="posexplode to (label, pos, x) then ONE hash aggregate; shuffle "
+        "key cardinality = labels x dim regardless of row count; decimal sum "
+        "keeps the mean partial-order independent",
+    )
+    audit(
+        "quantization_error",
+        quantization_error(emb),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        note="int8 quantize + per-row MSE as array expressions; one "
+        "aggregate keyed on label",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
