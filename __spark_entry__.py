@@ -797,6 +797,21 @@ def q_quantization_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     return quantization_error(_read(spark, sf_dir, "embeddings"))
 
 
+def q_tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by smoothed TF-IDF, term-tiebroken (exact)."""
+    from okay_spark.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3)
+
+
+def q_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native set-op coverage: INTERSECT of two event-type user sets."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_battery_documents(spark, SF_DEFAULT)
@@ -862,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "label_centroids_embeddings": q_label_centroids_embeddings,
         "quantization_error_embeddings": q_quantization_error_embeddings,
+        "tfidf_documents": q_tfidf_documents,
+        "users_click_and_purchase": q_users_click_and_purchase,
         # rows-only checks (approximate / fixture-input operators)
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
@@ -1233,6 +1250,27 @@ WHERE ts IS NOT NULL AND event_type = 'purchase'
 """
 
 
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*)::DOUBLE AS n FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM s
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rk::INT AS rk FROM r WHERE rk <= 3
+"""
+
 _REPETITION_SQL = """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents
@@ -1399,6 +1437,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "repetition_documents": _REPETITION_SQL,
         "contamination_documents": _CONTAMINATION_SQL,
+        "tfidf_documents": _TFIDF_SQL,
+        "users_click_and_purchase": (
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'purchase'"
+        ),
         "dedup_clusters_documents": _DEDUP_CLUSTERS_SQL,
         "label_centroids_embeddings": _LABEL_CENTROIDS_SQL,
         "quantization_error_embeddings": _QUANT_ERROR_SQL,

@@ -133,3 +133,24 @@ def running_violation_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str] | str = "doc_id",
+    *,
+    watermark_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Cross-micro-batch exact dedup of a stream on ``key_cols``.
+
+    With a ``watermark_col``, uses ``dropDuplicatesWithinWatermark`` so the
+    dedup state is bounded: a key is remembered only until the watermark
+    passes it, which is the only formulation that survives an unbounded
+    stream (plain ``dropDuplicates`` on a stream keeps every key forever).
+    Without a watermark (finite backfills via Trigger.AvailableNow), plain
+    ``dropDuplicates`` is used and state dies with the run."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if watermark_col is not None:
+        return stream_df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
+    return stream_df.dropDuplicates(keys)

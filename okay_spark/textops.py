@@ -196,3 +196,46 @@ def ngram_contamination(
             ).alias("contamination"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``), ties broken by term — fully
+    deterministic, so the DuckDB oracle reproduces it bit-for-bit.
+
+    Plan: one term-frequency aggregate keyed on (doc, term), one
+    document-frequency aggregate keyed on term (both partial/map-side
+    combined), the corpus size N broadcast as a literal one-row frame, a
+    term-keyed join, then a per-document window for the top-k. Every
+    shuffle key is either (doc, term) or term — high-cardinality and
+    uniform; no driver collection."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n_docs = df.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            (F.col("tf") * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1)).alias("_tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", F.round("_tfidf", 6).alias("tfidf"), "rk")
+    )

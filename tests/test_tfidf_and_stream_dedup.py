@@ -1,0 +1,90 @@
+"""TF-IDF top-terms and cross-batch streaming dedup."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    from okay_spark.textops import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common rare"),
+            Row(doc_id=2, text="common boring"),
+            Row(doc_id=3, text="common boring filler"),
+        ]
+    )
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # equal tf=1 in doc 1: "rare" (df=1) outranks "common" (df=3) on idf
+    assert top[1] == "rare"
+    assert all(r["rk"] == 1 for r in out)
+
+
+def test_tfidf_term_tiebreak_is_deterministic(spark):
+    from okay_spark.textops import tfidf_top_terms
+
+    # two terms with identical tf and df: alphabetical order must win
+    df = spark.createDataFrame([Row(doc_id=1, text="zeta alpha")])
+    out = tfidf_top_terms(df, k=2).collect()
+    assert [r["term"] for r in sorted(out, key=lambda r: r["rk"])] == ["alpha", "zeta"]
+
+
+def test_tfidf_repeated_term_gets_higher_tf(spark):
+    from okay_spark.textops import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a b"), Row(doc_id=2, text="a b b c")]
+    )
+    out = {(r["doc_id"], r["rk"]): r["term"] for r in tfidf_top_terms(df, k=1).collect()}
+    assert out[(1, 1)] == "a"
+    assert out[(2, 1)] == "b"
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark):
+    from okay_spark.streaming import stream_dedup
+
+    src = tempfile.mkdtemp(prefix="okay_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="okay_stream_ckpt_")
+    sink = tempfile.mkdtemp(prefix="okay_stream_sink_")
+    try:
+        # two files = two micro-batch candidates; doc 2 appears in both
+        spark.createDataFrame(
+            [Row(doc_id=1, text="one"), Row(doc_id=2, text="two")]
+        ).write.parquet(f"{src}/a")
+        spark.createDataFrame(
+            [Row(doc_id=2, text="two"), Row(doc_id=3, text="three")]
+        ).write.parquet(f"{src}/b")
+        stream = spark.readStream.schema("doc_id bigint, text string").option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        deduped = stream_dedup(stream, "doc_id")
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out = spark.read.parquet(sink)
+        assert out.count() == 3
+        assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 2, 3}
+    finally:
+        for d in (src, ckpt, sink):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_watermark_variant_builds(spark):
+    from okay_spark.streaming import stream_dedup
+
+    # plan-construction check: the bounded-state variant must wire the
+    # watermark + dropDuplicatesWithinWatermark without analysis errors
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    out = stream_dedup(stream, "value", watermark_col="timestamp", delay="5 seconds")
+    assert out.isStreaming
