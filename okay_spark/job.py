@@ -10,10 +10,17 @@ documents:
 4. per-column stats + drift vs a reference snapshot -> metrics sink
 5. per-partition pass/fail summaries + lineage -> resume skips done parts
 
-Usage (cluster):
-    spark-submit --py-files okay_spark.zip -m okay_spark.job \\
+Usage (cluster) — spark-submit's primary file must be a top-level script
+(relative imports have no parent package there), so the repo-root launcher
+``submit_job.py`` dispatches into this module:
+
+    zip -qr okay_spark.zip okay_spark
+    spark-submit --py-files okay_spark.zip submit_job.py \\
         --input warehouse.docs --catalog warehouse.media \\
         --output /sinks/validation --run-id nightly-2026-08-16
+
+Executed end-to-end (real spark-submit subprocess, zip on --py-files) by
+tests/test_spark_submit.py.
 
 Sandbox smoke:
     python -m okay_spark.job --n-docs 100000 --output /tmp/okay_run

@@ -11,7 +11,7 @@ spark-submit \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
   --conf spark.sql.shuffle.partitions="${SHUFFLE_PARTITIONS:-2000}" \
-  okay_spark/job.py \
+  submit_job.py \
   --input "${INPUT_TABLE:?set INPUT_TABLE}" \
   --catalog "${MEDIA_CATALOG:?set MEDIA_CATALOG}" \
   --output "${OUTPUT:?set OUTPUT}" \
