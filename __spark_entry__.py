@@ -797,6 +797,16 @@ def q_quantization_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     return quantization_error(_read(spark, sf_dir, "embeddings"))
 
 
+def q_ks_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (unbinned) two-sample KS via distributed prefix sum."""
+    from okay_spark.checks import ks_exact
+
+    ev = _read(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_type") == "error")
+    ref = ev.filter(F.col("event_type") == "click")
+    return ks_exact(cur, ref, "value")
+
+
 def q_tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per doc by smoothed TF-IDF, term-tiebroken (exact)."""
     from okay_spark.textops import tfidf_top_terms
@@ -879,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantization_error_embeddings": q_quantization_error_embeddings,
         "tfidf_documents": q_tfidf_documents,
         "users_click_and_purchase": q_users_click_and_purchase,
+        "ks_exact_events": q_ks_exact_events,
         # rows-only checks (approximate / fixture-input operators)
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
@@ -1250,6 +1261,28 @@ WHERE ts IS NOT NULL AND event_type = 'purchase'
 """
 
 
+_KS_EXACT_SQL = """
+WITH cur AS (
+  SELECT value AS x FROM events WHERE event_type = 'error' AND value IS NOT NULL
+), ref AS (
+  SELECT value AS x FROM events WHERE event_type = 'click' AND value IS NOT NULL
+), pv AS (
+  SELECT x, SUM(c1) AS c1, SUM(c2) AS c2 FROM (
+    SELECT x, 1 AS c1, 0 AS c2 FROM cur
+    UNION ALL
+    SELECT x, 0, 1 FROM ref
+  ) GROUP BY x
+), c AS (
+  SELECT SUM(c1) OVER (ORDER BY x) AS l1, SUM(c2) OVER (ORDER BY x) AS l2 FROM pv
+), t AS (
+  SELECT (SELECT COUNT(*) FROM cur)::DOUBLE AS n1, (SELECT COUNT(*) FROM ref)::DOUBLE AS n2
+)
+SELECT round(MAX(ABS(l1 / n1 - l2 / n2)), 6) AS ks_stat,
+  (SELECT COUNT(*) FROM cur)::BIGINT AS n_current,
+  (SELECT COUNT(*) FROM ref)::BIGINT AS n_reference
+FROM c, t
+"""
+
 _TFIDF_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
@@ -1438,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": _REPETITION_SQL,
         "contamination_documents": _CONTAMINATION_SQL,
         "tfidf_documents": _TFIDF_SQL,
+        "ks_exact_events": _KS_EXACT_SQL,
         "users_click_and_purchase": (
             "SELECT user_id FROM events WHERE event_type = 'click' "
             "INTERSECT "

@@ -638,3 +638,79 @@ def rule_summary(df: DataFrame, schema, partition_cols: list[str] | str = "part"
         .groupBy(*parts, F.col("_v.rule").alias("rule"), F.col("_v.path").alias("path"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def ks_exact(
+    current: DataFrame,
+    reference: DataFrame,
+    col: str,
+    *,
+    partitions: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic (one row: ``ks_stat,
+    n_current, n_reference``) — the unbinned twin of :func:`drift_metrics`'s
+    binned KS.
+
+    The textbook formulation (one global ordered window) collapses every
+    distinct value onto a single task, which is the classic exact-KS
+    scale-killer. This plan is a distributed prefix sum instead:
+
+    1. one aggregate keyed on the value (per-value counts for both sides);
+    2. ``repartitionByRange`` on the value — each partition holds a
+       contiguous value range, cumulative sums are local windows;
+    3. per-partition totals (≤ ``partitions`` rows — bounded by the chosen
+       partition count, never by data size) come back to the driver once and
+       return as a broadcast offsets table;
+    4. global ECDF gap = local cumsum + range offset; one max-aggregate.
+
+    The ECDF is evaluated after each distinct value (right-continuous), and
+    values occurring in only one side still contribute because the union
+    carries every distinct value. All math is exact integer counts until the
+    final two divisions, so the statistic is bit-stable across partitionings
+    (and reproducible by the DuckDB oracle)."""
+    from pyspark.sql import Window
+
+    x = F.col(col).cast("double")
+    u = current.select(x.alias("x"), F.lit(1).alias("c1"), F.lit(0).alias("c2")).unionAll(
+        reference.select(x.alias("x"), F.lit(0).alias("c1"), F.lit(1).alias("c2"))
+    )
+    per_val = (
+        u.filter(F.col("x").isNotNull())
+        .groupBy("x")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    ranged = per_val.repartitionByRange(partitions, "x").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("x")
+    local = ranged.withColumn("l1", F.sum("c1").over(w)).withColumn(
+        "l2", F.sum("c2").over(w)
+    )
+    local = local.localCheckpoint(eager=True)  # pid is physical: pin it before reuse
+    totals = (
+        local.groupBy("pid")
+        .agg(F.max("l1").alias("t1"), F.max("l2").alias("t2"))
+        .orderBy("pid")
+        .collect()  # <= `partitions` rows by construction
+    )
+    spark = current.sparkSession
+    off1 = off2 = 0
+    offsets = []
+    for r in totals:
+        offsets.append((r["pid"], off1, off2))
+        off1 += r["t1"]
+        off2 += r["t2"]
+    n1, n2 = off1, off2
+    off_df = spark.createDataFrame(offsets, "pid int, o1 bigint, o2 bigint")
+    gaps = local.join(F.broadcast(off_df), on="pid").select(
+        F.abs(
+            (F.col("l1") + F.col("o1")) / F.lit(float(n1))
+            - (F.col("l2") + F.col("o2")) / F.lit(float(n2))
+        ).alias("gap")
+    )
+    return gaps.agg(
+        F.round(F.max("gap"), round_to).alias("ks_stat"),
+        F.lit(n1).alias("n_current"),
+        F.lit(n2).alias("n_reference"),
+    )

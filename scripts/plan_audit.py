@@ -331,6 +331,24 @@ def main() -> None:
         "aggregate keyed on label",
     )
 
+    from okay_spark.checks import ks_exact
+
+    audit(
+        "ks_exact (distributed prefix sum)",
+        ks_exact(
+            events.filter(F.col("event_type") == "error"),
+            events.filter(F.col("event_type") == "click"),
+            "value",
+        ),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="exact unbinned KS without the single-task global window: "
+        "per-value aggregate -> range partitions -> local window cumsums; "
+        "cross-partition offsets are <= `partitions` rows fetched once and "
+        "broadcast back (audited plan starts at the checkpointed local "
+        "cumsums: offsets join + max aggregate)",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")

@@ -173,3 +173,58 @@ def test_contamination_scales_benchmark_side_to_distinct_shingles(spark):
     )
     out = ngram_contamination(corpus, benchmark, k=3).collect()[0]
     assert out["n_overlap"] == 1
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample KS
+# ---------------------------------------------------------------------------
+
+
+def test_ks_exact_identical_distributions_is_zero(spark):
+    from okay_spark.checks import ks_exact
+    from pyspark.sql import Row
+
+    a = spark.createDataFrame([Row(v=float(i % 10)) for i in range(100)])
+    out = ks_exact(a, a, "v").collect()[0]
+    assert out["ks_stat"] == 0.0
+    assert out["n_current"] == out["n_reference"] == 100
+
+
+def test_ks_exact_disjoint_supports_is_one(spark):
+    from okay_spark.checks import ks_exact
+    from pyspark.sql import Row
+
+    lo = spark.createDataFrame([Row(v=float(i)) for i in range(50)])
+    hi = spark.createDataFrame([Row(v=float(i + 1000)) for i in range(70)])
+    out = ks_exact(lo, hi, "v").collect()[0]
+    assert out["ks_stat"] == 1.0
+
+
+def test_ks_exact_matches_scipy_formula_small_case(spark):
+    from okay_spark.checks import ks_exact
+    from pyspark.sql import Row
+
+    cur = [1.0, 2.0, 2.0, 3.0, 9.0]
+    ref = [2.0, 4.0, 4.0, 5.0]
+    out = ks_exact(
+        spark.createDataFrame([Row(v=x) for x in cur]),
+        spark.createDataFrame([Row(v=x) for x in ref]),
+        "v",
+        partitions=3,
+    ).collect()[0]
+    # hand-computed ECDF gap: after value 3 -> |4/5 - 1/4| = 0.55
+    assert out["ks_stat"] == pytest.approx(0.55)
+
+
+def test_ks_exact_invariant_to_partition_count(spark):
+    from okay_spark.checks import ks_exact
+    from pyspark.sql import Row
+
+    import random
+
+    rng = random.Random(7)
+    a = spark.createDataFrame([Row(v=rng.gauss(0, 1)) for _ in range(400)])
+    b = spark.createDataFrame([Row(v=rng.gauss(0.5, 1)) for _ in range(300)])
+    r1 = ks_exact(a, b, "v", partitions=2).collect()[0]
+    r2 = ks_exact(a, b, "v", partitions=16).collect()[0]
+    assert r1["ks_stat"] == r2["ks_stat"] > 0.0
