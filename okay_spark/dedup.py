@@ -544,6 +544,9 @@ def connected_components(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # edges are typically the output of an expensive LSH self-join;
+        # materialize once or every propagation round re-runs that join
+        .localCheckpoint(eager=True)
     )
     endpoints = sym.select(F.col("src").alias("node")).distinct()
     if nodes is not None:
