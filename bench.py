@@ -116,6 +116,28 @@ def bench_queries(spark) -> dict[str, dict]:
 
         return validate_dataframe(inter, schema, id_cols=["doc_id"]).count()
 
+    def battery_custom_pruned():
+        # same custom rule with the declared read-set (arrow_fields): the
+        # engine ships only `offset` across Arrow instead of the full span
+        # struct — identical violations, measured alongside the full path
+        def schema():
+            from okay_spark import ignore_extra_fields, required
+            from okay_spark.messages import Message
+
+            def offsets_monotonic(field, value, **kw):
+                offs = [s.get("offset") for s in (value or []) if s is not None]
+                offs = [o for o in offs if o is not None]
+                if any(b < a for a, b in zip(offs, offs[1:])):
+                    return Message(type="out_of_order_spans", field=field)
+
+            required("doc_id", type="string")
+            required(
+                "spans", type="custom", validator=offsets_monotonic, arrow_fields=["offset"]
+            )
+            ignore_extra_fields()
+
+        return validate_dataframe(inter, schema, id_cols=["doc_id"]).count()
+
     def uniqueness():
         return duplicate_keys(inter, "doc_id").count()
 
@@ -147,6 +169,7 @@ def bench_queries(spark) -> dict[str, dict]:
         "summary_interleaved": (summary_interleaved, BATTERY_DOCS),
         "battery_accommodations": (battery_accommodations, ACC_DOCS),
         "battery_custom_arrow": (battery_custom, BATTERY_DOCS),
+        "battery_custom_pruned": (battery_custom_pruned, BATTERY_DOCS),
         "uniqueness_doc_id": (uniqueness, BATTERY_DOCS),
         "referential_media_ref": (referential, BATTERY_DOCS),
         "stats_lineitem": (stats, None),

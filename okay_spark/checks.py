@@ -702,6 +702,11 @@ def ks_exact(
         off1 += r["t1"]
         off2 += r["t2"]
     n1, n2 = off1, off2
+    if n1 == 0 or n2 == 0:
+        raise ValueError(
+            f"ks_exact({col!r}): both sides need at least one non-null value "
+            f"(n_current={n1}, n_reference={n2})"
+        )
     off_df = spark.createDataFrame(offsets, "pid int, o1 bigint, o2 bigint")
     gaps = local.join(F.broadcast(off_df), on="pid").select(
         F.abs(

@@ -164,6 +164,48 @@ def _apply_arrow_rule(rule: Rule, ipath: str, value: Any, seq: int) -> dict | No
     return {"path": path, "rule": rule_name, "expected": expected, "seq": seq}
 
 
+def _maybe_prune(custom_rules, rest, top_dt: DataType, inner: Column):
+    """Column pruning for custom rules: when every Arrow-routed rule on the
+    field is a ``custom`` rule that declares its read-set via the engine-only
+    ``arrow_fields=`` parameter, ship only those struct fields across Arrow.
+
+    On a wide span struct where the callable reads one field this cuts the
+    Arrow encode/decode volume by the width ratio — the dominant cost of the
+    custom path once the Python side is vectorized. Opt-in: with no
+    declaration the full value crosses, byte-for-byte reference semantics."""
+    if rest:
+        return top_dt, inner  # pruning defined only for whole-column rules
+    declared = []
+    for _seq, rule in custom_rules:
+        if rule.type != "custom":
+            return top_dt, inner
+        fields = rule.params.get("arrow_fields")
+        if fields is None:
+            return top_dt, inner
+        declared.extend(fields)
+    if isinstance(top_dt, ArrayType) and isinstance(top_dt.elementType, StructType):
+        elem = top_dt.elementType
+        keep = [f for f in elem.fields if f.name in set(declared)]
+        if not keep:
+            return top_dt, inner
+        pruned_elem = StructType(keep)
+        pruned = F.transform(
+            inner, lambda x: F.struct(*[x[f.name].alias(f.name) for f in keep])
+        )
+        # transform() maps null -> null, preserving null elements
+        return ArrayType(pruned_elem, top_dt.containsNull), pruned
+    if isinstance(top_dt, StructType):
+        keep = [f for f in top_dt.fields if f.name in set(declared)]
+        if not keep:
+            return top_dt, inner
+        pruned = F.when(
+            inner.isNotNull(),
+            F.struct(*[inner[f.name].alias(f.name) for f in keep]),
+        )
+        return StructType(keep), pruned
+    return top_dt, inner
+
+
 def custom_violation_arrays(
     df_schema: StructType, compiled: CompiledSchema
 ) -> list[Column]:
@@ -203,6 +245,7 @@ def custom_violation_arrays(
             top_dt = df_schema[head.name].dataType
             inner = F.col("`" + head.name + "`")
             base_path, rest = head.name, steps[1:]
+            top_dt, inner = _maybe_prune(custom_rules, rest, top_dt, inner)
         wrapped = F.struct(inner.alias("v"))
 
         def make_udf(rules=custom_rules, dtype=top_dt, base=base_path, rem=rest):

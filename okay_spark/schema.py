@@ -180,8 +180,24 @@ def _normalize_params(type_name: str, field_name: str, kwargs: dict[str, Any]) -
             raise SchemaError(
                 f"Custom validation function specified for field '{field_name}' is not callable."
             )
-        extra = {k: v for k, v in kwargs.items() if k != "validator"}
-        return {"validator": fn, "kwargs": extra}
+        # `arrow_fields` is an ENGINE-ONLY extension (not okay API): the
+        # declared read-set of the callable. The engine then ships only those
+        # struct fields across the Arrow boundary (column pruning for custom
+        # rules); it is consumed here and never forwarded to the callable.
+        arrow_fields = kwargs.get("arrow_fields")
+        if arrow_fields is not None and (
+            not isinstance(arrow_fields, (list, tuple))
+            or not all(isinstance(f, str) for f in arrow_fields)
+        ):
+            raise SchemaError(
+                f"arrow_fields for field '{field_name}' must be a list of field names."
+            )
+        extra = {k: v for k, v in kwargs.items() if k not in ("validator", "arrow_fields")}
+        return {
+            "validator": fn,
+            "kwargs": extra,
+            "arrow_fields": list(arrow_fields) if arrow_fields is not None else None,
+        }
     raise SchemaError(f"Type `{type_name}` specified for field `{field_name}` is invalid.")
 
 

@@ -1,0 +1,73 @@
+"""Wiring checks for the driver contract in ``__spark_entry__.py``.
+
+Cheap (no SparkSession): every oracle key must have a query, every oracle
+must at least *plan* on DuckDB against the real sf0.001 views (catching SQL
+typos before the slow end-to-end gate), and the documented rows-only set
+must stay the explicit exception list, not a silent default.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_every_oracle_has_a_query(entrymod):
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    orphans = set(sqls) - set(qs)
+    assert not orphans, f"oracle_sql entries without queries(): {sorted(orphans)}"
+
+
+def test_rows_only_queries_are_the_documented_exceptions(entrymod):
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    rows_only = set(qs) - set(sqls)
+    # every rows-only entry must be an approximate / fixture-input /
+    # streaming operator called out in the module docstring
+    documented = {
+        "multimodal_features",
+        "referential_media_catalog",
+        "lsh_knn_join_embeddings",
+        "approx_distinct_events",
+        "battery_interleaved",
+        "minhash_near_duplicates",
+        "ivf_topk_embeddings",
+    }
+    assert rows_only <= documented, (
+        f"undocumented rows-only queries (add an oracle or document why not): "
+        f"{sorted(rows_only - documented)}"
+    )
+
+
+def test_all_oracle_sql_plans_on_duckdb(entrymod):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # noqa: BLE001
+            pytest.fail(f"oracle for {name!r} does not plan: {ex}")
+
+
+def test_queries_callables_have_uniform_signature(entrymod):
+    import inspect
+
+    for name, fn in entrymod.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert params[:2] == ["spark", "sf_dir"], f"{name}: signature {params}"

@@ -228,3 +228,96 @@ def test_ks_exact_invariant_to_partition_count(spark):
     r1 = ks_exact(a, b, "v", partitions=2).collect()[0]
     r2 = ks_exact(a, b, "v", partitions=16).collect()[0]
     assert r1["ks_stat"] == r2["ks_stat"] > 0.0
+
+
+def test_ks_exact_rejects_empty_side(spark):
+    from okay_spark.checks import ks_exact
+    from pyspark.sql import Row
+
+    a = spark.createDataFrame([Row(v=1.0)])
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="non-null value"):
+        ks_exact(a, empty, "v").collect()
+
+
+# ---------------------------------------------------------------------------
+# custom-rule Arrow column pruning (arrow_fields)
+# ---------------------------------------------------------------------------
+
+
+def test_custom_rule_arrow_fields_prunes_but_matches_unpruned(spark):
+    from okay_spark.engine import validate_dataframe
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id="a", spans=[
+                Row(kind="text", text="hello world", media_ref=None, offset=0),
+                Row(kind="media", text=None, media_ref="m-1", offset=5),
+            ]),
+            Row(doc_id="b", spans=[
+                Row(kind="text", text="later", media_ref=None, offset=9),
+                Row(kind="text", text="earlier", media_ref=None, offset=3),
+            ]),
+        ]
+    )
+
+    def mk_schema(declare):
+        def schema():
+            from okay_spark import ignore_extra_fields, required
+            from okay_spark.messages import Message
+
+            def offsets_monotonic(field, value, **kw):
+                offs = [s.get("offset") for s in (value or []) if s is not None]
+                if any(b < a for a, b in zip(offs, offs[1:])):
+                    return Message(type="out_of_order_spans", field=field)
+
+            kwargs = {"arrow_fields": ["offset"]} if declare else {}
+            required("doc_id", type="string")
+            required("spans", type="custom", validator=offsets_monotonic, **kwargs)
+            ignore_extra_fields()
+
+        return schema
+
+    full = validate_dataframe(df, mk_schema(False), id_cols=["doc_id"]).collect()
+    pruned = validate_dataframe(df, mk_schema(True), id_cols=["doc_id"]).collect()
+    key = lambda r: (r["doc_id"], r["path"], r["rule"])  # noqa: E731
+    assert sorted(map(key, full)) == sorted(map(key, pruned))
+    assert {r["doc_id"] for r in pruned if r["rule"] == "out_of_order_spans"} == {"b"}
+
+
+def test_custom_rule_sees_only_declared_fields(spark):
+    from okay_spark.engine import validate_dataframe
+    from okay_spark import ignore_extra_fields, required
+
+    seen = []
+
+    def schema():
+        def spy(field, value, **kw):
+            seen.append(sorted(value[0].keys()) if value else None)
+            assert "arrow_fields" not in kw  # engine param never forwarded
+
+        required("spans", type="custom", validator=spy, arrow_fields=["kind"])
+        ignore_extra_fields()
+
+    df = spark.createDataFrame(
+        [("a", [("text", "payload", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    validate_dataframe(df, schema, id_cols=["doc_id"]).collect()
+    # the spy runs on executors; re-run via the single-doc compat API instead
+    from okay_spark import validate
+
+    validate(schema, {"spans": [{"kind": "text", "text": "x", "media_ref": None, "offset": 0}]})
+    assert seen  # compat path executed the callable in-process
+
+
+def test_arrow_fields_must_be_string_list(spark):
+    from okay_spark import required
+    from okay_spark.errors import SchemaError
+    from okay_spark.schema import compile_schema
+
+    def bad():
+        required("spans", type="custom", validator=lambda f, v, **k: None, arrow_fields="offset")
+
+    with pytest.raises(SchemaError, match="arrow_fields"):
+        compile_schema(bad)
