@@ -532,10 +532,10 @@ def connected_components(
     emitters, which never produce super-nodes beyond band-bucket caps).
     Label frames are ``localCheckpoint``-ed each round to truncate lineage
     (the classic iterative-DataFrame OOM) and the loop exits as soon as a
-    round changes nothing. Rounds needed = O(log diameter) in the
-    small/large-star formulations; plain propagation used here is
-    O(diameter), fine for near-dup graphs whose clusters are dense and
-    shallow. No counterpart in the reference (single-dict validator).
+    round changes nothing. Each round combines neighbor propagation with a
+    pointer-doubling compression join, so rounds needed = O(log diameter)
+    (a 10^6-long pathological chain converges in ~20 rounds, not 10^6).
+    No counterpart in the reference (single-dict validator).
 
     If ``nodes`` is given (a frame with ``id_col``), isolated documents are
     kept as singleton components; otherwise only endpoint nodes appear.
@@ -561,10 +561,28 @@ def connected_components(
             sym.join(labels, on=sym.dst == labels.node)
             .select(F.col("src").alias("node"), "component")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling (path compression): follow each node's label to
+        # THAT node's label in the same round — chain length halves per
+        # round, so a diameter-D path converges in O(log D) rounds instead
+        # of O(D). The parent always exists in the frame (labels are node
+        # ids from the same universe) and parent.component <= component by
+        # the min invariant, so `least` only ever improves.
+        parent = propagated.select(
+            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
+        )
+        new_labels = (
+            propagated.join(parent, on=propagated.component == parent._pnode, how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -321,3 +321,14 @@ def test_arrow_fields_must_be_string_list(spark):
 
     with pytest.raises(SchemaError, match="arrow_fields"):
         compile_schema(bad)
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    from okay_spark.dedup import connected_components
+
+    # a 200-node path needs 199 plain-propagation rounds; pointer doubling
+    # must finish it within the 10-round cap (2^10 >> 200)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(199)], ["a", "b"])
+    out = connected_components(edges, max_iter=10).collect()
+    assert len(out) == 200
+    assert {r["component"] for r in out} == {0}
