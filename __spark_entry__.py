@@ -807,6 +807,24 @@ def q_ks_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_exact(cur, ref, "value")
 
 
+def q_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style quality-gate report: all row-local constraints in ONE
+    aggregate pass + a keyed uniqueness check, unioned into one report."""
+    from okay_spark.expectations import Expectations
+
+    return (
+        Expectations()
+        .expect_row_count_between(1, 1_000_000_000)
+        .expect_non_null("text")
+        .expect_values_in("lang", ["en", "fr", "de"], max_viol_frac=0.5)
+        .expect_min("n_chars", 0)
+        .expect_max("n_chars", 1000)
+        .expect_regex("source", r"src[0-5]", max_viol_frac=0.5)
+        .expect_unique("doc_id")
+        .run(_read(spark, sf_dir, "documents"))
+    )
+
+
 def q_tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per doc by smoothed TF-IDF, term-tiebroken (exact)."""
     from okay_spark.textops import tfidf_top_terms
@@ -890,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_documents": q_tfidf_documents,
         "users_click_and_purchase": q_users_click_and_purchase,
         "ks_exact_events": q_ks_exact_events,
+        "expectations_documents": q_expectations_documents,
         # rows-only checks (approximate / fixture-input operators)
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
@@ -1261,6 +1280,25 @@ WHERE ts IS NOT NULL AND event_type = 'purchase'
 """
 
 
+_EXPECTATIONS_SQL = """
+WITH n AS (SELECT COUNT(*)::DOUBLE AS c FROM documents),
+nulls AS (SELECT round(AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 9) AS o FROM documents),
+opt AS (SELECT round(AVG(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','fr','de') THEN 1.0 ELSE 0.0 END), 9) AS o FROM documents),
+mn AS (SELECT MIN(n_chars)::DOUBLE AS o FROM documents),
+mx AS (SELECT MAX(n_chars)::DOUBLE AS o FROM documents),
+rx AS (SELECT round(AVG(CASE WHEN source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-5]') THEN 1.0 ELSE 0.0 END), 9) AS o FROM documents),
+dup AS (SELECT COUNT(*)::DOUBLE AS o FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1))
+SELECT 'row_count_min' AS "check", '*' AS "column", (SELECT c FROM n) AS observed,
+       1.0::DOUBLE AS threshold, (SELECT c FROM n) >= 1.0 AS passed
+UNION ALL SELECT 'row_count_max', '*', (SELECT c FROM n), 1000000000.0::DOUBLE, (SELECT c FROM n) <= 1000000000.0
+UNION ALL SELECT 'null_frac', 'text', (SELECT o FROM nulls), 0.0::DOUBLE, (SELECT o FROM nulls) <= 0.0
+UNION ALL SELECT 'invalid_option_frac', 'lang', (SELECT o FROM opt), 0.5::DOUBLE, (SELECT o FROM opt) <= 0.5
+UNION ALL SELECT 'min', 'n_chars', (SELECT o FROM mn), 0.0::DOUBLE, (SELECT o FROM mn) >= 0.0
+UNION ALL SELECT 'max', 'n_chars', (SELECT o FROM mx), 1000.0::DOUBLE, (SELECT o FROM mx) <= 1000.0
+UNION ALL SELECT 'regex_viol_frac', 'source', (SELECT o FROM rx), 0.5::DOUBLE, (SELECT o FROM rx) <= 0.5
+UNION ALL SELECT 'duplicate_keys', 'doc_id', (SELECT o FROM dup), 0.0::DOUBLE, (SELECT o FROM dup) <= 0.0
+"""
+
 _KS_EXACT_SQL = """
 WITH cur AS (
   SELECT value AS x FROM events WHERE event_type = 'error' AND value IS NOT NULL
@@ -1472,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_documents": _CONTAMINATION_SQL,
         "tfidf_documents": _TFIDF_SQL,
         "ks_exact_events": _KS_EXACT_SQL,
+        "expectations_documents": _EXPECTATIONS_SQL,
         "users_click_and_purchase": (
             "SELECT user_id FROM events WHERE event_type = 'click' "
             "INTERSECT "

@@ -1,0 +1,97 @@
+"""Expectation-suite (Deequ-style quality gate) semantics + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", n=5, ref="m-1"),
+            Row(doc_id=2, lang="fr", n=50, ref="m-2"),
+            Row(doc_id=2, lang="xx", n=-1, ref="m-404"),  # dup id, bad lang, bad n, orphan ref
+            Row(doc_id=4, lang=None, n=9, ref=None),
+        ]
+    )
+
+
+def _dim(spark):
+    return spark.createDataFrame([Row(media_ref="m-1"), Row(media_ref="m-2")])
+
+
+def test_expectations_report_pass_fail(spark):
+    from okay_spark.expectations import Expectations
+
+    report = (
+        Expectations()
+        .expect_row_count_between(1, 100)
+        .expect_non_null("lang", max_null_frac=0.30)
+        .expect_values_in("lang", ["en", "fr", "de"])
+        .expect_min("n", 0)
+        .expect_unique("doc_id")
+        .expect_reference("ref", _dim(spark), "media_ref")
+        .run(_docs(spark))
+    )
+    rows = {(r["check"], r["column"]): r for r in report.collect()}
+    assert rows[("row_count_min", "*")]["passed"]
+    assert rows[("row_count_max", "*")]["passed"]
+    # 1 null lang of 4 rows = 0.25 <= 0.30
+    assert rows[("null_frac", "lang")]["observed"] == pytest.approx(0.25)
+    assert rows[("null_frac", "lang")]["passed"]
+    # 'xx' violates the option set
+    assert rows[("invalid_option_frac", "lang")]["observed"] == pytest.approx(0.25)
+    assert not rows[("invalid_option_frac", "lang")]["passed"]
+    assert rows[("min", "n")]["observed"] == -1.0
+    assert not rows[("min", "n")]["passed"]
+    assert rows[("duplicate_keys", "doc_id")]["observed"] == 1.0
+    assert not rows[("duplicate_keys", "doc_id")]["passed"]
+    # one non-null orphan (m-404); the null ref doesn't count
+    assert rows[("unknown_reference", "ref")]["observed"] == 1.0
+    assert not rows[("unknown_reference", "ref")]["passed"]
+
+
+def test_expectations_regex_and_thresholds(spark):
+    from okay_spark.expectations import Expectations
+
+    df = spark.createDataFrame(
+        [Row(code="A-1"), Row(code="A-2"), Row(code="oops"), Row(code=None)]
+    )
+    report = (
+        Expectations()
+        .expect_regex("code", r"A-\d", max_viol_frac=0.30)
+        .run(df)
+    )
+    r = report.collect()[0]
+    # 1 violation of 4 rows (null doesn't violate regex) = 0.25 <= 0.30
+    assert r["observed"] == pytest.approx(0.25)
+    assert r["passed"]
+
+
+def test_row_local_expectations_share_one_scan(spark):
+    from okay_spark.expectations import Expectations
+
+    df = spark.createDataFrame([Row(a=1, b="x")] * 10)
+    report = (
+        Expectations()
+        .expect_non_null("a")
+        .expect_non_null("b")
+        .expect_min("a", 0)
+        .expect_max("a", 100)
+        .expect_row_count_between(1)
+        .run(df)
+    )
+    report.collect()
+    plan = report._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # one aggregate over the source: no per-constraint rescans
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_empty_suite_returns_empty_report(spark):
+    from okay_spark.expectations import Expectations
+
+    out = Expectations().run(_docs(spark))
+    assert out.count() == 0
+    assert out.columns == ["check", "column", "observed", "threshold", "passed"]
