@@ -45,7 +45,7 @@ from .checks import (
 from .engine import validate_dataframe
 from .io import read_table, write_table
 from .schema import compile_cached
-from .state import run_resumable_validation, schema_fingerprint
+from .state import run_resumable_validation
 
 
 def run_full_validation(
@@ -57,12 +57,19 @@ def run_full_validation(
     output: str,
     run_id: str,
     partition_col: str = "part",
+    input_snapshot: str = "",
     reference_snapshot=None,
     broadcast_catalog: bool = True,
     salt_buckets: int = 16,
 ) -> dict:
     """Run the complete check battery; returns run metrics (also written to
-    ``{output}/run_metrics``)."""
+    ``{output}/run_metrics``).
+
+    ``input_snapshot`` identifies the INPUT data version (e.g. the Iceberg
+    snapshot id); resume skips a partition only when the same (input
+    snapshot, schema fingerprint) pair already completed it. Earlier this
+    passed the schema fingerprint as the snapshot, which made a nightly run
+    over NEW data with an unchanged schema skip everything."""
     compiled = compile_cached(schema) if callable(schema) else schema
     t0 = time.time()
 
@@ -73,7 +80,7 @@ def run_full_validation(
         violations_target=f"{output}/violations",
         lineage_target=f"{output}/lineage",
         run_id=run_id,
-        snapshot=schema_fingerprint(compiled),
+        snapshot=input_snapshot,
     )
 
     dup = uniqueness_violations(docs, "doc_id", salt_buckets=salt_buckets).withColumn(
@@ -136,6 +143,7 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=100_000, help="fixture size when no --input")
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run-1")
+    ap.add_argument("--snapshot", default="", help="input data snapshot id (resume key with the schema fingerprint)")
     ap.add_argument("--no-broadcast", action="store_true", help="force salted sort-merge referential join")
     args = ap.parse_args()
 
@@ -154,6 +162,7 @@ def main() -> None:
         document_schema,
         output=args.output,
         run_id=args.run_id,
+        input_snapshot=args.snapshot,
         broadcast_catalog=not args.no_broadcast,
     )
     print(json.dumps(metrics, default=str))

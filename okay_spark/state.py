@@ -168,3 +168,56 @@ def run_resumable_validation(
         "n_docs": sum(doc_counts.values()),
         "n_violations": sum(v[0] for v in viol_counts.values()),
     }
+
+
+def violation_trend(
+    spark: SparkSession,
+    output: str,
+    *,
+    max_increase_frac: float = 0.5,
+) -> DataFrame:
+    """Run-over-run anomaly check on the job's metrics sink: flag runs whose
+    violation RATE (violations / docs, from the lineage rows each run
+    appends) jumped by more than ``max_increase_frac`` relative to the
+    previous run — the quality-regression alarm a nightly 10^12-doc
+    validation pipeline pages on.
+
+    Reads only the lineage table (one row per partition per run, already
+    tiny relative to the data) and aggregates to one row per run before the
+    window step, so the ordered window runs over run-count rows, not data.
+    Returns ``(run_id, n_docs, n_violations, rate, prev_rate, increase_frac,
+    regressed)`` ordered by first appearance."""
+    lineage = read_table(spark, f"{output}/lineage")
+    per_run = lineage.groupBy("run_id").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_violations").alias("n_violations"),
+        # lineage rows append in run order; monotonic id over the tiny
+        # aggregate preserves it for the window sort
+        F.min("snapshot").alias("snapshot"),
+    )
+    from pyspark.sql import Window
+
+    rate = F.when(
+        F.col("n_docs") > 0, F.col("n_violations") / F.col("n_docs")
+    ).otherwise(F.lit(0.0))
+    w = Window.orderBy("run_id")
+    out = (
+        per_run.withColumn("rate", F.round(rate, 9))
+        .withColumn("prev_rate", F.lag("rate").over(w))
+        .withColumn(
+            "increase_frac",
+            F.when(
+                F.col("prev_rate").isNotNull() & (F.col("prev_rate") > 0),
+                F.round((F.col("rate") - F.col("prev_rate")) / F.col("prev_rate"), 9),
+            ),
+        )
+        .withColumn(
+            "regressed",
+            F.coalesce(F.col("increase_frac") > max_increase_frac, F.lit(False)),
+        )
+        .select(
+            "run_id", "n_docs", "n_violations", "rate", "prev_rate",
+            "increase_frac", "regressed",
+        )
+    )
+    return out

@@ -95,3 +95,27 @@ def test_empty_suite_returns_empty_report(spark):
     out = Expectations().run(_docs(spark))
     assert out.count() == 0
     assert out.columns == ["check", "column", "observed", "threshold", "passed"]
+
+
+def test_violation_trend_flags_rate_regression(spark, tmp_path):
+    from okay_spark.state import LINEAGE_DDL, violation_trend
+
+    out = str(tmp_path / "sinks")
+    rows = [
+        # run-1: 2 partitions, 1000 docs, 10 violations (rate 0.01)
+        ("p0", "run-1", "s", "fp", "done", 500, 5, 5),
+        ("p1", "run-1", "s", "fp", "done", 500, 5, 5),
+        # run-2: same docs, 11 violations (rate 0.011 -> +10%, ok at 50%)
+        ("p0", "run-2", "s", "fp", "done", 500, 6, 6),
+        ("p1", "run-2", "s", "fp", "done", 500, 5, 5),
+        # run-3: 30 violations (rate 0.03 -> +172%, regression)
+        ("p0", "run-3", "s", "fp", "done", 500, 20, 20),
+        ("p1", "run-3", "s", "fp", "done", 500, 10, 10),
+    ]
+    spark.createDataFrame(rows, LINEAGE_DDL).write.parquet(f"{out}/lineage")
+    trend = {r["run_id"]: r for r in violation_trend(spark, out).collect()}
+    assert not trend["run-1"]["regressed"]
+    assert trend["run-1"]["prev_rate"] is None
+    assert not trend["run-2"]["regressed"]
+    assert trend["run-3"]["regressed"]
+    assert trend["run-3"]["rate"] == pytest.approx(0.03)
