@@ -105,3 +105,44 @@ def table_exists(spark: SparkSession, target: str) -> bool:
         name.endswith(".parquet") or name == "_SUCCESS" or name.startswith("part=")
         for name in os.listdir(target)
     )
+
+
+def read_with_rejects(
+    spark: SparkSession,
+    path: str,
+    ddl: str,
+    *,
+    format: str = "jsonl",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSONL/CSV ingestion that surfaces malformed records
+    as violation rows instead of silently dropping them.
+
+    Returns ``(good, rejects)``: ``good`` carries exactly the declared
+    schema; ``rejects`` is ``(raw, rule='malformed_record')`` — one row per
+    undecodable line, feed it to the violations sink alongside the battery's
+    output. Uses PERMISSIVE mode with a corrupt-record column, the only
+    formulation that keeps bad lines observable in one pass (FAILFAST kills
+    the job on the first bad byte at row 10^11; DROPMALFORMED lies about
+    having read everything)."""
+    from pyspark.sql import functions as F
+
+    corrupt = "_corrupt_record"
+    reader = (
+        spark.read.schema(f"{ddl}, {corrupt} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+    )
+    if format == "jsonl":
+        df = reader.json(path)
+    elif format == "csv":
+        df = reader.option("header", "true").csv(path)
+    else:
+        raise ValueError(f"unsupported format {format!r} (jsonl or csv)")
+    # Spark refuses queries that touch only the corrupt column on an
+    # un-materialized scan; cache makes both branches legal and single-scan
+    df = df.cache()
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    rejects = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw"), F.lit("malformed_record").alias("rule")
+    )
+    return good, rejects

@@ -119,3 +119,33 @@ def test_violation_trend_flags_rate_regression(spark, tmp_path):
     assert not trend["run-2"]["regressed"]
     assert trend["run-3"]["regressed"]
     assert trend["run-3"]["rate"] == pytest.approx(0.03)
+
+
+def test_read_with_rejects_jsonl(spark, tmp_path):
+    from okay_spark.io import read_with_rejects
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": "broken json line\n'
+    )
+    good, rejects = read_with_rejects(spark, str(p), "doc_id bigint, text string")
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    rej = rejects.collect()
+    assert len(rej) == 2
+    assert all(r["rule"] == "malformed_record" for r in rej)
+    assert any("not json" in r["raw"] for r in rej)
+
+
+def test_read_with_rejects_csv(spark, tmp_path):
+    from okay_spark.io import read_with_rejects
+
+    p = tmp_path / "docs.csv"
+    p.write_text("doc_id,n\n1,10\n2,notanumber\n3,30\n")
+    good, rejects = read_with_rejects(
+        spark, str(p), "doc_id bigint, n bigint", format="csv"
+    )
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 3]
+    assert rejects.count() == 1
