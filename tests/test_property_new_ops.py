@@ -1,0 +1,93 @@
+"""Property tests: the round-2 distributed operators against tiny pure-Python
+reference implementations on randomized inputs (fixed seeds — deterministic).
+
+The DuckDB oracles prove one fixed dataset; these prove the algebra holds
+across many shapes: duplicate-heavy samples, disconnected forests, skewed
+label distributions.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+
+def _py_ks(cur: list[float], ref: list[float]) -> float:
+    xs = sorted(set(cur) | set(ref))
+    n1, n2 = len(cur), len(ref)
+    from bisect import bisect_right
+
+    sc, sr = sorted(cur), sorted(ref)
+    best = 0.0
+    for x in xs:
+        gap = abs(bisect_right(sc, x) / n1 - bisect_right(sr, x) / n2)
+        best = max(best, gap)
+    return best
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_ks_exact_matches_python_reference(spark, seed):
+    from okay_spark.checks import ks_exact
+
+    rng = random.Random(seed)
+    # duplicate-heavy: values drawn from a small grid so ties are common
+    cur = [round(rng.gauss(0, 1), 1) for _ in range(150 + seed * 37)]
+    ref = [round(rng.gauss(0.3, 1.2), 1) for _ in range(120 + seed * 11)]
+    out = ks_exact(
+        spark.createDataFrame([Row(v=x) for x in cur]),
+        spark.createDataFrame([Row(v=x) for x in ref]),
+        "v",
+        partitions=5,
+    ).collect()[0]
+    assert out["ks_stat"] == pytest.approx(_py_ks(cur, ref), abs=1e-6)
+    assert out["n_current"] == len(cur) and out["n_reference"] == len(ref)
+
+
+def _py_components(edges: list[tuple[int, int]], nodes: set[int]) -> dict[int, int]:
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id canonicalization
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_connected_components_matches_union_find(spark, seed):
+    from okay_spark.dedup import connected_components
+
+    rng = random.Random(seed)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(40)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = set(range(n))
+    expected = _py_components(edges, nodes)
+    nodes_df = spark.createDataFrame([Row(doc_id=i) for i in sorted(nodes)])
+    edges_df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges_df, nodes=nodes_df).collect()
+    }
+    assert got == expected
