@@ -807,6 +807,15 @@ def q_ks_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_exact(cur, ref, "value")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows with overlap (training-data chunking)."""
+    from okay_spark.textops import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=48, overlap=8
+    )
+
+
 def q_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style quality-gate report: all row-local constraints in ONE
     aggregate pass + a keyed uniqueness check, unioned into one report."""
@@ -909,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_click_and_purchase": q_users_click_and_purchase,
         "ks_exact_events": q_ks_exact_events,
         "expectations_documents": q_expectations_documents,
+        "chunk_documents": q_chunk_documents,
         # rows-only checks (approximate / fixture-input operators)
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
@@ -1280,6 +1290,26 @@ WHERE ts IS NOT NULL AND event_type = 'purchase'
 """
 
 
+_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n FROM t
+), st AS (
+  SELECT doc_id, w, n, unnest(list_filter([x FOR x IN range(0, GREATEST(n, 1), 40)],
+                                          s -> s = 0 OR s < n - 8)) AS start_token
+  FROM s
+), c AS (
+  SELECT doc_id, start_token,
+         LEAST(48, n - start_token) AS n_tokens,
+         array_to_string(w[start_token + 1 : start_token + 48], ' ') AS chunk_text,
+         (start_token / 40)::INT AS chunk_id
+  FROM st
+)
+SELECT doc_id, chunk_id, start_token::INT AS start_token, n_tokens::INT AS n_tokens, chunk_text
+FROM c WHERE n_tokens > 0
+"""
+
 _EXPECTATIONS_SQL = """
 WITH n AS (SELECT COUNT(*)::DOUBLE AS c FROM documents),
 nulls AS (SELECT round(AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 9) AS o FROM documents),
@@ -1511,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_documents": _TFIDF_SQL,
         "ks_exact_events": _KS_EXACT_SQL,
         "expectations_documents": _EXPECTATIONS_SQL,
+        "chunk_documents": _CHUNK_SQL,
         "users_click_and_purchase": (
             "SELECT user_id FROM events WHERE event_type = 'click' "
             "INTERSECT "

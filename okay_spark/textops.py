@@ -239,3 +239,50 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", F.round("_tfidf", 6).alias("tfidf"), "rk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard training-data chunking step before tokenization/packing.
+
+    Output: ``(doc_id, chunk_id, start_token, n_tokens, chunk_text)``, one
+    row per window; windows start every ``chunk_tokens - overlap`` tokens
+    and a trailing window fully contained in the previous one is dropped
+    (``start < n - overlap`` unless it is the only window). Row-local
+    Column expressions only (sequence/transform/slice + one posexplode) —
+    no shuffle, embarrassingly parallel at any scale."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        lambda s: (s == 0) | (s < n - overlap),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_token"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("_c.start_token").alias("start_token"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -88,3 +88,41 @@ def test_stream_dedup_watermark_variant_builds(spark):
     stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
     out = stream_dedup(stream, "value", watermark_col="timestamp", delay="5 seconds")
     assert out.isStreaming
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from okay_spark.textops import chunk_documents
+    from pyspark.sql import Row
+
+    # 10 tokens, window 6, overlap 2 -> starts 0, 4; start 8 is dropped
+    # (fully contained in the window at 4)
+    df = spark.createDataFrame([Row(doc_id=1, text="t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")])
+    out = sorted(
+        chunk_documents(df, chunk_tokens=6, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [(r["chunk_id"], r["start_token"], r["n_tokens"]) for r in out] == [
+        (0, 0, 6),
+        (1, 4, 6),
+    ]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3 t4 t5"
+    assert out[1]["chunk_text"] == "t4 t5 t6 t7 t8 t9"
+
+
+def test_chunk_documents_short_and_empty(spark):
+    from okay_spark.textops import chunk_documents
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=1, text="only three words"), Row(doc_id=2, text="")])
+    out = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    assert len(out) == 1  # short doc -> one partial chunk; empty doc -> none
+    assert out[0]["doc_id"] == 1 and out[0]["n_tokens"] == 3
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from okay_spark.textops import chunk_documents
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
