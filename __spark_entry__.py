@@ -816,6 +816,34 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-bucket sequence packing over the chunked corpus
+    (rows-only: greedy reset-on-overflow is not one-shot SQL-expressible;
+    invariants — full coverage, budget bound, determinism — are pytest-
+    asserted in tests/test_tfidf_and_stream_dedup.py)."""
+    from okay_spark.textops import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=48, overlap=8
+    )
+    return pack_chunks(chunks, budget_tokens=192, n_buckets=16)
+
+
+def q_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-20 tokens by frequency,
+    alphabetical tiebreak (deterministic, exact oracle)."""
+    docs = _read(spark, sf_dir, "documents")
+    from okay_spark.textops import tokens
+
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
 def q_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style quality-gate report: all row-local constraints in ONE
     aggregate pass + a keyed uniqueness check, unioned into one report."""
@@ -919,7 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_exact_events": q_ks_exact_events,
         "expectations_documents": q_expectations_documents,
         "chunk_documents": q_chunk_documents,
+        "vocab_documents": q_vocab_documents,
         # rows-only checks (approximate / fixture-input operators)
+        "pack_chunks_documents": q_pack_chunks_documents,
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
         "streaming_battery_documents": q_streaming_battery_documents,
@@ -1542,6 +1572,12 @@ def oracle_sql() -> dict[str, str]:
         "ks_exact_events": _KS_EXACT_SQL,
         "expectations_documents": _EXPECTATIONS_SQL,
         "chunk_documents": _CHUNK_SQL,
+        "vocab_documents": (
+            "WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token "
+            "FROM documents) "
+            "SELECT token, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY token "
+            "ORDER BY cnt DESC, token LIMIT 20"
+        ),
         "users_click_and_purchase": (
             "SELECT user_id FROM events WHERE event_type = 'click' "
             "INTERSECT "

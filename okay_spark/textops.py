@@ -286,3 +286,69 @@ def chunk_documents(
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    *,
+    budget_tokens: int = 256,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Greedy sequence packing: concatenate chunks into training sequences
+    of at most ``budget_tokens`` tokens (first-fit in deterministic
+    (doc_id, chunk_id) order), the step between chunking and tokenization
+    that lifts padding efficiency.
+
+    Packing is inherently sequential, so it runs per BUCKET (``doc_id %
+    n_buckets``) as an Arrow-batched ``applyInPandas`` group: each bucket
+    packs its own chunks independently — embarrassingly parallel across
+    buckets, deterministic within (sorted input, stable ids). A chunk never
+    crosses buckets, so packing quality degrades only marginally versus a
+    global greedy pass while the plan stays one shuffle on the bucket key.
+    Chunks longer than the budget become singleton sequences."""
+    from pyspark.sql import functions as F
+
+    out_ddl = (
+        "bucket int, seq_id bigint, n_chunks int, total_tokens int, "
+        "doc_ids array<bigint>, packed_text string"
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([id_col, chunk_col]).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        rows, cur_docs, cur_texts, cur_tok, seq = [], [], [], 0, 0
+
+        def flush():
+            nonlocal cur_docs, cur_texts, cur_tok, seq
+            if cur_docs:
+                rows.append(
+                    (bucket, seq, len(cur_docs), cur_tok, list(cur_docs), " ".join(cur_texts))
+                )
+                seq += 1
+                cur_docs, cur_texts, cur_tok = [], [], 0
+
+        for _, r in pdf.iterrows():
+            t = int(r[tokens_col])
+            if cur_tok and cur_tok + t > budget_tokens:
+                flush()
+            cur_docs.append(int(r[id_col]))
+            cur_texts.append(r[text_col])
+            cur_tok += t
+            if cur_tok >= budget_tokens:
+                flush()
+        flush()
+        return pd.DataFrame(
+            rows,
+            columns=["bucket", "seq_id", "n_chunks", "total_tokens", "doc_ids", "packed_text"],
+        )
+
+    with_bucket = chunks.withColumn(
+        "bucket", (F.col(id_col) % n_buckets).cast("int")
+    )
+    return with_bucket.groupBy("bucket").applyInPandas(pack, out_ddl)

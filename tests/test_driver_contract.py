@@ -47,6 +47,9 @@ def test_rows_only_queries_are_the_documented_exceptions(entrymod):
         "battery_interleaved",
         "minhash_near_duplicates",
         "ivf_topk_embeddings",
+        # greedy reset-on-overflow packing is not one-shot SQL-expressible;
+        # invariants pytest-asserted (tests/test_tfidf_and_stream_dedup.py)
+        "pack_chunks_documents",
     }
     assert rows_only <= documented, (
         f"undocumented rows-only queries (add an oracle or document why not): "

@@ -126,3 +126,39 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b")])
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_pack_chunks_respects_budget_and_covers_everything(spark):
+    from okay_spark.textops import chunk_documents, pack_chunks
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{i}_{j}" for j in range(30))) for i in range(20)]
+    )
+    chunks = chunk_documents(docs, chunk_tokens=12, overlap=2)
+    packed = pack_chunks(chunks, budget_tokens=30, n_buckets=4)
+    rows = packed.collect()
+    n_chunks_in = chunks.count()
+    assert sum(r["n_chunks"] for r in rows) == n_chunks_in  # nothing lost
+    # budget respected except unavoidable single-oversize chunks (none here)
+    assert all(r["total_tokens"] <= 30 for r in rows)
+    # deterministic: second run identical
+    rows2 = pack_chunks(chunks, budget_tokens=30, n_buckets=4).collect()
+    key = lambda r: (r["bucket"], r["seq_id"], r["packed_text"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))
+
+
+def test_pack_chunks_oversize_chunk_becomes_singleton(spark):
+    from okay_spark.textops import pack_chunks
+    from pyspark.sql import Row
+
+    chunks = spark.createDataFrame(
+        [
+            Row(doc_id=1, chunk_id=0, n_tokens=50, chunk_text="big " * 50),
+            Row(doc_id=1, chunk_id=1, n_tokens=5, chunk_text="small"),
+        ]
+    )
+    rows = sorted(pack_chunks(chunks, budget_tokens=20, n_buckets=2).collect(),
+                  key=lambda r: r["seq_id"])
+    assert rows[0]["n_chunks"] == 1 and rows[0]["total_tokens"] == 50
+    assert rows[1]["n_chunks"] == 1 and rows[1]["total_tokens"] == 5
