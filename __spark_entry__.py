@@ -892,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_media_catalog": q_referential_media_catalog,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "lsh_knn_join_embeddings": q_lsh_knn_join_embeddings,
+        "pack_chunks_documents": q_pack_chunks_documents,
         "stats_documents": q_stats_documents,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "uniqueness_salted_events": q_uniqueness_salted_events,
@@ -949,7 +950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "vocab_documents": q_vocab_documents,
         # rows-only checks (approximate / fixture-input operators)
-        "pack_chunks_documents": q_pack_chunks_documents,
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
         "streaming_battery_documents": q_streaming_battery_documents,
