@@ -331,6 +331,27 @@ def main() -> None:
         "aggregate keyed on label",
     )
 
+    from okay_spark.textops import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(docs, chunk_tokens=48, overlap=8)
+    audit(
+        "chunk_documents",
+        chunks,
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="token windows via sequence/slice/posexplode: row-local, "
+        "shuffle-free, codegen'd",
+    )
+    audit(
+        "pack_chunks (bucketed greedy)",
+        pack_chunks(chunks, budget_tokens=192, n_buckets=16),
+        max_shuffles=1,
+        forbid=["CartesianProduct"],
+        note="greedy packing is sequential per bucket: ONE shuffle on the "
+        "doc-hash bucket key, then Arrow-batched applyInPandas groups pack "
+        "independently (the declared Python seam for this op)",
+    )
+
     from okay_spark.checks import ks_exact
 
     audit(
