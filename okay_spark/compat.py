@@ -189,10 +189,16 @@ def _maybe_prune(custom_rules, rest, top_dt: DataType, inner: Column):
         if not keep:
             return top_dt, inner
         pruned_elem = StructType(keep)
+        # the rebuild must be null-guarded: struct(x.f, ...) on a NULL
+        # element is a struct of nulls, not null — a callable's
+        # `if span is not None` would silently flip (caught by
+        # tests/test_embed_and_cluster.py::test_arrow_fields_preserves_null_elements)
         pruned = F.transform(
-            inner, lambda x: F.struct(*[x[f.name].alias(f.name) for f in keep])
+            inner,
+            lambda x: F.when(
+                x.isNotNull(), F.struct(*[x[f.name].alias(f.name) for f in keep])
+            ),
         )
-        # transform() maps null -> null, preserving null elements
         return ArrayType(pruned_elem, top_dt.containsNull), pruned
     if isinstance(top_dt, StructType):
         keep = [f for f in top_dt.fields if f.name in set(declared)]

@@ -332,3 +332,44 @@ def test_connected_components_long_chain_converges_in_log_rounds(spark):
     out = connected_components(edges, max_iter=10).collect()
     assert len(out) == 200
     assert {r["component"] for r in out} == {0}
+
+
+def test_arrow_fields_preserves_null_elements_and_null_column(spark):
+    from okay_spark.engine import validate_dataframe
+    from okay_spark import ignore_extra_fields, required
+    from okay_spark.messages import Message
+
+    df = spark.createDataFrame(
+        [
+            ("a", [("text", "x", None, 0), None, ("text", "y", None, 5)]),
+            ("b", None),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+    def mk(declare):
+        def schema():
+            def shape(field, value, **kw):
+                desc = "|".join(
+                    "None" if s is None else ",".join(sorted(s))
+                    for s in (value or [])
+                )
+                return Message(type=f"shape_{desc or 'null'}", field=field)
+
+            kw = {"arrow_fields": ["offset"]} if declare else {}
+            required("spans", type="custom", validator=shape, **kw)
+            ignore_extra_fields()
+
+        return schema
+
+    full = sorted(
+        (r["doc_id"], r["rule"])
+        for r in validate_dataframe(df, mk(False), id_cols=["doc_id"]).collect()
+    )
+    pruned_rows = validate_dataframe(df, mk(True), id_cols=["doc_id"]).collect()
+    pruned = sorted((r["doc_id"], r["rule"]) for r in pruned_rows)
+    # the null MIDDLE element must stay None under pruning (not become a
+    # struct of nulls), and the null column must keep its null_value rule;
+    # key shapes differ by design (pruned callables see declared keys only)
+    assert [r for d, r in pruned if d == "a"] == ["shape_offset|None|offset"]
+    assert ("b", "null_value") in pruned and ("b", "null_value") in full
