@@ -322,23 +322,28 @@ def pack_chunks(
 
         pdf = pdf.sort_values([id_col, chunk_col]).reset_index(drop=True)
         bucket = int(pdf["bucket"].iloc[0])
+        # plain-list iteration, not iterrows(): the greedy reset is an
+        # irreducible sequential loop, but per-step cost drops ~10x when it
+        # walks python scalars instead of materializing a Series per row
+        doc_ids = pdf[id_col].astype("int64").tolist()
+        toks = pdf[tokens_col].astype("int64").tolist()
+        texts = pdf[text_col].tolist()
         rows, cur_docs, cur_texts, cur_tok, seq = [], [], [], 0, 0
 
         def flush():
             nonlocal cur_docs, cur_texts, cur_tok, seq
             if cur_docs:
                 rows.append(
-                    (bucket, seq, len(cur_docs), cur_tok, list(cur_docs), " ".join(cur_texts))
+                    (bucket, seq, len(cur_docs), cur_tok, cur_docs, " ".join(cur_texts))
                 )
                 seq += 1
                 cur_docs, cur_texts, cur_tok = [], [], 0
 
-        for _, r in pdf.iterrows():
-            t = int(r[tokens_col])
+        for d, t, x in zip(doc_ids, toks, texts):
             if cur_tok and cur_tok + t > budget_tokens:
                 flush()
-            cur_docs.append(int(r[id_col]))
-            cur_texts.append(r[text_col])
+            cur_docs.append(d)
+            cur_texts.append(x)
             cur_tok += t
             if cur_tok >= budget_tokens:
                 flush()
