@@ -829,6 +829,20 @@ def q_pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(chunks, budget_tokens=192, n_buckets=16)
 
 
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic down-sampling (language rebalancing):
+    en keeps 20%, fr 50%, de 80%, everything else dropped."""
+    from okay_spark.sampling import stratified_sample
+
+    out = stratified_sample(
+        _read(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 0.2, "fr": 0.5, "de": 0.8},
+        key_col="doc_id",
+    )
+    return out.groupBy("lang").agg(F.count("*").alias("n"))
+
+
 def q_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: top-20 tokens by frequency,
     alphabetical tiebreak (deterministic, exact oracle)."""
@@ -949,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_documents": q_expectations_documents,
         "chunk_documents": q_chunk_documents,
         "vocab_documents": q_vocab_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
         # rows-only checks (approximate / fixture-input operators)
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
@@ -1577,6 +1592,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY token "
             "ORDER BY cnt DESC, token LIMIT 20"
+        ),
+        "stratified_sample_documents": (
+            "WITH f AS (SELECT lang, "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS fr "
+            "FROM documents) "
+            "SELECT lang, COUNT(*)::BIGINT AS n FROM f "
+            "WHERE fr < CASE lang WHEN 'en' THEN 0.2 WHEN 'fr' THEN 0.5 "
+            "WHEN 'de' THEN 0.8 ELSE 0.0 END "
+            "GROUP BY lang"
         ),
         "users_click_and_purchase": (
             "SELECT user_id FROM events WHERE event_type = 'click' "

@@ -63,3 +63,41 @@ def split_column(
     last = names[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict | float,
+    *,
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic sampling: each group keeps its own fraction
+    of rows (language rebalancing, source capping). ``fractions`` maps group
+    value -> fraction; groups not listed keep ``default_fraction`` (a bare
+    float applies one fraction to every group).
+
+    Same md5-keyed decision as :func:`deterministic_sample` — membership is
+    stable across partitionings, cluster sizes, and engines, so a
+    down-sampled corpus is auditable and exactly reproducible by the SQL
+    oracle. Pure Column expressions: the filter pushes into the scan, no
+    shuffle, no Python."""
+    if isinstance(fractions, dict):
+        frac_col = None
+        for value, frac in fractions.items():
+            cond = F.col(group_col) == F.lit(value)
+            frac_col = (
+                F.when(cond, F.lit(float(frac)))
+                if frac_col is None
+                else frac_col.when(cond, F.lit(float(frac)))
+            )
+        frac_col = (
+            F.lit(float(default_fraction))
+            if frac_col is None
+            else frac_col.otherwise(F.lit(float(default_fraction)))
+        )
+    else:
+        frac_col = F.lit(float(fractions))
+    return df.filter(hash_fraction(key_col, salt=salt) < frac_col)

@@ -46,3 +46,38 @@ def test_hash_fraction_range_and_pushdown(spark):
     assert 0.0 <= mm["lo"] and mm["hi"] < 1.0
     plan = deterministic_sample(df, "k", 0.1)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_stratified_sample_per_group_fractions(spark):
+    from pyspark.sql import Row
+
+    from okay_spark.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 == 0 else "fr") for i in range(2000)]
+    )
+    out = stratified_sample(df, "lang", {"en": 0.1, "fr": 0.9}, key_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 50 <= counts["en"] <= 150      # ~10% of 1000
+    assert 850 <= counts["fr"] <= 950     # ~90% of 1000
+    # unlisted groups use default_fraction (0.0): nothing else survives
+    df2 = df.withColumn("lang", F.lit("de"))
+    assert stratified_sample(df2, "lang", {"en": 0.5}).count() == 0
+    # deterministic: same rows both times
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", {"en": 0.1, "fr": 0.9}, key_col="doc_id").collect()
+    )
+    assert a == b
+
+
+def test_stratified_sample_scalar_fraction_matches_plain(spark):
+    from pyspark.sql import Row
+
+    from okay_spark.sampling import deterministic_sample, stratified_sample
+
+    df = spark.createDataFrame([Row(doc_id=i, g="x") for i in range(500)])
+    plain = sorted(r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.3).collect())
+    strat = sorted(r["doc_id"] for r in stratified_sample(df, "g", 0.3).collect())
+    assert plain == strat
