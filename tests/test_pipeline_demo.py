@@ -1,0 +1,35 @@
+"""The composed end-to-end pipeline (scripts/pipeline_demo.py): every stage
+runs on real parquet and the funnel invariants hold."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def test_pipeline_demo_funnel(spark, tmp_path):
+    from pipeline_demo import run_pipeline
+
+    out = str(tmp_path / "pipe")
+    stats = run_pipeline(spark, "/root/testdata/sf0.001", out)
+    # monotone funnel: each stage can only drop documents
+    assert stats["ingested"] >= stats["validated"] >= stats["after_dedup"]
+    assert stats["after_dedup"] >= stats["after_quality"] >= stats["after_decontamination"]
+    assert stats["after_decontamination"] >= stats["final_docs"]
+    # nothing degenerate: the pipeline keeps a real corpus
+    assert stats["validated"] > 0 and stats["after_dedup"] > 100
+    assert stats["sequences"] > 0 and stats["chunks"] >= stats["sequences"]
+    assert stats["gate_failures"] == 0
+    # sinks exist and are readable with the expected shapes
+    v = spark.read.parquet(f"{out}/violations")
+    assert {"doc_id", "path", "rule"} <= set(v.columns)
+    seqs = spark.read.parquet(f"{out}/sequences")
+    assert seqs.count() == stats["sequences"]
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == stats["final_docs"]
+    assert set(r["split"] for r in corpus.select("split").distinct().collect()) <= {
+        "train", "val", "test",
+    }
