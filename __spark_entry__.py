@@ -843,6 +843,22 @@ def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.groupBy("lang").agg(F.count("*").alias("n"))
 
 
+def q_char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy (low-information filter)."""
+    from okay_spark.textops import char_entropy
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select("doc_id", F.round(char_entropy("text"), 6).alias("char_entropy"))
+
+
+def q_compression_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (rows-only: zlib has no SQL
+    twin; level-fixed determinism pinned in pytest)."""
+    from okay_spark.textops import compression_ratio
+
+    return compression_ratio(_read(spark, sf_dir, "documents"))
+
+
 def q_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: top-20 tokens by frequency,
     alphabetical tiebreak (deterministic, exact oracle)."""
@@ -964,7 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "vocab_documents": q_vocab_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
+        "char_entropy_documents": q_char_entropy_documents,
         # rows-only checks (approximate / fixture-input operators)
+        "compression_ratio_documents": q_compression_ratio_documents,
         "approx_distinct_events": q_approx_distinct_events,
         "battery_json_documents": q_battery_json_documents,
         "streaming_battery_documents": q_streaming_battery_documents,
@@ -1592,6 +1610,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY token "
             "ORDER BY cnt DESC, token LIMIT 20"
+        ),
+        "char_entropy_documents": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, ''), x -> x != '') AS cs FROM documents) "
+            "SELECT doc_id, round(CASE WHEN len(cs) > 0 THEN "
+            "list_sum(list_transform(list_sort(list_distinct(cs)), "
+            "u -> -(len(list_filter(cs, x -> x = u))::DOUBLE / len(cs)) "
+            "* log2(len(list_filter(cs, x -> x = u))::DOUBLE / len(cs)))) "
+            "ELSE 0.0 END, 6) AS char_entropy FROM t"
         ),
         "stratified_sample_documents": (
             "WITH f AS (SELECT lang, "

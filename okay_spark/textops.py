@@ -9,6 +9,7 @@ expressible in ANSI SQL too, so every one has a DuckDB oracle in
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Tiny deterministic stopword lists (heuristic language ID, not a model).
@@ -357,3 +358,57 @@ def pack_chunks(
         "bucket", (F.col(id_col) % n_buckets).cast("int")
     )
     return with_bucket.groupBy("bucket").applyInPandas(pack, out_ddl)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes) — the
+    classic low-information-content filter: machine-generated or boilerplate
+    text compresses far below prose.
+
+    zlib is not expressible in Column expressions, so this is a declared
+    Arrow seam: one vectorized ``pandas_udf`` batch per ~10k docs, no
+    shuffle, embarrassingly parallel (rows-only driver check; determinism
+    pinned by pytest since zlib output is stable for a fixed level)."""
+
+    @F.pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 0.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    return df.select(F.col(id_col), ratio(F.col(text_col)).alias("compression_ratio"))
+
+
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (bits) of the character distribution — another
+    low-information filter (repeated char runs, binary junk score near 0).
+
+    Pure Column expressions: split to chars, count each distinct char via
+    HOF filter, fold -p*log2(p). Distinct chars are SORTED before the fold
+    so the floating sum has one canonical order (bit-identical on any
+    partitioning and in the SQL oracle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
+    n = F.size(chars)
+    uniq = F.array_sort(F.array_distinct(chars))
+    probs = F.transform(
+        uniq, lambda u: F.size(F.filter(chars, lambda x: x == u)).cast("double") / n
+    )
+    ent = F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc - p * F.log2(p)
+    )
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))

@@ -50,6 +50,8 @@ def test_rows_only_queries_are_the_documented_exceptions(entrymod):
         # greedy reset-on-overflow packing is not one-shot SQL-expressible;
         # invariants pytest-asserted (tests/test_tfidf_and_stream_dedup.py)
         "pack_chunks_documents",
+        # zlib has no SQL twin; determinism pinned in pytest
+        "compression_ratio_documents",
     }
     assert rows_only <= documented, (
         f"undocumented rows-only queries (add an oracle or document why not): "

@@ -162,3 +162,40 @@ def test_pack_chunks_oversize_chunk_becomes_singleton(spark):
                   key=lambda r: r["seq_id"])
     assert rows[0]["n_chunks"] == 1 and rows[0]["total_tokens"] == 50
     assert rows[1]["n_chunks"] == 1 and rows[1]["total_tokens"] == 5
+
+
+def test_compression_ratio_orders_junk_below_prose(spark):
+    from okay_spark.textops import compression_ratio
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # pure run
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog and then rests"),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    assert out[1] < out[2]  # repeated junk compresses far better than prose
+    assert out[3] is None and out[4] == 0.0
+    # deterministic across runs (fixed zlib level)
+    out2 = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    assert out == out2
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    from okay_spark.textops import char_entropy
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaaa"), Row(doc_id=2, text="abcd"), Row(doc_id=3, text="")]
+    )
+    out = {r["doc_id"]: r["e"] for r in df.select("doc_id", char_entropy("text").alias("e")).collect()}
+    assert out[1] == 0.0                      # one symbol -> zero entropy
+    assert out[2] == pytest.approx(2.0)       # four uniform symbols -> 2 bits
+    assert out[3] == 0.0
+    # upper bound: log2(alphabet size)
+    assert out[2] <= math.log2(4) + 1e-9
