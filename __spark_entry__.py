@@ -273,6 +273,33 @@ def q_bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
+def q_pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure counts (emails / IPv4 / phone-shaped numbers). The
+    synthetic corpus contains no PII, so the query first plants a
+    deterministic contact-info suffix on every 7th document — identically in
+    the SQL oracle — making the exact count comparison non-vacuous."""
+    from okay_spark.textops import pii_scan
+
+    df = _read(spark, sf_dir, "documents")
+    planted = df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com at 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".25 or +1 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(planted)
+
+
 def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import ngram_jaccard_pairs
 
@@ -943,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "pii_scan_documents": q_pii_scan_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
         "window_events_hourly": q_window_events_hourly,
         "drift_events_value": q_drift_events_value,
@@ -1189,6 +1217,30 @@ SELECT doc_id,
   len(list_filter(string_split_regex(regexp_replace(text, '(\\d+)', ' \\1 ', 'g'), '\\s+'),
       x -> x != ''))::INT AS n_bpe_tokens
 FROM documents
+"""
+
+# Patterns mirror okay_spark.textops.PII_PATTERNS — the dialect-portable
+# regex subset (identical semantics in Java regex and DuckDB's RE2). The
+# planted suffix matches q_pii_scan_documents exactly.
+_PII_SCAN_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+           THEN ' contact user' || doc_id || '@example.com at 10.0.'
+                || (doc_id % 200) || '.25 or +1 555-123-4567'
+           ELSE '' END AS text
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+         len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+         len(regexp_extract_all(text, '\+?\d{3}[- ]\d{3}[- ]\d{4}'))::BIGINT AS n_phone
+  FROM planted
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       (n_email + n_ipv4 + n_phone)::BIGINT AS pii_total,
+       (n_email + n_ipv4 + n_phone) > 0 AS has_pii
+FROM counted
 """
 
 _NGRAM_JACCARD_SQL = """
@@ -1599,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _EDIT_DISTANCE_PAIRS_SQL,
         "bpe_token_count_documents": _BPE_TOKENS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "pii_scan_documents": _PII_SCAN_SQL,
         "repetition_documents": _REPETITION_SQL,
         "contamination_documents": _CONTAMINATION_SQL,
         "tfidf_documents": _TFIDF_SQL,

@@ -393,6 +393,52 @@ def compression_ratio(
     return df.select(F.col(id_col), ratio(F.col(text_col)).alias("compression_ratio"))
 
 
+# PII patterns kept to the regex subset with identical semantics in Java
+# regex (Spark's regexp_count/regexp_replace) and RE2 (the DuckDB oracle):
+# character classes, bounded repetition, \b, non-capturing groups. No
+# lookaround, no backreferences, no Python-only constructs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII exposure counts (emails, IPv4 addresses, phone-shaped
+    numbers) — the standard pre-training privacy scan that decides whether a
+    document is dropped, redacted, or kept.
+
+    Counts are non-overlapping leftmost matches via ``regexp_count`` — pure
+    JVM Column expressions, row-local, no shuffle, embarrassingly parallel;
+    the pattern set is dialect-portable so the DuckDB oracle reproduces the
+    counts exactly."""
+    c = F.col(text_col)
+    counts = {
+        kind: F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    total = sum((F.regexp_count(c, F.lit(p)) for p in PII_PATTERNS.values()), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        *counts.values(),
+        total.cast("bigint").alias("pii_total"),
+        (total > 0).alias("has_pii"),
+    )
+
+
+def pii_redact(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with a ``[KIND]`` placeholder (e.g.
+    ``[EMAIL]``) — the keep-but-redact path of the privacy scan. Chained
+    ``regexp_replace`` calls, one per kind, all JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or list(PII_PATTERNS):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return c
+
+
 def char_entropy(text: Column | str) -> Column:
     """Shannon entropy (bits) of the character distribution — another
     low-information filter (repeated char runs, binary junk score near 0).
