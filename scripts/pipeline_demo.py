@@ -7,7 +7,8 @@ switching: schema validation plus the corpus operators okay never had.
     ->  quality gate (expectation suite)  ->  exact + near dedup
     (SimHash -> connected components -> canonical keep)
     ->  quality / repetition filters  ->  benchmark decontamination
-    ->  chunk -> pack (token budget)  ->  stratified sample -> splits
+    ->  PII scan + redact  ->  chunk -> pack (token budget)
+    ->  stratified sample -> splits
     ->  parquet sinks per stage + one summary line per stage
 
 Run: python scripts/pipeline_demo.py [--sf-dir /root/testdata/sf0.01]
@@ -38,6 +39,8 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
         chunk_documents,
         ngram_contamination,
         pack_chunks,
+        pii_redact,
+        pii_scan,
         quality_score,
         repetition_stats,
     )
@@ -100,16 +103,24 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     decontaminated = corpus.join(ok_ids, on="doc_id", how="left_semi")
     stats["after_decontamination"] = decontaminated.count()
 
-    # 6. chunk + pack into training sequences
-    chunks = chunk_documents(decontaminated, chunk_tokens=48, overlap=8)
+    # 6. privacy gate: count PII-bearing docs, then redact in place (keeps
+    #    the doc, strips the match). The synthetic corpus is PII-free, so
+    #    this passes through unchanged here — the scan and redaction still
+    #    execute; planted-PII behavior is pinned in tests/test_pii.py
+    pii = pii_scan(decontaminated)
+    stats["pii_docs_redacted"] = pii.filter(F.col("has_pii")).count()
+    redacted = decontaminated.withColumn("text", pii_redact("text"))
+
+    # 7. chunk + pack into training sequences
+    chunks = chunk_documents(redacted, chunk_tokens=48, overlap=8)
     packed = pack_chunks(chunks, budget_tokens=192, n_buckets=16)
     packed.write.mode("overwrite").parquet(f"{out}/sequences")
     stats["chunks"] = chunks.count()
     stats["sequences"] = packed.count()
 
-    # 7. per-language rebalance + leak-proof splits on the surviving docs
+    # 8. per-language rebalance + leak-proof splits on the surviving docs
     balanced = stratified_sample(
-        decontaminated, "lang", {"en": 0.5, "fr": 0.8, "de": 1.0}
+        redacted, "lang", {"en": 0.5, "fr": 0.8, "de": 1.0}
     )
     final = split_column(balanced, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     final.write.mode("overwrite").partitionBy("split").parquet(f"{out}/corpus")

@@ -23,6 +23,9 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     assert stats["validated"] > 0 and stats["after_dedup"] > 100
     assert stats["sequences"] > 0 and stats["chunks"] >= stats["sequences"]
     assert stats["gate_failures"] == 0
+    # privacy gate ran; the synthetic corpus carries no PII, and redaction
+    # keeps docs (it never changes the funnel count)
+    assert stats["pii_docs_redacted"] == 0
     # sinks exist and are readable with the expected shapes
     v = spark.read.parquet(f"{out}/violations")
     assert {"doc_id", "path", "rule"} <= set(v.columns)
