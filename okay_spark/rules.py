@@ -159,6 +159,96 @@ def type_admission(rule_type: str, dtype: DataType, value: Column) -> Admission:
 # ---------------------------------------------------------------------------
 
 
+_LONG_MIN, _LONG_MAX = -(2**63), 2**63 - 1
+
+
+def _exact_bound(bound, dtype: DataType, kind: str):
+    """Rewrite a min/max bound into a literal whose NATIVE comparison against
+    a ``dtype`` column is exact — matching the reference's Decimal coercion
+    (``number_validator.py:20``) — or a bool sentinel (vacuously pass/fail).
+
+    Spark compares a bigint column against a float bound by promoting the
+    column to double, which is lossy above 2**53: ``v = 2**53 + 3`` rounds to
+    ``2**53 + 2`` and slips under ``min = float(2**53 + 4)`` that the exact
+    comparison fails. The reference's Decimal comparison is exact, so:
+
+    - integral columns get integer thresholds (``ceil``/``floor`` of the
+      exact ``Fraction`` of a float bound), clamped to the long range;
+    - fractional columns get double thresholds snapped with ``nextafter`` so
+      a pure double comparison reproduces the exact real-number comparison
+      against an unrepresentable int bound.
+
+    ``kind`` is ``'lo'`` (value >= bound) or ``'hi'`` (value <= bound)."""
+    import math
+    from fractions import Fraction
+
+    if isinstance(bound, bool):
+        bound = int(bound)
+    if isinstance(dtype, (BooleanType,) + _INTEGRAL_TYPES):
+        if isinstance(bound, float):
+            if math.isnan(bound):
+                return False  # NaN comparisons are False in both engines
+            if math.isinf(bound):
+                return (bound < 0) if kind == "lo" else (bound > 0)
+            f = Fraction(bound)
+            b = math.ceil(f) if kind == "lo" else math.floor(f)
+        elif isinstance(bound, int):
+            b = bound
+        else:
+            return bound  # Decimal etc.: documented divergence, unchanged
+        if b > _LONG_MAX:
+            return kind != "lo"
+        if b < _LONG_MIN:
+            return kind == "lo"
+        return b
+    if isinstance(dtype, _FRACTIONAL_TYPES) and isinstance(bound, int):
+        try:
+            d = float(bound)
+        except OverflowError:
+            d = math.inf if bound > 0 else -math.inf
+        if kind == "lo":
+            # smallest double >= bound (doubles below it are all < bound)
+            return d if math.isinf(d) or Fraction(d) >= bound else math.nextafter(d, math.inf)
+        return d if math.isinf(d) or Fraction(d) <= bound else math.nextafter(d, -math.inf)
+    return bound
+
+
+def _exact_options(options, dtype: DataType):
+    """Keep only options an exact (reference-Decimal) equality could match,
+    converted so the native comparison is exact; see ``_exact_bound``."""
+    import math
+    from fractions import Fraction
+
+    if options is None or not isinstance(
+        dtype, (BooleanType,) + _INTEGRAL_TYPES + _FRACTIONAL_TYPES
+    ):
+        return options
+    integral = isinstance(dtype, (BooleanType,) + _INTEGRAL_TYPES)
+    out = []
+    for o in options:
+        if isinstance(o, bool):
+            o = int(o)
+        if integral:
+            if isinstance(o, float):
+                if not (math.isfinite(o) and o.is_integer()):
+                    continue
+                o = int(o)
+            if isinstance(o, int) and _LONG_MIN <= o <= _LONG_MAX:
+                out.append(o)
+        else:
+            if isinstance(o, int):
+                try:
+                    d = float(o)
+                except OverflowError:
+                    continue
+                if Fraction(d) != o:
+                    continue  # no double equals this int exactly
+                o = d
+            if isinstance(o, float):
+                out.append(o)
+    return out
+
+
 def _numeric_params_check(
     rule: Rule, value: Column, dtype: DataType, path: Column, seq: int
 ) -> Column:
@@ -168,9 +258,19 @@ def _numeric_params_check(
         return null_violation()
 
     v = value.cast("int") if isinstance(dtype, BooleanType) else value
-    pass_min = (v >= F.lit(lo)) if lo is not None else F.lit(hi is not None)
-    pass_max = (v <= F.lit(hi)) if hi is not None else F.lit(lo is not None)
-    pass_opt = v.isin(*options) if options else F.lit(False)
+
+    def bound_pred(bound, kind, cmp, other) -> Column:
+        if bound is None:
+            return F.lit(other is not None)
+        b = _exact_bound(bound, dtype, kind)
+        if isinstance(b, bool):
+            return F.lit(b)
+        return cmp(v, F.lit(b))
+
+    pass_min = bound_pred(lo, "lo", lambda c, b: c >= b, hi)
+    pass_max = bound_pred(hi, "hi", lambda c, b: c <= b, lo)
+    opts = _exact_options(options, dtype)
+    pass_opt = v.isin(*opts) if opts else F.lit(False)
     ok = pass_opt | (pass_min & pass_max)
 
     expected = {"min": lo, "max": hi, "options": options}

@@ -127,6 +127,55 @@ CASES = [
         [("5",)],
     ),
     case(
+        # exactness above 2**53: a naive long->double promotion rounds
+        # 2**53+3 up to 2**53+4 and 2**53+5 down to 2**53+4, silently
+        # passing bounds the reference's Decimal comparison fails
+        # (number_validator.py:20); integer thresholds keep it exact
+        "number_exact_bounds_above_2pow53",
+        [
+            ("required", "n", "number", {"min": float(2**53 + 4)}),
+            ("required", "m", "number", {"max": float(2**53 + 4)}),
+            ("required", "k", "int", {"options": [float(2**53)]}),
+        ],
+        "n bigint, m bigint, k bigint",
+        [
+            (2**53 + 3, 2**53 + 5, 2**53),
+            (2**53 + 4, 2**53 + 4, 2**53 + 1),
+            (2**53 + 5, 2**53 + 3, 2**53 + 2),
+        ],
+    ),
+    case(
+        # int bound not representable as a double: the double threshold is
+        # snapped with nextafter so the pure double comparison reproduces
+        # the reference's exact real-number comparison
+        "number_exact_int_bound_on_double",
+        [
+            ("required", "x", "number", {"max": 2**53 + 3}),
+            ("required", "y", "number", {"min": 2**53 + 3}),
+        ],
+        "x double, y double",
+        [
+            (float(2**53 + 4), float(2**53 + 2)),
+            (float(2**53 + 2), float(2**53 + 4)),
+        ],
+    ),
+    case(
+        # bounds beyond the long range (and beyond double range) clamp to
+        # vacuous pass/fail instead of overflowing the literal
+        "number_bounds_beyond_long_range",
+        [
+            ("required", "a", "number", {"min": 2**70}),
+            ("required", "b", "number", {"max": -(2**70)}),
+            ("required", "c", "number", {"min": -(2**70), "max": 2**70}),
+            ("required", "d", "number", {"min": 10**400}),
+        ],
+        "a bigint, b bigint, c bigint, d double",
+        [
+            (5, -5, 7, 1.0e308),
+            (2**62, -(2**62), -(2**62), float("inf")),
+        ],
+    ),
+    case(
         "bool_rule",
         [("required", "b", "bool", {})],
         "b boolean, c int",
