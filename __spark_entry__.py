@@ -300,6 +300,71 @@ def q_pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(planted)
 
 
+def q_inferred_schema_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference (okay_spark/profiler.py): profile the documents table
+    and emit the suggested okay declarations as rows. The option-set decision
+    is exact (collect_set gated by an exact size check), so the DuckDB twin
+    reproduces every decision from the same data."""
+    from okay_spark.profiler import suggest_schema
+
+    s = suggest_schema(_read(spark, sf_dir, "documents"), max_options=20)
+    rows = [
+        (
+            decl,
+            path,
+            okay_type,
+            ",".join(str(v) for v in params["options"]) if "options" in params else None,
+        )
+        for decl, path, okay_type, params in s.decls
+    ]
+    return spark.createDataFrame(
+        rows, "decl string, path string, okay_type string, options string"
+    )
+
+
+_INFERRED_SCHEMA_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         COUNT(doc_id) AS c_doc_id, COUNT(text) AS c_text,
+         COUNT(lang) AS c_lang, COUNT(source) AS c_source,
+         COUNT(n_chars) AS c_n_chars,
+         COUNT(DISTINCT text) AS d_text, COUNT(DISTINCT lang) AS d_lang,
+         COUNT(DISTINCT source) AS d_source
+  FROM documents
+)
+SELECT 'required' AS decl, 'doc_id' AS path,
+       CASE WHEN c_doc_id < n THEN 'int?' ELSE 'int' END AS okay_type,
+       CAST(NULL AS VARCHAR) AS options
+FROM agg
+UNION ALL
+SELECT 'required', 'text',
+       CASE WHEN c_text < n THEN 'string?' ELSE 'string' END,
+       CASE WHEN d_text <= 20 THEN
+         (SELECT string_agg(v, ',' ORDER BY v) FROM (SELECT DISTINCT text AS v FROM documents) t)
+       END
+FROM agg
+UNION ALL
+SELECT 'required', 'lang',
+       CASE WHEN c_lang < n THEN 'string?' ELSE 'string' END,
+       CASE WHEN d_lang <= 20 THEN
+         (SELECT string_agg(v, ',' ORDER BY v) FROM (SELECT DISTINCT lang AS v FROM documents) t)
+       END
+FROM agg
+UNION ALL
+SELECT 'required', 'source',
+       CASE WHEN c_source < n THEN 'string?' ELSE 'string' END,
+       CASE WHEN d_source <= 20 THEN
+         (SELECT string_agg(v, ',' ORDER BY v) FROM (SELECT DISTINCT source AS v FROM documents) t)
+       END
+FROM agg
+UNION ALL
+SELECT 'required', 'n_chars',
+       CASE WHEN c_n_chars < n THEN 'int?' ELSE 'int' END,
+       CAST(NULL AS VARCHAR)
+FROM agg
+"""
+
+
 def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import ngram_jaccard_pairs
 
@@ -971,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "pii_scan_documents": q_pii_scan_documents,
+        "inferred_schema_documents": q_inferred_schema_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
         "window_events_hourly": q_window_events_hourly,
         "drift_events_value": q_drift_events_value,
@@ -1652,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count_documents": _BPE_TOKENS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "pii_scan_documents": _PII_SCAN_SQL,
+        "inferred_schema_documents": _INFERRED_SCHEMA_SQL,
         "repetition_documents": _REPETITION_SQL,
         "contamination_documents": _CONTAMINATION_SQL,
         "tfidf_documents": _TFIDF_SQL,
