@@ -372,6 +372,14 @@ def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (token 8-grams shared by >=2 docs are
+    struck from every document; text reconstructed in order)."""
+    from okay_spark.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(_read(spark, sf_dir, "documents"), n=8)
+
+
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.checks import exact_quantiles
 
@@ -1035,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "strip_duplicate_spans_documents": q_strip_duplicate_spans,
         "pii_scan_documents": q_pii_scan_documents,
         "inferred_schema_documents": q_inferred_schema_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -1325,6 +1334,36 @@ WITH t AS (
 )
 SELECT a, b, round(inter / (sa + sb - inter), 6) AS jaccard
 FROM p WHERE inter / (sa + sb - inter) >= 0.2
+"""
+
+_STRIP_DUP_SPANS_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(range(0, len(w) - 7)) AS start,
+         unnest([array_to_string(w[i+1:i+8], ' ') FOR i IN range(0, len(w) - 7)]) AS gram
+  FROM base WHERE len(w) >= 8
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT g.doc_id, unnest(range(g.start, g.start + 8)) AS pos
+    FROM grams g JOIN dup USING (gram)
+  )
+), tokpos AS (
+  SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS tok FROM base
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.w) AS n_tokens,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
 """
 
 _QUANTILES_SQL = """
@@ -1717,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _EDIT_DISTANCE_PAIRS_SQL,
         "bpe_token_count_documents": _BPE_TOKENS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "strip_duplicate_spans_documents": _STRIP_DUP_SPANS_SQL,
         "pii_scan_documents": _PII_SCAN_SQL,
         "inferred_schema_documents": _INFERRED_SCHEMA_SQL,
         "repetition_documents": _REPETITION_SQL,

@@ -620,3 +620,95 @@ def dedup_clusters(
         "component",
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span removal (substring dedup at token granularity)
+# ---------------------------------------------------------------------------
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Remove token spans that occur verbatim in ``min_doc_freq`` or more
+    documents (exact substring dedup at token-n-gram granularity, after
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022 — the reference validator has no corpus-level operator at all;
+    validation there is per-document, /root/reference/src/okay/validator.py).
+
+    A position is struck when ANY cross-document n-gram covers it, so
+    overlapping duplicated grams merge into one removed span — equivalent to
+    removing every maximal duplicated substring of length >= n tokens.
+
+    Output: ``(doc_id, n_tokens, n_kept, text_dedup)`` — one row per input
+    document (documents shorter than ``n`` tokens pass through unchanged;
+    documents that are entirely duplicated text come back empty, not
+    dropped, so the caller can distinguish "all boilerplate" from "absent").
+
+    Scale shape (everything is a Column expression — zero Python eval):
+
+    - grams are built per-document with ``transform(sequence(...))`` — no
+      cross-document state; the explode is O(total tokens).
+    - duplicate detection is ``count_distinct(doc_id)`` per gram. Spark
+      expands a distinct aggregate into a two-phase plan keyed on
+      ``(gram, doc_id)`` first, so a boilerplate gram present in 10M docs
+      spreads over reducers by doc_id instead of pinning one — this is why
+      no ``max_doc_freq`` posting cap is needed here, unlike
+      ``ngram_jaccard_pairs`` (nothing ever collects a posting list).
+    - covered positions come from a shuffle join grams->dup-grams on the
+      gram hash, then ``sequence(start, start+n-1)`` explode + distinct on
+      ``(doc_id, pos)`` — per-doc bounded state.
+    - reconstruction is one hash aggregate per doc_id; per-group state is
+      bounded by document length.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = _spread(df).select(F.col(id_col), toks.alias("_w")).localCheckpoint(eager=False)
+    gram_arr = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_w") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(F.col(id_col), F.posexplode(gram_arr).alias("start", "gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("gram")
+    )
+    cov = (
+        grams.join(dup, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    tokpos = base.select(F.col(id_col), F.posexplode("_w").alias("pos", "tok"))
+    kept = tokpos.join(cov, on=[id_col, "pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("_text"),
+    )
+    return (
+        base.select(F.col(id_col), F.size("_w").alias("n_tokens"))
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("_n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("_text"), F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -411,3 +411,47 @@ def test_streaming_incremental_validation(spark, tmp_path):
     n2 = spark.read.parquet(sink).count()
     assert n2 == validate_dataframe(spark.read.parquet(src), document_schema).count()
     assert n2 > n1
+
+
+# --- duplicated-span removal ------------------------------------------------------
+
+
+def test_strip_duplicate_spans_planted(spark):
+    from okay_spark.dedup import strip_duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # 10-token boilerplate span
+    uniq_a = " ".join(f"a{i}" for i in range(6))
+    uniq_b = " ".join(f"c{i}" for i in range(6))
+    rows = [
+        (1, f"{uniq_a} {boiler}"),            # boilerplate at tail
+        (2, f"{boiler} {uniq_b}"),            # boilerplate at head
+        (3, boiler),                           # entirely boilerplate
+        (4, "short doc only"),                 # < n tokens: untouched
+        (5, " ".join(f"z{i}" for i in range(12))),  # unique long doc: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(df, n=8).collect()}
+
+    assert len(out) == 5  # every input doc present, even the emptied one
+    # every position covered by a shared 8-gram is struck: the whole 10-token
+    # boilerplate span goes (overlapping grams merge), unique prefixes stay
+    assert out[1]["text_dedup"] == uniq_a
+    assert out[2]["text_dedup"] == uniq_b
+    assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text_dedup"] == "short doc only" and out[4]["n_tokens"] == 3
+    assert out[5]["text_dedup"] == rows[4][1]
+    assert out[1]["n_tokens"] == 16 and out[1]["n_kept"] == 6
+
+
+def test_strip_duplicate_spans_within_doc_repeat_kept(spark):
+    """A span repeated only WITHIN one document is not cross-document
+    duplication (doc-freq 1) and must survive."""
+    from okay_spark.dedup import strip_duplicate_spans
+
+    span = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{span} {span}"), (2, "some other words here entirely distinct tokens")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(df, n=8).collect()}
+    assert out[1]["n_kept"] == 16
