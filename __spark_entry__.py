@@ -380,6 +380,29 @@ def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(_read(spark, sf_dir, "documents"), n=8)
 
 
+def q_cap_per_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: keep at most 15 docs per source (ascending doc_id),
+    via the two-phase shard-then-global window in okay_spark.balance."""
+    from okay_spark.balance import cap_per_group
+
+    out = cap_per_group(
+        _read(spark, sf_dir, "documents"), "source", max_rows=15, order_col="doc_id"
+    )
+    return out.select("doc_id", "source")
+
+
+def q_resample_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a target language mix without
+    upsampling; membership is md5-keyed so the oracle replays it exactly."""
+    from okay_spark.balance import resample_to_target
+
+    targets = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+    out = resample_to_target(
+        _read(spark, sf_dir, "documents"), "lang", targets, key_col="doc_id"
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.checks import exact_quantiles
 
@@ -1044,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "strip_duplicate_spans_documents": q_strip_duplicate_spans,
+        "cap_per_source_documents": q_cap_per_source_documents,
+        "resample_lang_documents": q_resample_lang_documents,
         "pii_scan_documents": q_pii_scan_documents,
         "inferred_schema_documents": q_inferred_schema_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -1364,6 +1389,34 @@ SELECT b.doc_id, len(b.w) AS n_tokens,
        COALESCE(r.n_kept, 0) AS n_kept,
        COALESCE(r.text_dedup, '') AS text_dedup
 FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+_CAP_PER_SOURCE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 15
+"""
+
+_RESAMPLE_LANG_SQL = """
+WITH tgt(lang, w) AS (
+  VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+         ('fr', CAST(0.2 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)),
+         ('zh', CAST(0.1 AS DOUBLE))
+), cnt AS (
+  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+), j AS (
+  SELECT cnt.lang, c, w FROM cnt JOIN tgt USING (lang)
+), m AS (
+  SELECT MIN(c / w) AS cmin FROM j
+), frac AS (
+  SELECT lang, (SELECT cmin FROM m) * w / c AS keep_frac FROM j
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN frac USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+      < frac.keep_frac
 """
 
 _QUANTILES_SQL = """
@@ -1757,6 +1810,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count_documents": _BPE_TOKENS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "strip_duplicate_spans_documents": _STRIP_DUP_SPANS_SQL,
+        "cap_per_source_documents": _CAP_PER_SOURCE_SQL,
+        "resample_lang_documents": _RESAMPLE_LANG_SQL,
         "pii_scan_documents": _PII_SCAN_SQL,
         "inferred_schema_documents": _INFERRED_SCHEMA_SQL,
         "repetition_documents": _REPETITION_SQL,

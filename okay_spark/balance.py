@@ -1,0 +1,92 @@
+"""Corpus-balancing operators: per-group caps and resampling the corpus to
+a target group distribution.
+
+Both are training-data-pipeline stages (domain capping and language/domain
+rebalancing a la CCNet/RedPajama); the reference validator is per-document
+only (/root/reference/src/okay/validator.py) and has no corpus-level
+counterpart. Decisions are derived from md5 of a stable key
+(:mod:`okay_spark.sampling`), so membership is reproducible across cluster
+sizes, partitionings, and engines — the DuckDB oracle replays it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .sampling import hash_fraction
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    *,
+    max_rows: int,
+    order_col: str,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, by ascending ``order_col``
+    (ties broken by the column itself — pass a unique key for determinism).
+
+    Scale shape: a naive ``row_number`` over ``partitionBy(group)`` makes
+    one reducer sort an entire hot group (a crawl dump where one domain is
+    40% of rows). Here a pre-prune pass ranks within
+    ``(group, spark_partition_id)`` — the exchange key carries the partition
+    id, so a hot group spreads over all reducers — and keeps the per-shard
+    top-``max_rows``, a superset of the global top-``max_rows`` (same order
+    key, so any global winner is also a shard winner). The final window then
+    sorts at most ``max_rows x shards`` rows per group instead of the whole
+    group."""
+    shard = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(order_col)
+    pre = (
+        df.withColumn("_srn", F.row_number().over(shard))
+        .filter(F.col("_srn") <= max_rows)
+        .drop("_srn")
+    )
+    final = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        pre.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )
+
+
+def resample_to_target(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Downsample so the kept corpus follows the ``targets`` distribution
+    (group value -> target weight; weights are relative, they need not sum
+    to 1). No group is upsampled: the binding group — the one most
+    underrepresented relative to its target — keeps everything, and every
+    other group keeps the deterministic fraction that brings it into
+    proportion. Groups absent from ``targets`` are dropped.
+
+    keep_frac(g) = min_h(count_h / w_h) * w_g / count_g  (<= 1 by choice of
+    the min), membership = md5-fraction(key) < keep_frac — data-dependent
+    where :func:`okay_spark.sampling.stratified_sample` is static.
+
+    Scale shape: one count aggregate over the grouping column (map-side
+    partial combine), a scalar min over #groups rows, and a broadcast join
+    of #targets rows back onto the fact table; the per-row decision is a
+    JVM md5 expression, no Python, no extra shuffle of the fact table."""
+    tgt = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()], f"{group_col} string, _w double"
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .join(tgt, group_col)
+    )
+    cmin = counts.agg(F.min(F.col("_cnt") / F.col("_w")).alias("_cmin"))
+    fracs = counts.crossJoin(F.broadcast(cmin)).select(
+        group_col,
+        (F.col("_cmin") * F.col("_w") / F.col("_cnt")).alias("_keep_frac"),
+    )
+    return (
+        df.join(F.broadcast(fracs), group_col)
+        .filter(hash_fraction(key_col, salt=salt) < F.col("_keep_frac"))
+        .drop("_keep_frac")
+    )

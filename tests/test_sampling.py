@@ -81,3 +81,56 @@ def test_stratified_sample_scalar_fraction_matches_plain(spark):
     plain = sorted(r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.3).collect())
     strat = sorted(r["doc_id"] for r in stratified_sample(df, "g", 0.3).collect())
     assert plain == strat
+
+
+# --- corpus balancing -------------------------------------------------------------
+
+
+def test_cap_per_group_keeps_global_minima(spark):
+    from okay_spark.balance import cap_per_group
+
+    rows = [(i, "hot" if i % 10 != 9 else "cold") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, source string").repartition(8)
+    out = cap_per_group(df, "source", max_rows=5, order_col="doc_id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r["doc_id"])
+    # exactly the 5 smallest ids of each group survive the two-phase prune
+    hot_ids = sorted(i for i, s in rows if s == "hot")[:5]
+    cold_ids = sorted(i for i, s in rows if s == "cold")[:5]
+    assert sorted(by_group["hot"]) == hot_ids
+    assert sorted(by_group["cold"]) == cold_ids
+
+
+def test_resample_to_target_proportions_and_determinism(spark):
+    from okay_spark.balance import resample_to_target
+
+    # 'b' is the binding (most underrepresented) group: 100 rows, target 0.5
+    rows = [(i, "a") for i in range(900)] + [(900 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    out = resample_to_target(df, "lang", {"a": 0.5, "b": 0.5}, key_col="doc_id")
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    # binding group keeps everything; the other lands near its proportional cap
+    assert counts["b"] == 100
+    assert 60 <= counts["a"] <= 140  # expected 100, md5-uniform (fixed draw: 124)
+
+    # membership is partitioning-independent
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in resample_to_target(
+            df.repartition(13), "lang", {"a": 0.5, "b": 0.5}, key_col="doc_id"
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_resample_to_target_drops_unlisted_groups(spark):
+    from okay_spark.balance import resample_to_target
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "xx")], "doc_id int, lang string"
+    )
+    out = resample_to_target(df, "lang", {"en": 1.0}, key_col="doc_id").collect()
+    assert {r["lang"] for r in out} == {"en"}
