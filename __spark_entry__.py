@@ -403,6 +403,29 @@ def q_resample_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_violation_exemplars_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triage report over the documents battery: per-rule counts plus the 3
+    smallest offending doc_ids as bounded example arrays."""
+    from okay_spark.checks import violation_exemplars
+    from okay_spark.engine import validate_dataframe
+
+    df = _read(spark, sf_dir, "documents")
+    viol = validate_dataframe(df, _documents_schema, id_cols=["doc_id"]).select(
+        "doc_id", "path", "rule"
+    )
+    return violation_exemplars(viol, "doc_id", per_rule=3)
+
+
+def q_outliers_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers on events.value with exact decimal-summed moments
+    (order-independent, so the oracle reproduces every comparison)."""
+    from okay_spark.checks import numeric_outliers
+
+    return numeric_outliers(
+        _read(spark, sf_dir, "events"), "value", z_threshold=3.0, id_cols=["event_id"]
+    )
+
+
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.checks import exact_quantiles
 
@@ -1069,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_duplicate_spans_documents": q_strip_duplicate_spans,
         "cap_per_source_documents": q_cap_per_source_documents,
         "resample_lang_documents": q_resample_lang_documents,
+        "outliers_events_value": q_outliers_events_value,
+        "violation_exemplars_documents": q_violation_exemplars_documents,
         "pii_scan_documents": q_pii_scan_documents,
         "inferred_schema_documents": q_inferred_schema_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -1417,6 +1442,36 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN frac USING (lang)
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
       < frac.keep_frac
+"""
+
+_VIOLATION_EXEMPLARS_SQL = f"""
+WITH v AS ({_BATTERY_DOCUMENTS_SQL}),
+c AS (SELECT path, rule, COUNT(*) AS n_violations FROM v GROUP BY path, rule),
+e AS (SELECT path, rule, doc_id,
+             row_number() OVER (PARTITION BY path, rule ORDER BY doc_id) AS rn
+      FROM v),
+ea AS (SELECT path, rule, list_sort(list(doc_id)) AS example_ids
+       FROM e WHERE rn <= 3 GROUP BY path, rule)
+SELECT c.path, c.rule, c.n_violations, ea.example_ids
+FROM c JOIN ea USING (path, rule)
+"""
+
+_OUTLIERS_EVENTS_SQL = """
+WITH s AS (
+  SELECT COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(value*value AS DECIMAL(38,12))) AS DOUBLE) AS ssv
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+)
+SELECT event_id, value,
+       round(CASE WHEN sqrt(greatest(ssv/n - (sv/n)*(sv/n), 0)) > 0
+                  THEN abs(value - sv/n) / sqrt(greatest(ssv/n - (sv/n)*(sv/n), 0))
+                  ELSE 0 END, 6) AS z
+FROM events, s
+WHERE value IS NOT NULL AND NOT isnan(value)
+  AND CASE WHEN sqrt(greatest(ssv/n - (sv/n)*(sv/n), 0)) > 0
+           THEN abs(value - sv/n) / sqrt(greatest(ssv/n - (sv/n)*(sv/n), 0))
+           ELSE 0 END > 3.0
 """
 
 _QUANTILES_SQL = """
@@ -1812,6 +1867,8 @@ def oracle_sql() -> dict[str, str]:
         "strip_duplicate_spans_documents": _STRIP_DUP_SPANS_SQL,
         "cap_per_source_documents": _CAP_PER_SOURCE_SQL,
         "resample_lang_documents": _RESAMPLE_LANG_SQL,
+        "outliers_events_value": _OUTLIERS_EVENTS_SQL,
+        "violation_exemplars_documents": _VIOLATION_EXEMPLARS_SQL,
         "pii_scan_documents": _PII_SCAN_SQL,
         "inferred_schema_documents": _INFERRED_SCHEMA_SQL,
         "repetition_documents": _REPETITION_SQL,

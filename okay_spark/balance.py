@@ -18,7 +18,7 @@ from .sampling import hash_fraction
 
 def cap_per_group(
     df: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     *,
     max_rows: int,
     order_col: str,
@@ -35,13 +35,14 @@ def cap_per_group(
     key, so any global winner is also a shard winner). The final window then
     sorts at most ``max_rows x shards`` rows per group instead of the whole
     group."""
-    shard = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(order_col)
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    shard = Window.partitionBy(*groups, F.spark_partition_id()).orderBy(order_col)
     pre = (
         df.withColumn("_srn", F.row_number().over(shard))
         .filter(F.col("_srn") <= max_rows)
         .drop("_srn")
     )
-    final = Window.partitionBy(group_col).orderBy(order_col)
+    final = Window.partitionBy(*groups).orderBy(order_col)
     return (
         pre.withColumn("_rn", F.row_number().over(final))
         .filter(F.col("_rn") <= max_rows)

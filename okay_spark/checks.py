@@ -719,3 +719,78 @@ def ks_exact(
         F.lit(n1).alias("n_current"),
         F.lit(n2).alias("n_reference"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Outlier detection
+# ---------------------------------------------------------------------------
+
+
+def numeric_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    z_threshold: float = 3.0,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows whose value lies more than ``z_threshold`` population standard
+    deviations from the mean — the anomaly twin of :func:`column_stats`.
+
+    Moments accumulate in ``decimal(38,12)`` (exact, associative — the same
+    order-independence discipline as :func:`pairwise_corr`), so mean and
+    stddev are bit-identical on any partitioning and the SQL oracle
+    reproduces every comparison. Two scans by design: one tiny moments
+    aggregate (1 row, broadcast back) and one filter scan — the fact table
+    itself is never shuffled, and the z-expression runs inside codegen.
+    NaN/null values are excluded from both the moments and the output."""
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v)
+    vs = F.when(ok, v)
+    stats = df.agg(
+        F.count(vs).alias("_n"),
+        F.sum(vs.cast("decimal(38,12)")).cast("double").alias("_s"),
+        F.sum((vs * vs).cast("decimal(38,12)")).cast("double").alias("_ss"),
+    )
+    mean = F.col("_s") / F.col("_n")
+    std = F.sqrt(F.greatest(F.col("_ss") / F.col("_n") - mean * mean, F.lit(0.0)))
+    zcol = F.when(std > 0, F.abs(v - mean) / std).otherwise(F.lit(0.0))
+    keep = list(id_cols or []) + [value_col]
+    return (
+        df.filter(ok)
+        .crossJoin(F.broadcast(stats))
+        .filter(zcol > z_threshold)
+        .select(*keep, F.round(zcol, 6).alias("z"))
+    )
+
+
+def violation_exemplars(
+    violations: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    per_rule: int = 3,
+) -> DataFrame:
+    """Per-(path, rule) violation counts with the ``per_rule`` smallest
+    offending ids as concrete examples — the triage report a validation run
+    feeds an on-call human (the reference emits a flat message list only,
+    /root/reference/src/okay/validator.py:7-16).
+
+    Scale shape: the count is one hash aggregate; the examples reuse
+    :func:`okay_spark.balance.cap_per_group`'s two-phase window, so a rule
+    violated by half the corpus contributes ``per_rule`` rows per shard to
+    the final per-rule sort, never the whole group. The example array is
+    bounded at ``per_rule`` elements by construction."""
+    from .balance import cap_per_group
+
+    counts = violations.groupBy("path", "rule").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    ex = cap_per_group(
+        violations.select("path", "rule", id_col),
+        ["path", "rule"],
+        max_rows=per_rule,
+        order_col=id_col,
+    )
+    examples = ex.groupBy("path", "rule").agg(
+        F.sort_array(F.collect_list(id_col)).alias("example_ids")
+    )
+    return counts.join(examples, ["path", "rule"])

@@ -218,3 +218,46 @@ def test_partition_summary_consistent_with_battery(spark, docs):
     assert sum(r["n_docs"] for r in summary.collect()) == N
     rs = rule_summary(docs, compiled, "part")
     assert sum(r["cnt"] for r in rs.collect()) == total_viols
+
+
+# --- outliers and exemplars -------------------------------------------------------
+
+
+def test_numeric_outliers_exact_and_partition_independent(spark):
+    from okay_spark.checks import numeric_outliers
+
+    # 99 values at 10.0 plus one extreme: only the extreme exceeds z=3
+    rows = [(i, 10.0) for i in range(99)] + [(99, 1000.0)]
+    df = spark.createDataFrame(rows, "event_id int, value double")
+    out = numeric_outliers(df, "value", z_threshold=3.0, id_cols=["event_id"]).collect()
+    assert [r["event_id"] for r in out] == [99]
+    z1 = out[0]["z"]
+    # identical z on a different partitioning (decimal moments are exact)
+    out2 = numeric_outliers(
+        df.repartition(7), "value", z_threshold=3.0, id_cols=["event_id"]
+    ).collect()
+    assert out2[0]["z"] == z1
+
+
+def test_numeric_outliers_ignores_null_and_nan(spark):
+    from okay_spark.checks import numeric_outliers
+
+    rows = [(1, 5.0), (2, None), (3, float("nan")), (4, 5.0), (5, 5.0)]
+    df = spark.createDataFrame(rows, "event_id int, value double")
+    # all non-null values identical -> std 0 -> no outliers, no crash
+    assert numeric_outliers(df, "value", id_cols=["event_id"]).count() == 0
+
+
+def test_violation_exemplars_bounded_examples(spark):
+    from okay_spark.checks import violation_exemplars
+
+    rows = [(i, "lang", "invalid_string_option") for i in range(50)] + [
+        (7, "n_chars", "number_too_large")
+    ]
+    viol = spark.createDataFrame(rows, "doc_id int, path string, rule string")
+    out = {(r["path"], r["rule"]): r for r in violation_exemplars(viol, "doc_id").collect()}
+    big = out[("lang", "invalid_string_option")]
+    assert big["n_violations"] == 50
+    assert big["example_ids"] == [0, 1, 2]  # smallest ids, bounded at 3
+    small = out[("n_chars", "number_too_large")]
+    assert small["n_violations"] == 1 and small["example_ids"] == [7]
