@@ -6,9 +6,10 @@ switching: schema validation plus the corpus operators okay never had.
     ingest (JSONL w/ reject capture)  ->  validate (rule battery)
     ->  quality gate (expectation suite)  ->  exact + near dedup
     (SimHash -> connected components -> canonical keep)
+    ->  duplicated-span strip (cross-doc token n-grams removed in place)
     ->  quality / repetition filters  ->  benchmark decontamination
-    ->  PII scan + redact  ->  chunk -> pack (token budget)
-    ->  stratified sample -> splits
+    ->  per-domain cap  ->  PII scan + redact  ->  chunk -> pack (token
+    budget)  ->  resample to target language mix -> splits
     ->  parquet sinks per stage + one summary line per stage
 
 Run: python scripts/pipeline_demo.py [--sf-dir /root/testdata/sf0.01]
@@ -34,7 +35,7 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     from okay_spark.dedup import dedup_clusters, simhash_near_duplicates
     from okay_spark.engine import validate_dataframe
     from okay_spark.expectations import Expectations
-    from okay_spark.sampling import split_column, stratified_sample
+    from okay_spark.sampling import split_column
     from okay_spark.textops import (
         chunk_documents,
         ngram_contamination,
@@ -87,6 +88,26 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     deduped = clean.join(keep, on="doc_id", how="left_semi")
     stats["after_dedup"] = deduped.count()
 
+    # 3b. duplicated-span strip: cross-document boilerplate n-grams are
+    #     removed IN PLACE (near-dedup above drops whole documents; this
+    #     keeps the document, minus the shared span); docs reduced below a
+    #     minimum useful length are dropped
+    from okay_spark.dedup import strip_duplicate_spans
+
+    stripped = strip_duplicate_spans(deduped, n=8)
+    deduped = (
+        deduped.drop("text")
+        .join(
+            stripped.filter(F.col("n_kept") >= 5).select(
+                "doc_id", F.col("text_dedup").alias("text")
+            ),
+            on="doc_id",
+            how="inner",
+        )
+        .select(*deduped.columns)
+    )
+    stats["after_span_strip"] = deduped.count()
+
     # 4. document quality + repetition filters (Gopher-style)
     rep = repetition_stats(deduped, k=2).select("doc_id", "dup_gram_ratio")
     scored = quality_score(deduped).join(rep, on="doc_id")
@@ -103,6 +124,14 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     decontaminated = corpus.join(ok_ids, on="doc_id", how="left_semi")
     stats["after_decontamination"] = decontaminated.count()
 
+    # 5b. per-domain cap: no single source may dominate the corpus
+    from okay_spark.balance import cap_per_group
+
+    decontaminated = cap_per_group(
+        decontaminated, "source", max_rows=10_000, order_col="doc_id"
+    )
+    stats["after_domain_cap"] = decontaminated.count()
+
     # 6. privacy gate: count PII-bearing docs, then redact in place (keeps
     #    the doc, strips the match). The synthetic corpus is PII-free, so
     #    this passes through unchanged here — the scan and redaction still
@@ -118,9 +147,13 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     stats["chunks"] = chunks.count()
     stats["sequences"] = packed.count()
 
-    # 8. per-language rebalance + leak-proof splits on the surviving docs
-    balanced = stratified_sample(
-        redacted, "lang", {"en": 0.5, "fr": 0.8, "de": 1.0}
+    # 8. per-language rebalance + leak-proof splits on the surviving docs:
+    #    data-dependent resampling toward a target mix (the static
+    #    stratified_sample remains available for fixed fractions)
+    from okay_spark.balance import resample_to_target
+
+    balanced = resample_to_target(
+        redacted, "lang", {"en": 0.5, "fr": 0.25, "de": 0.25}, key_col="doc_id"
     )
     final = split_column(balanced, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     final.write.mode("overwrite").partitionBy("split").parquet(f"{out}/corpus")

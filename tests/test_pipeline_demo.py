@@ -17,10 +17,12 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     stats = run_pipeline(spark, "/root/testdata/sf0.001", out)
     # monotone funnel: each stage can only drop documents
     assert stats["ingested"] >= stats["validated"] >= stats["after_dedup"]
-    assert stats["after_dedup"] >= stats["after_quality"] >= stats["after_decontamination"]
-    assert stats["after_decontamination"] >= stats["final_docs"]
+    assert stats["after_dedup"] >= stats["after_span_strip"] >= stats["after_quality"]
+    assert stats["after_quality"] >= stats["after_decontamination"]
+    assert stats["after_decontamination"] >= stats["after_domain_cap"] >= stats["final_docs"]
     # nothing degenerate: the pipeline keeps a real corpus
     assert stats["validated"] > 0 and stats["after_dedup"] > 100
+    assert stats["after_span_strip"] > 100
     assert stats["sequences"] > 0 and stats["chunks"] >= stats["sequences"]
     assert stats["gate_failures"] == 0
     # privacy gate ran; the synthetic corpus carries no PII, and redaction
