@@ -416,6 +416,34 @@ def q_violation_exemplars_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return violation_exemplars(viol, "doc_id", per_rule=3)
 
 
+def q_cross_field_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional rule 'purchases must carry value >= 1.0' as a codegen
+    Column predicate — the fast path for the commonest custom-rule shape."""
+    from okay_spark.checks import cross_field_rule
+
+    return cross_field_rule(
+        _read(spark, sf_dir, "events"),
+        when=F.col("event_type") == "purchase",
+        expect=F.col("value") >= 1.0,
+        path="value",
+        id_cols=["event_id"],
+    )
+
+
+def q_volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational volume anomaly: per-user event counts that deviate >2
+    sigma from the mean count — numeric_outliers composed over an
+    aggregate (detects broken producers / bot users at a glance)."""
+    from okay_spark.checks import numeric_outliers
+
+    counts = (
+        _read(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return numeric_outliers(counts, "n", z_threshold=2.0, id_cols=["user_id"])
+
+
 def q_outliers_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outliers on events.value with exact decimal-summed moments
     (order-independent, so the oracle reproduces every comparison)."""
@@ -1094,6 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_lang_documents": q_resample_lang_documents,
         "outliers_events_value": q_outliers_events_value,
         "violation_exemplars_documents": q_violation_exemplars_documents,
+        "cross_field_events": q_cross_field_events,
+        "volume_anomaly_events": q_volume_anomaly_events,
         "pii_scan_documents": q_pii_scan_documents,
         "inferred_schema_documents": q_inferred_schema_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -1454,6 +1484,31 @@ ea AS (SELECT path, rule, list_sort(list(doc_id)) AS example_ids
        FROM e WHERE rn <= 3 GROUP BY path, rule)
 SELECT c.path, c.rule, c.n_violations, ea.example_ids
 FROM c JOIN ea USING (path, rule)
+"""
+
+_CROSS_FIELD_EVENTS_SQL = """
+SELECT event_id, 'value' AS path, 'cross_field_violation' AS rule
+FROM events
+WHERE event_type = 'purchase' AND NOT COALESCE(value >= 1.0, FALSE)
+"""
+
+_VOLUME_ANOMALY_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), s AS (
+  SELECT COUNT(n) AS k,
+         CAST(SUM(CAST(CAST(n AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(CAST(n AS DOUBLE)*CAST(n AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS ssv
+  FROM c
+)
+SELECT user_id, n,
+       round(CASE WHEN sqrt(greatest(ssv/k - (sv/k)*(sv/k), 0)) > 0
+                  THEN abs(CAST(n AS DOUBLE) - sv/k) / sqrt(greatest(ssv/k - (sv/k)*(sv/k), 0))
+                  ELSE 0 END, 6) AS z
+FROM c, s
+WHERE CASE WHEN sqrt(greatest(ssv/k - (sv/k)*(sv/k), 0)) > 0
+           THEN abs(CAST(n AS DOUBLE) - sv/k) / sqrt(greatest(ssv/k - (sv/k)*(sv/k), 0))
+           ELSE 0 END > 2.0
 """
 
 _OUTLIERS_EVENTS_SQL = """
@@ -1869,6 +1924,8 @@ def oracle_sql() -> dict[str, str]:
         "resample_lang_documents": _RESAMPLE_LANG_SQL,
         "outliers_events_value": _OUTLIERS_EVENTS_SQL,
         "violation_exemplars_documents": _VIOLATION_EXEMPLARS_SQL,
+        "cross_field_events": _CROSS_FIELD_EVENTS_SQL,
+        "volume_anomaly_events": _VOLUME_ANOMALY_SQL,
         "pii_scan_documents": _PII_SCAN_SQL,
         "inferred_schema_documents": _INFERRED_SCHEMA_SQL,
         "repetition_documents": _REPETITION_SQL,

@@ -794,3 +794,33 @@ def violation_exemplars(
         F.sort_array(F.collect_list(id_col)).alias("example_ids")
     )
     return counts.join(examples, ["path", "rule"])
+
+
+def cross_field_rule(
+    df: DataFrame,
+    *,
+    when: Column | str,
+    expect: Column | str,
+    path: str,
+    rule: str = "cross_field_violation",
+    id_cols: list[str],
+) -> DataFrame:
+    """Declarative cross-field conditional rule: rows where ``when`` holds
+    but ``expect`` does not are violations at ``path``.
+
+    In the reference the ONLY way to express "if A then B" across fields is
+    a ``custom`` callable on a common ancestor
+    (/root/reference/docs/user-guide.md:354-375) — which on this engine
+    means the Arrow slow path. This lowers the pattern to a pure Column
+    predicate instead: it runs inside whole-stage codegen in the same scan
+    pipeline as the battery, shuffle-free, zero Python. A null ``expect``
+    is a failure when ``when`` holds (SQL three-valued logic is collapsed
+    with ``coalesce(expect, false)``), matching what a user means by
+    "purchases must have a value"."""
+    w = F.expr(when) if isinstance(when, str) else when
+    e = F.expr(expect) if isinstance(expect, str) else expect
+    return df.filter(w & ~F.coalesce(e, F.lit(False))).select(
+        *[F.col(c) for c in id_cols],
+        F.lit(path).alias("path"),
+        F.lit(rule).alias("rule"),
+    )

@@ -261,3 +261,28 @@ def test_violation_exemplars_bounded_examples(spark):
     assert big["example_ids"] == [0, 1, 2]  # smallest ids, bounded at 3
     small = out[("n_chars", "number_too_large")]
     assert small["n_violations"] == 1 and small["example_ids"] == [7]
+
+
+def test_cross_field_rule_null_and_plan(spark):
+    from okay_spark.checks import cross_field_rule
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "purchase", 5.0),   # ok
+        (2, "purchase", 0.2),   # violates expect
+        (3, "purchase", None),  # null expect counts as violation
+        (4, "click", None),     # when doesn't hold: ignored
+    ]
+    df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+    out = cross_field_rule(
+        df,
+        when=F.col("event_type") == "purchase",
+        expect=F.col("value") >= 1.0,
+        path="value",
+        id_cols=["event_id"],
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [2, 3]
+    # the conditional rule must stay in the codegen scan pipeline: no
+    # shuffle, no Python eval
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan and "Python" not in plan
