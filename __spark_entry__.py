@@ -416,6 +416,20 @@ def q_violation_exemplars_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return violation_exemplars(viol, "doc_id", per_rule=3)
 
 
+def q_quantile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-sensitive drift: exact per-quantile gap between the error and
+    click slices of events.value."""
+    from okay_spark.checks import quantile_drift
+
+    events = _read(spark, sf_dir, "events")
+    return quantile_drift(
+        events.filter(F.col("event_type") == "error"),
+        events.filter(F.col("event_type") == "click"),
+        ["value"],
+        probabilities=(0.25, 0.5, 0.9),
+    )
+
+
 def q_cross_field_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional rule 'purchases must carry value >= 1.0' as a codegen
     Column predicate — the fast path for the commonest custom-rule shape."""
@@ -1123,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_events_value": q_outliers_events_value,
         "violation_exemplars_documents": q_violation_exemplars_documents,
         "cross_field_events": q_cross_field_events,
+        "quantile_drift_events": q_quantile_drift_events,
         "volume_anomaly_events": q_volume_anomaly_events,
         "pii_scan_documents": q_pii_scan_documents,
         "inferred_schema_documents": q_inferred_schema_documents,
@@ -1484,6 +1499,21 @@ ea AS (SELECT path, rule, list_sort(list(doc_id)) AS example_ids
        FROM e WHERE rn <= 3 GROUP BY path, rule)
 SELECT c.path, c.rule, c.n_violations, ea.example_ids
 FROM c JOIN ea USING (path, rule)
+"""
+
+_QUANTILE_DRIFT_SQL = """
+WITH cur AS (
+  SELECT 'value' AS col_name, unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS p,
+         round(unnest(quantile_cont(value, [0.25, 0.5, 0.9])), 4) AS q_current
+  FROM events WHERE event_type = 'error'
+), ref AS (
+  SELECT 'value' AS col_name, unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS p,
+         round(unnest(quantile_cont(value, [0.25, 0.5, 0.9])), 4) AS q_reference
+  FROM events WHERE event_type = 'click'
+)
+SELECT cur.col_name, round(cur.p, 2) AS p, q_current, q_reference,
+       round(abs(q_current - q_reference), 4) AS drift
+FROM cur JOIN ref ON cur.col_name = ref.col_name AND cur.p = ref.p
 """
 
 _CROSS_FIELD_EVENTS_SQL = """
@@ -1925,6 +1955,7 @@ def oracle_sql() -> dict[str, str]:
         "outliers_events_value": _OUTLIERS_EVENTS_SQL,
         "violation_exemplars_documents": _VIOLATION_EXEMPLARS_SQL,
         "cross_field_events": _CROSS_FIELD_EVENTS_SQL,
+        "quantile_drift_events": _QUANTILE_DRIFT_SQL,
         "volume_anomaly_events": _VOLUME_ANOMALY_SQL,
         "pii_scan_documents": _PII_SCAN_SQL,
         "inferred_schema_documents": _INFERRED_SCHEMA_SQL,

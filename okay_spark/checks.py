@@ -272,6 +272,37 @@ def exact_quantiles(df: DataFrame, cols: list[str], probabilities=(0.5, 0.9, 0.9
     ).select("col_name", F.col("col.p").alias("p"), F.col("col.q").alias("q"))
 
 
+def quantile_drift(
+    current: DataFrame,
+    reference: DataFrame,
+    cols: list[str],
+    probabilities=(0.25, 0.5, 0.9),
+    *,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-quantile drift between two slices: exact interpolated quantiles
+    of each side joined on (column, probability) with the absolute gap —
+    the tail-sensitive companion to PSI/KS (a shifted p99 moves `drift`
+    where a binned PSI can stay flat). Each side is ONE sort-based
+    aggregate producing #cols x #probs rows; the join is trivially small.
+    Quantiles are rounded before differencing so the gap is reproducible
+    across engines (matches ANSI percentile_cont interpolation)."""
+    qc = exact_quantiles(current, cols, probabilities).select(
+        "col_name", "p", F.round("q", round_to).alias("q_current")
+    )
+    qr = exact_quantiles(reference, cols, probabilities).select(
+        "col_name", "p", F.round("q", round_to).alias("q_reference")
+    )
+    joined = qc.join(qr, ["col_name", "p"])
+    return joined.select(
+        "col_name",
+        F.round("p", 2).alias("p"),
+        "q_current",
+        "q_reference",
+        F.round(F.abs(F.col("q_current") - F.col("q_reference")), round_to).alias("drift"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact uniqueness (hash-repartitioned aggregate; optional explicit salting)
 # ---------------------------------------------------------------------------

@@ -286,3 +286,16 @@ def test_cross_field_rule_null_and_plan(spark):
     # shuffle, no Python eval
     plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_quantile_drift_detects_shift(spark):
+    from okay_spark.checks import quantile_drift
+
+    cur = spark.createDataFrame([(float(i + 100),) for i in range(100)], "x double")
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    out = {r["p"]: r for r in quantile_drift(cur, ref, ["x"]).collect()}
+    # a pure +100 shift moves every quantile by exactly 100
+    assert all(abs(out[p]["drift"] - 100.0) < 1e-9 for p in out)
+    # and no drift against itself
+    same = quantile_drift(ref, ref, ["x"]).collect()
+    assert all(r["drift"] == 0.0 for r in same)
