@@ -91,3 +91,49 @@ def test_connected_components_matches_union_find(spark, seed):
         for r in connected_components(edges_df, nodes=nodes_df).collect()
     }
     assert got == expected
+
+
+def _py_strip_spans(docs: dict[int, str], n: int, min_df: int = 2) -> dict[int, tuple]:
+    toks = {d: [t for t in text.split(" ") if t] for d, text in docs.items()}
+    gram_docs: dict[tuple, set[int]] = {}
+    for d, w in toks.items():
+        for i in range(len(w) - n + 1):
+            gram_docs.setdefault(tuple(w[i : i + n]), set()).add(d)
+    out = {}
+    for d, w in toks.items():
+        covered = set()
+        for i in range(len(w) - n + 1):
+            if len(gram_docs[tuple(w[i : i + n])]) >= min_df:
+                covered.update(range(i, i + n))
+        kept = [t for i, t in enumerate(w) if i not in covered]
+        out[d] = (len(w), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 11])
+def test_strip_duplicate_spans_matches_python_reference(spark, seed):
+    """Randomized corpora with planted shared spans, tiny vocab (so chance
+    collisions happen too): the distributed plan equals the brute-force
+    per-position reference exactly."""
+    from okay_spark.dedup import strip_duplicate_spans
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    boiler = [f"b{i}" for i in range(6)]
+    docs = {}
+    for d in range(40):
+        w = [rng.choice(vocab) for _ in range(rng.randrange(0, 25))]
+        if rng.random() < 0.5:  # plant the shared span at a random position
+            pos = rng.randrange(0, len(w) + 1)
+            w = w[:pos] + boiler + w[pos:]
+        docs[d] = " ".join(w)
+    n = 5
+    expected = _py_strip_spans(docs, n)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_dedup"])
+        for r in strip_duplicate_spans(
+            spark.createDataFrame(list(docs.items()), "doc_id int, text string"),
+            n=n,
+        ).collect()
+    }
+    assert got == expected
