@@ -416,6 +416,24 @@ def q_violation_exemplars_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return violation_exemplars(viol, "doc_id", per_rule=3)
 
 
+def q_referential_composite_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key referential integrity: (l_partkey, l_suppkey) pairs
+    must appear in the even-order slice (a deterministic stand-in for a
+    two-column dimension key)."""
+    from okay_spark.checks import referential_violations
+
+    li = _read(spark, sf_dir, "lineitem")
+    dim = li.filter(F.col("l_orderkey") % 2 == 0).select("l_partkey", "l_suppkey")
+    out = referential_violations(
+        li,
+        ["l_partkey", "l_suppkey"],
+        dim,
+        ["l_partkey", "l_suppkey"],
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select("l_orderkey", "l_linenumber", "path", "rule")
+
+
 def q_quantile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tail-sensitive drift: exact per-quantile gap between the error and
     click slices of events.value."""
@@ -456,6 +474,20 @@ def q_volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return numeric_outliers(counts, "n", z_threshold=2.0, id_cols=["user_id"])
+
+
+def q_grouped_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers: each row judged against its own
+    group's exact decimal-summed moments."""
+    from okay_spark.checks import numeric_outliers
+
+    return numeric_outliers(
+        _read(spark, sf_dir, "events"),
+        "value",
+        z_threshold=3.0,
+        id_cols=["event_id"],
+        group_by="event_type",
+    )
 
 
 def q_outliers_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1138,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_exemplars_documents": q_violation_exemplars_documents,
         "cross_field_events": q_cross_field_events,
         "quantile_drift_events": q_quantile_drift_events,
+        "referential_composite_lineitem": q_referential_composite_lineitem,
+        "grouped_outliers_events": q_grouped_outliers_events,
         "volume_anomaly_events": q_volume_anomaly_events,
         "pii_scan_documents": q_pii_scan_documents,
         "inferred_schema_documents": q_inferred_schema_documents,
@@ -1501,6 +1535,16 @@ SELECT c.path, c.rule, c.n_violations, ea.example_ids
 FROM c JOIN ea USING (path, rule)
 """
 
+_REFERENTIAL_COMPOSITE_SQL = """
+SELECT l.l_orderkey, l.l_linenumber,
+       'l_partkey,l_suppkey' AS path, 'unknown_reference' AS rule
+FROM lineitem l
+ANTI JOIN (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0
+) d ON l.l_partkey = d.l_partkey AND l.l_suppkey = d.l_suppkey
+WHERE l.l_partkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+"""
+
 _QUANTILE_DRIFT_SQL = """
 WITH cur AS (
   SELECT 'value' AS col_name, unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS p,
@@ -1539,6 +1583,25 @@ FROM c, s
 WHERE CASE WHEN sqrt(greatest(ssv/k - (sv/k)*(sv/k), 0)) > 0
            THEN abs(CAST(n AS DOUBLE) - sv/k) / sqrt(greatest(ssv/k - (sv/k)*(sv/k), 0))
            ELSE 0 END > 2.0
+"""
+
+_GROUPED_OUTLIERS_SQL = """
+WITH s AS (
+  SELECT event_type, COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(value*value AS DECIMAL(38,12))) AS DOUBLE) AS ssv
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type
+)
+SELECT e.event_type, e.event_id, e.value,
+       round(CASE WHEN sqrt(greatest(ssv/n - (sv/n)*(sv/n), 0)) > 0
+                  THEN abs(e.value - sv/n) / sqrt(greatest(ssv/n - (sv/n)*(sv/n), 0))
+                  ELSE 0 END, 6) AS z
+FROM events e JOIN s USING (event_type)
+WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+  AND CASE WHEN sqrt(greatest(ssv/n - (sv/n)*(sv/n), 0)) > 0
+           THEN abs(e.value - sv/n) / sqrt(greatest(ssv/n - (sv/n)*(sv/n), 0))
+           ELSE 0 END > 3.0
 """
 
 _OUTLIERS_EVENTS_SQL = """
@@ -1956,6 +2019,8 @@ def oracle_sql() -> dict[str, str]:
         "violation_exemplars_documents": _VIOLATION_EXEMPLARS_SQL,
         "cross_field_events": _CROSS_FIELD_EVENTS_SQL,
         "quantile_drift_events": _QUANTILE_DRIFT_SQL,
+        "referential_composite_lineitem": _REFERENTIAL_COMPOSITE_SQL,
+        "grouped_outliers_events": _GROUPED_OUTLIERS_SQL,
         "volume_anomaly_events": _VOLUME_ANOMALY_SQL,
         "pii_scan_documents": _PII_SCAN_SQL,
         "inferred_schema_documents": _INFERRED_SCHEMA_SQL,

@@ -348,17 +348,21 @@ def uniqueness_violations(df: DataFrame, key_col: str = "doc_id", **kwargs) -> D
 
 def referential_violations(
     fact: DataFrame,
-    fk_col: str,
+    fk_col: str | list[str],
     dim: DataFrame,
-    pk_col: str,
+    pk_col: str | list[str],
     *,
     id_cols: list[str] | None = None,
     broadcast: bool = True,
     salt_buckets: int | None = None,
     path: str | None = None,
 ) -> DataFrame:
-    """Rows of ``fact`` whose non-null ``fk_col`` is absent from ``dim`` —
-    a left-anti existence join, emitted as violation rows.
+    """Rows of ``fact`` whose non-null key is absent from ``dim`` — a
+    left-anti existence join, emitted as violation rows. ``fk_col`` /
+    ``pk_col`` may be single columns or equal-length lists (composite
+    keys); a fact row participates when EVERY key part is non-null (a
+    partially-null composite key is a nullability problem for the rule
+    battery, not a referential one).
 
     ``broadcast=True`` (default) hints the dim side — the right choice
     whenever the catalog fits in executor memory. With ``broadcast=False``
@@ -367,13 +371,30 @@ def referential_violations(
     ``salt_buckets`` sort-merge tasks (AQE skew handling does not apply to
     anti-joins' build side in all cases; explicit salt is deterministic).
     """
+    fks = [fk_col] if isinstance(fk_col, str) else list(fk_col)
+    pks = [pk_col] if isinstance(pk_col, str) else list(pk_col)
+    if len(fks) != len(pks):
+        raise ValueError(f"fk/pk arity mismatch: {fks} vs {pks}")
     id_cols = id_cols if id_cols is not None else [c for c in fact.columns if c == "doc_id"]
-    probe = fact.filter(F.col(fk_col).isNotNull())
-    dim_keys = dim.select(F.col(pk_col).alias("__pk")).dropDuplicates(["__pk"])
+    cond = None
+    for f_ in fks:
+        c = F.col(f_).isNotNull()
+        cond = c if cond is None else (cond & c)
+    probe = fact.filter(cond)
+    dim_keys = dim.select(
+        *[F.col(p).alias(f"__pk{i}") for i, p in enumerate(pks)]
+    ).dropDuplicates([f"__pk{i}" for i in range(len(pks))])
+
+    def key_eq(left, right):
+        eq = None
+        for i, f_ in enumerate(fks):
+            c = left[f_] == right[f"__pk{i}"]
+            eq = c if eq is None else (eq & c)
+        return eq
 
     if broadcast:
         missing = probe.join(
-            F.broadcast(dim_keys), on=probe[fk_col] == dim_keys["__pk"], how="left_anti"
+            F.broadcast(dim_keys), on=key_eq(probe, dim_keys), how="left_anti"
         )
     elif salt_buckets:
         # hint("merge") pins the sort-merge strategy: without it, Catalyst's
@@ -389,19 +410,19 @@ def referential_violations(
         probe = probe.withColumn("_salt", partition_salt(salt_buckets))
         missing = probe.join(
             salted_dim,
-            on=(probe[fk_col] == salted_dim["__pk"]) & (probe["_salt"] == salted_dim["_salt"]),
+            on=key_eq(probe, salted_dim) & (probe["_salt"] == salted_dim["_salt"]),
             how="left_anti",
         ).drop("_salt")
     else:
         missing = probe.join(
-            dim_keys.hint("merge"), on=probe[fk_col] == dim_keys["__pk"], how="left_anti"
+            dim_keys.hint("merge"), on=key_eq(probe, dim_keys), how="left_anti"
         )
 
     return missing.select(
         *id_cols,
-        F.lit(path or fk_col).alias("path"),
+        F.lit(path or ",".join(fks)).alias("path"),
         F.lit("unknown_reference").alias("rule"),
-        F.to_json(F.struct(F.col(fk_col).alias("value"))).alias("expected"),
+        F.to_json(F.struct(*[F.col(f_).alias(f_ if len(fks) > 1 else "value") for f_ in fks])).alias("expected"),
     )
 
 
@@ -763,35 +784,45 @@ def numeric_outliers(
     *,
     z_threshold: float = 3.0,
     id_cols: list[str] | None = None,
+    group_by: list[str] | str | None = None,
 ) -> DataFrame:
     """Rows whose value lies more than ``z_threshold`` population standard
     deviations from the mean — the anomaly twin of :func:`column_stats`.
+    With ``group_by``, moments are computed per group and each row is
+    judged against ITS group's mean/stddev (a $5 coffee is normal, a $5
+    wire transfer is not).
 
     Moments accumulate in ``decimal(38,12)`` (exact, associative — the same
     order-independence discipline as :func:`pairwise_corr`), so mean and
     stddev are bit-identical on any partitioning and the SQL oracle
     reproduces every comparison. Two scans by design: one tiny moments
-    aggregate (1 row, broadcast back) and one filter scan — the fact table
-    itself is never shuffled, and the z-expression runs inside codegen.
-    NaN/null values are excluded from both the moments and the output."""
+    aggregate (1 row, or #groups rows, broadcast back) and one filter scan
+    — the fact table itself is never shuffled, and the z-expression runs
+    inside codegen. The broadcast assumes moderate group cardinality (the
+    usual case for status/type/partition keys); a group key with millions
+    of values should drop to a shuffle join. NaN/null values are excluded
+    from both the moments and the output."""
     v = F.col(value_col).cast("double")
     ok = v.isNotNull() & ~F.isnan(v)
     vs = F.when(ok, v)
-    stats = df.agg(
+    aggs = [
         F.count(vs).alias("_n"),
         F.sum(vs.cast("decimal(38,12)")).cast("double").alias("_s"),
         F.sum((vs * vs).cast("decimal(38,12)")).cast("double").alias("_ss"),
-    )
+    ]
+    keys = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     mean = F.col("_s") / F.col("_n")
     std = F.sqrt(F.greatest(F.col("_ss") / F.col("_n") - mean * mean, F.lit(0.0)))
     zcol = F.when(std > 0, F.abs(v - mean) / std).otherwise(F.lit(0.0))
-    keep = list(id_cols or []) + [value_col]
-    return (
-        df.filter(ok)
-        .crossJoin(F.broadcast(stats))
-        .filter(zcol > z_threshold)
-        .select(*keep, F.round(zcol, 6).alias("z"))
+    keep = keys + [c for c in (id_cols or []) if c not in keys] + [value_col]
+    base = df.filter(ok)
+    joined = (
+        base.join(F.broadcast(stats), on=keys)
+        if keys
+        else base.crossJoin(F.broadcast(stats))
     )
+    return joined.filter(zcol > z_threshold).select(*keep, F.round(zcol, 6).alias("z"))
 
 
 def violation_exemplars(

@@ -299,3 +299,55 @@ def test_quantile_drift_detects_shift(spark):
     # and no drift against itself
     same = quantile_drift(ref, ref, ["x"]).collect()
     assert all(r["drift"] == 0.0 for r in same)
+
+
+def test_referential_composite_key_and_salted(spark):
+    from okay_spark.checks import referential_violations
+
+    fact = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 10), (4, None, 10), (5, "a", None)],
+        "rid int, k1 string, k2 int",
+    )
+    dim = spark.createDataFrame([("a", 10), ("b", 10)], "k1 string, k2 int")
+    out = referential_violations(
+        fact, ["k1", "k2"], dim, ["k1", "k2"], id_cols=["rid"]
+    ).collect()
+    # only row 2 has a fully-non-null composite key missing from dim; rows
+    # with a partially-null key are the battery's problem, not referential
+    assert [r["rid"] for r in out] == [2]
+    assert out[0]["path"] == "k1,k2"
+    assert '"k1":"a"' in out[0]["expected"] and '"k2":20' in out[0]["expected"]
+
+    # the salted sort-merge variant must agree exactly
+    salted = referential_violations(
+        fact, ["k1", "k2"], dim, ["k1", "k2"],
+        id_cols=["rid"], broadcast=False, salt_buckets=3,
+    ).collect()
+    assert [r["rid"] for r in salted] == [2]
+
+    # single-key path keeps its original expected shape: {"value": ...}
+    single = referential_violations(
+        fact.filter("k1 is not null"), "k2", dim.filter("k1 = 'a'"), "k2",
+        id_cols=["rid"],
+    ).collect()
+    assert all(r["expected"].startswith('{"value":') for r in single)
+
+
+def test_numeric_outliers_grouped_uses_group_moments(spark):
+    from okay_spark.checks import numeric_outliers
+
+    # group A: tight around 10 with one spike; group B: huge values, the
+    # same spike magnitude would be normal there
+    rows = (
+        [(i, "A", 10.0) for i in range(50)]
+        + [(50, "A", 100.0)]
+        + [(100 + i, "B", 1000.0 * (1 + (i % 5))) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "event_id int, grp string, value double")
+    out = numeric_outliers(
+        df, "value", z_threshold=3.0, id_cols=["event_id"], group_by="grp"
+    ).collect()
+    assert [(r["grp"], r["event_id"]) for r in out] == [("A", 50)]
+    # global moments would NOT flag the A-spike (B's spread dominates)
+    glob = numeric_outliers(df, "value", z_threshold=3.0, id_cols=["event_id"]).collect()
+    assert all(r["event_id"] != 50 for r in glob)
