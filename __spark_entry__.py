@@ -911,6 +911,23 @@ def q_battery_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("rule").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_battery_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule input shape (doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>) validated by the full rule battery, with an EXACT
+    cross-engine oracle: the spans table is derived from the documents
+    parquet via md5-only column expressions (fixtures.oracle_interleaved_
+    documents), so DuckDB reconstructs the identical table and predicts the
+    identical violation rows. Upgrades battery_interleaved's rows-only check
+    to a full value-hash check on the flagship shape."""
+    from okay_spark.engine import validate_dataframe
+    from okay_spark.fixtures import document_schema, oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    return validate_dataframe(docs, document_schema, id_cols=["doc_id"]).select(
+        "doc_id", "path", "rule"
+    )
+
+
 def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import minhash_near_duplicates
 
@@ -1136,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
+        "battery_spans_documents": q_battery_spans_documents,
         # fixture-input rows-only entries early: round 1's driver run produced
         # no CORRECTNESS rows for the last dict entries (tail truncation)
         "multimodal_features": q_multimodal_features,
@@ -1271,6 +1289,60 @@ UNION ALL SELECT event_id, 'value', 'number_too_small' FROM events WHERE value I
 UNION ALL SELECT event_id, 'value', 'number_too_large' FROM events WHERE value IS NOT NULL AND value > 400
 UNION ALL SELECT event_id, 'props', 'null_value' FROM events WHERE props IS NULL
 UNION ALL SELECT event_id, 'props', 'no_match' FROM events WHERE props IS NOT NULL AND NOT regexp_full_match(props, '\\{"k": \\d+\\}')
+"""
+
+# DuckDB reconstruction of fixtures.oracle_interleaved_documents: the same
+# md5-keyed streams ('0x'||substr(md5(key),1,8))::BIGINT drive the same span
+# construction, and the violation rows are predicted directly from the
+# intermediates (kind/text/media_ref/offset per (doc, j)).
+_BATTERY_SPANS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|badid'), 1, 8))::BIGINT AS h_badid,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|empty'), 1, 8))::BIGINT AS h_empty,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|ns'), 1, 8))::BIGINT AS h_ns
+  FROM documents WHERE doc_id IS NOT NULL
+), d AS (
+  SELECT doc_id, text,
+    CASE WHEN h_badid % 97 = 0 THEN printf('DOC_%d', doc_id)
+         ELSE printf('doc-%012d', doc_id) END AS sid,
+    CASE WHEN h_empty % 67 = 0 THEN 0 ELSE CAST(h_ns % 4 + 1 AS INT) END AS n_spans
+  FROM base
+), s AS (
+  SELECT d.doc_id, d.text, d.sid, t.j
+  FROM d, UNNEST(range(0, n_spans)) AS t(j)
+), h AS (
+  SELECT sid, j, text,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|k|' || j), 1, 8))::BIGINT AS hk,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|nullk|' || j), 1, 8))::BIGINT AS hnullk,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|badk|' || j), 1, 8))::BIGINT AS hbadk,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|et|' || j), 1, 8))::BIGINT AS het,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|len|' || j), 1, 8))::BIGINT AS hlen,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|badm|' || j), 1, 8))::BIGINT AS hbadm,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|nego|' || j), 1, 8))::BIGINT AS hnego
+  FROM s
+), sp AS (
+  SELECT sid, j,
+    CASE WHEN hnullk % 53 = 0 THEN NULL
+         WHEN hbadk % 53 = 0 THEN 'blob'
+         WHEN hk % 3 = 0 THEN 'media' ELSE 'text' END AS kind,
+    CASE WHEN hk % 3 = 0 THEN NULL
+         WHEN het % 53 = 0 THEN ''
+         ELSE substr(text, 1, CAST(hlen % 30 + 1 AS INT)) END AS text_span,
+    CASE WHEN hk % 3 <> 0 THEN NULL
+         WHEN hbadm % 53 = 0 THEN 'MEDIA_X' ELSE 'ok' END AS media_ref,
+    CASE WHEN hnego % 53 = 0 THEN -1 ELSE 0 END AS off_neg
+  FROM h
+)
+SELECT sid AS doc_id, 'doc_id' AS path, 'no_match' AS rule
+FROM d WHERE NOT regexp_full_match(sid, 'doc-\d{12}')
+UNION ALL SELECT sid, 'spans', 'too_few_elements' FROM d WHERE n_spans = 0
+UNION ALL SELECT sid, printf('spans[%d].kind', j), 'null_value' FROM sp WHERE kind IS NULL
+UNION ALL SELECT sid, printf('spans[%d].kind', j), 'invalid_string_option' FROM sp WHERE kind = 'blob'
+UNION ALL SELECT sid, printf('spans[%d].text', j), 'string_too_short' FROM sp
+  WHERE text_span IS NOT NULL AND length(text_span) < 1
+UNION ALL SELECT sid, printf('spans[%d].media_ref', j), 'no_match' FROM sp WHERE media_ref = 'MEDIA_X'
+UNION ALL SELECT sid, printf('spans[%d].offset', j), 'number_too_small' FROM sp WHERE off_neg = -1
 """
 
 _STATS_SQL = """
@@ -1955,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,
+        "battery_spans_documents": _BATTERY_SPANS_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,

@@ -140,6 +140,81 @@ def media_catalog(spark: SparkSession, size: int = CATALOG_SIZE) -> DataFrame:
     )
 
 
+def oracle_interleaved_documents(documents: DataFrame) -> DataFrame:
+    """F1's shape derived from the driver's ``documents`` parquet table with
+    **md5-only** column expressions, so a SQL engine with ``md5`` (the DuckDB
+    oracle) can reconstruct the exact same table bit-for-bit and validate it
+    independently — the cross-engine twin of :func:`interleaved_documents`
+    (whose ``xxhash64`` streams are Spark-only).
+
+    Output columns match the north-rule ``input_hint``:
+    ``doc_id:string, spans:array<struct<kind,text,media_ref,offset>>, part``.
+    Injected defects (~2% per site): malformed doc_id, empty spans, null
+    kind, invalid kind, empty text on a text span, regex-invalid media_ref,
+    negative offset. Span text is a deterministic substring of the source
+    document's text, so content (not just structure) round-trips.
+
+    Columns are bound to ``base`` (expression-ID resolution): the output
+    aliases ``sid`` AS ``doc_id``, and an unresolved ``F.col("doc_id")``
+    inside the spans expression would be captured by that lateral column
+    alias — hashing the formatted string instead of the source long."""
+    base = documents.filter(F.col("doc_id").isNotNull())
+    raw_id = base["doc_id"]
+    raw_text = base["text"]
+    did = raw_id.cast("string")
+
+    def hd(tag: str) -> Column:
+        # per-doc 32-bit hash stream: ('0x'||substr(md5(...),1,8))::BIGINT in DuckDB
+        return F.conv(F.substring(F.md5(F.concat(did, F.lit("|" + tag))), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+
+    def hs(tag: str, j: Column) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(did, F.lit("|" + tag + "|"), j.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+
+    sid = F.when(hd("badid") % 97 == 0, F.format_string("DOC_%d", raw_id)).otherwise(
+        F.format_string("doc-%012d", raw_id)
+    )
+    n_spans = F.when(hd("empty") % 67 == 0, F.lit(0)).otherwise((hd("ns") % 4 + 1).cast("int"))
+
+    def span(j: Column) -> Column:
+        is_media = hs("k", j) % 3 == 0
+        kind = (
+            F.when(hs("nullk", j) % 53 == 0, F.lit(None).cast("string"))
+            .when(hs("badk", j) % 53 == 0, F.lit("blob"))
+            .when(is_media, F.lit("media"))
+            .otherwise(F.lit("text"))
+        )
+        body = F.when(hs("et", j) % 53 == 0, F.lit("")).otherwise(
+            raw_text.substr(F.lit(1), (hs("len", j) % 30 + 1).cast("int"))
+        )
+        text = F.when(is_media, F.lit(None).cast("string")).otherwise(body)
+        media_ref = F.when(~is_media, F.lit(None).cast("string")).otherwise(
+            F.when(hs("badm", j) % 53 == 0, F.lit("MEDIA_X")).otherwise(
+                F.format_string("media-%08d", hs("m", j) % CATALOG_SIZE)
+            )
+        )
+        offset = (
+            F.when(hs("nego", j) % 53 == 0, F.lit(-1)).otherwise(j * 16 + hs("off", j) % 16)
+        ).cast("int")
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            media_ref.alias("media_ref"),
+            offset.alias("offset"),
+        )
+
+    all_spans = F.transform(F.sequence(F.lit(0), F.lit(3)), span)
+    spans = F.slice(all_spans, 1, n_spans)
+    part = (raw_id % 32).cast("int")
+
+    return base.select(sid.alias("doc_id"), spans.alias("spans"), part.alias("part"))
+
+
 def document_schema() -> None:
     """The F1 okay schema (FIXTURES.md): dotted paths, [] elements, options,
     regex, min, nullability — the full rule battery over the north-rule shape."""

@@ -351,3 +351,36 @@ def test_numeric_outliers_grouped_uses_group_moments(spark):
     # global moments would NOT flag the A-spike (B's spread dominates)
     glob = numeric_outliers(df, "value", z_threshold=3.0, id_cols=["event_id"]).collect()
     assert all(r["event_id"] != 50 for r in glob)
+
+
+def test_oracle_interleaved_battery_matches_duckdb(spark):
+    """Cross-engine gate for the md5-replayable spans fixture: DuckDB rebuilds
+    the exact table from the documents parquet and predicts the exact
+    violation rows. Regression for the lateral-column-alias capture bug:
+    spans hash streams must key off the source long doc_id, not the formatted
+    `sid AS doc_id` output alias."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(entry._BATTERY_SPANS_SQL).fetchall()))
+
+    docs = oracle_interleaved_documents(spark.read.parquet(f"{sf}/documents.parquet"))
+    out = validate_dataframe(docs, compile_schema(document_schema), id_cols=["doc_id"])
+    got = sorted((r["doc_id"], r["path"], r["rule"]) for r in out.collect())
+    assert got == want
+    assert len(got) > 0  # non-vacuous: defects are present at sf0.001
+
+    # the LCA-capture regression guard: at least one media span must exist
+    from pyspark.sql import functions as F
+
+    n_media = docs.select(
+        F.sum(F.size(F.filter("spans", lambda s: s["kind"] == "media"))).alias("n")
+    ).first()["n"]
+    assert n_media and n_media > 0
