@@ -1145,8 +1145,13 @@ def q_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_battery_documents(spark, SF_DEFAULT)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Runs the north-rule workload itself: the full okay rule battery over the
+    interleaved text+media spans table (doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>), derived deterministically from the documents parquet
+    so the run is reproducible and oracle-checked (battery_spans_documents)."""
+    return q_battery_spans_documents(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -117,6 +117,17 @@ def main() -> None:
         forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
         note="posexplode plan; array rules stay in codegen",
     )
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    audit(
+        "battery (md5-oracle spans, parquet-derived)",
+        validate_dataframe(
+            oracle_interleaved_documents(docs), document_schema, id_cols=["doc_id"]
+        ),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="fixture construction fuses into the scan projection; ReadSchema is doc_id,text only",
+    )
 
     # 2. partition summary: one partial+final aggregate
     audit(
