@@ -928,6 +928,20 @@ def q_battery_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-element sequence constraint on the north-rule shape: span
+    offsets must be strictly increasing within each document. The reference
+    validates elements independently (index.py:11-51) — this adjacency rule
+    has no okay counterpart outside a custom callable. Runs on the
+    md5-replayable spans table so DuckDB replays the exact answer (lag over
+    the reconstructed offsets)."""
+    from okay_spark.checks import span_order_violations
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    return span_order_violations(docs, "spans", "offset", id_cols=["doc_id"])
+
+
 def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import minhash_near_duplicates
 
@@ -1159,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
         "battery_spans_documents": q_battery_spans_documents,
+        "span_order_documents": q_span_order_documents,
         # fixture-input rows-only entries early: round 1's driver run produced
         # no CORRECTNESS rows for the last dict entries (tail truncation)
         "multimodal_features": q_multimodal_features,
@@ -1348,6 +1363,37 @@ UNION ALL SELECT sid, printf('spans[%d].text', j), 'string_too_short' FROM sp
   WHERE text_span IS NOT NULL AND length(text_span) < 1
 UNION ALL SELECT sid, printf('spans[%d].media_ref', j), 'no_match' FROM sp WHERE media_ref = 'MEDIA_X'
 UNION ALL SELECT sid, printf('spans[%d].offset', j), 'number_too_small' FROM sp WHERE off_neg = -1
+"""
+
+# Span-order twin: reconstruct the full offsets (not just the -1 flag) and
+# report the FIRST adjacent non-increasing pair per doc via lag().
+_SPAN_ORDER_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|badid'), 1, 8))::BIGINT AS h_badid,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|empty'), 1, 8))::BIGINT AS h_empty,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|ns'), 1, 8))::BIGINT AS h_ns
+  FROM documents WHERE doc_id IS NOT NULL
+), d AS (
+  SELECT doc_id,
+    CASE WHEN h_badid % 97 = 0 THEN printf('DOC_%d', doc_id)
+         ELSE printf('doc-%012d', doc_id) END AS sid,
+    CASE WHEN h_empty % 67 = 0 THEN 0 ELSE CAST(h_ns % 4 + 1 AS INT) END AS n_spans
+  FROM base
+), s AS (
+  SELECT d.doc_id, d.sid, t.j FROM d, UNNEST(range(0, n_spans)) AS t(j)
+), o AS (
+  SELECT sid, j,
+    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|nego|' || j), 1, 8))::BIGINT % 53 = 0 THEN -1
+         ELSE j * 16 + ('0x' || substr(md5(doc_id::VARCHAR || '|off|' || j), 1, 8))::BIGINT % 16 END AS off
+  FROM s
+), p AS (
+  SELECT sid, j, off, lag(off) OVER (PARTITION BY sid ORDER BY j) AS prev FROM o
+)
+SELECT sid AS doc_id, printf('spans[%d].offset', CAST(min(j) AS INT)) AS path,
+       'out_of_order_element' AS rule
+FROM p WHERE prev IS NOT NULL AND off <= prev
+GROUP BY sid
 """
 
 _STATS_SQL = """
@@ -2033,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,
         "battery_spans_documents": _BATTERY_SPANS_SQL,
+        "span_order_documents": _SPAN_ORDER_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,

@@ -886,3 +886,49 @@ def cross_field_rule(
         F.lit(path).alias("path"),
         F.lit(rule).alias("rule"),
     )
+
+
+def span_order_violations(
+    df: DataFrame,
+    array_col: str,
+    field: str,
+    *,
+    id_cols: list[str],
+    strict: bool = True,
+    rule: str = "out_of_order_element",
+) -> DataFrame:
+    """Cross-element sequence constraint: ``field`` must be increasing
+    (strictly when ``strict``) along the ``array_col`` struct array — the
+    north-rule span-ORDER invariant (spans sorted by offset within a doc).
+
+    The reference validates one element at a time (index.py:11-51 fans each
+    element out independently) and can only express adjacency constraints via
+    a ``custom`` callable on the whole list — the Python slow path. Here it
+    is a pure Column expression: the array is zipped with its own tail
+    (``zip_with`` pads the tail with nulls; null comparisons are skipped by
+    ``array_position``), so the check runs inside whole-stage codegen in the
+    same scan pipeline as the battery — shuffle-free, zero Python, linear in
+    total span count, independent of how skewed per-doc span counts are.
+
+    Emits one violation per offending document at the FIRST out-of-order
+    element: ``(id_cols..., path='{array_col}[i].{field}', rule)`` with the
+    0-based index of the later element of the offending adjacent pair. Null
+    elements/fields compare to null and are skipped (the rule battery already
+    reports them as ``null_value``)."""
+    arr = F.col(array_col)
+    tail = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    if strict:
+        bad = F.zip_with(arr, tail, lambda a, b: b[field] <= a[field])
+    else:
+        bad = F.zip_with(arr, tail, lambda a, b: b[field] < a[field])
+    pos = F.array_position(bad, F.lit(True))  # 1-based zip slot = 0-based index of the later element
+    return (
+        df.filter(F.size(arr) > 1)
+        .select(*[F.col(c) for c in id_cols], pos.alias("_pos"))
+        .filter(F.col("_pos") > 0)
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.format_string(f"{array_col}[%d].{field}", F.col("_pos").cast("int")).alias("path"),
+            F.lit(rule).alias("rule"),
+        )
+    )

@@ -128,6 +128,15 @@ def main() -> None:
         forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
         note="fixture construction fuses into the scan projection; ReadSchema is doc_id,text only",
     )
+    from okay_spark.checks import span_order_violations
+
+    audit(
+        "span_order (adjacent-pair zip_with)",
+        span_order_violations(inter, "spans", "offset", id_cols=["doc_id"]),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="cross-element rule as a codegen array expression; linear in total spans",
+    )
 
     # 2. partition summary: one partial+final aggregate
     audit(

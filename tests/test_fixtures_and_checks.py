@@ -384,3 +384,35 @@ def test_oracle_interleaved_battery_matches_duckdb(spark):
         F.sum(F.size(F.filter("spans", lambda s: s["kind"] == "media"))).alias("n")
     ).first()["n"]
     assert n_media and n_media > 0
+
+
+def test_span_order_violations_semantics_and_plan(spark):
+    from okay_spark.checks import span_order_violations
+
+    rows = [
+        (1, [(0,), (5,), (9,)]),          # strictly increasing: ok
+        (2, [(0,), (5,), (5,)]),          # tie at index 2: strict-only violation
+        (3, [(0,), (7,), (3,), (1,)]),    # first offender index 2 (3 <= 7)
+        (4, [(4,), (None,), (9,)]),       # null element skipped: ok
+        (5, [(8,)]),                      # single span: ok
+        (6, []),                          # empty: ok (battery owns min=1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, spans array<struct<offset:int>>")
+
+    strict = {
+        (r["doc_id"], r["path"])
+        for r in span_order_violations(df, "spans", "offset", id_cols=["doc_id"]).collect()
+    }
+    assert strict == {(2, "spans[2].offset"), (3, "spans[2].offset")}
+
+    weak = {
+        (r["doc_id"], r["path"])
+        for r in span_order_violations(
+            df, "spans", "offset", id_cols=["doc_id"], strict=False
+        ).collect()
+    }
+    assert weak == {(3, "spans[2].offset")}
+
+    out = span_order_violations(df, "spans", "offset", id_cols=["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan and "Python" not in plan
