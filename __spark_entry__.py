@@ -942,6 +942,27 @@ def q_span_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_order_violations(docs, "spans", "offset", id_cols=["doc_id"])
 
 
+def q_element_rule_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-element conditional rule on the north-rule shape: a text span must
+    carry non-empty text. Exercises the declarative element_rule machinery
+    (array analog of cross_field_rule — transform-with-index + filter +
+    explode, zero Python) with an exact DuckDB twin over the md5-replayable
+    spans table."""
+    from okay_spark.checks import element_rule
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    return element_rule(
+        docs,
+        "spans",
+        when=lambda s: s["kind"] == F.lit("text"),
+        expect=lambda s: F.length(s["text"]) > 0,
+        field="text",
+        id_cols=["doc_id"],
+        rule="empty_text_span",
+    )
+
+
 def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import minhash_near_duplicates
 
@@ -1174,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "battery_events": q_battery_events,
         "battery_spans_documents": q_battery_spans_documents,
         "span_order_documents": q_span_order_documents,
+        "element_rule_documents": q_element_rule_documents,
         # fixture-input rows-only entries early: round 1's driver run produced
         # no CORRECTNESS rows for the last dict entries (tail truncation)
         "multimodal_features": q_multimodal_features,
@@ -1315,7 +1337,7 @@ UNION ALL SELECT event_id, 'props', 'no_match' FROM events WHERE props IS NOT NU
 # md5-keyed streams ('0x'||substr(md5(key),1,8))::BIGINT drive the same span
 # construction, and the violation rows are predicted directly from the
 # intermediates (kind/text/media_ref/offset per (doc, j)).
-_BATTERY_SPANS_SQL = r"""
+_SPANS_CTE = r"""
 WITH base AS (
   SELECT doc_id, text,
     ('0x' || substr(md5(doc_id::VARCHAR || '|badid'), 1, 8))::BIGINT AS h_badid,
@@ -1354,6 +1376,9 @@ WITH base AS (
     CASE WHEN hnego % 53 = 0 THEN -1 ELSE 0 END AS off_neg
   FROM h
 )
+"""
+
+_BATTERY_SPANS_SQL = _SPANS_CTE + r"""
 SELECT sid AS doc_id, 'doc_id' AS path, 'no_match' AS rule
 FROM d WHERE NOT regexp_full_match(sid, 'doc-\d{12}')
 UNION ALL SELECT sid, 'spans', 'too_few_elements' FROM d WHERE n_spans = 0
@@ -1363,6 +1388,11 @@ UNION ALL SELECT sid, printf('spans[%d].text', j), 'string_too_short' FROM sp
   WHERE text_span IS NOT NULL AND length(text_span) < 1
 UNION ALL SELECT sid, printf('spans[%d].media_ref', j), 'no_match' FROM sp WHERE media_ref = 'MEDIA_X'
 UNION ALL SELECT sid, printf('spans[%d].offset', j), 'number_too_small' FROM sp WHERE off_neg = -1
+"""
+
+_ELEMENT_RULE_SQL = _SPANS_CTE + r"""
+SELECT sid AS doc_id, printf('spans[%d].text', j) AS path, 'empty_text_span' AS rule
+FROM sp WHERE kind = 'text' AND (text_span IS NULL OR length(text_span) = 0)
 """
 
 # Span-order twin: reconstruct the full offsets (not just the -1 flag) and
@@ -2080,6 +2110,7 @@ def oracle_sql() -> dict[str, str]:
         "battery_events": _BATTERY_EVENTS_SQL,
         "battery_spans_documents": _BATTERY_SPANS_SQL,
         "span_order_documents": _SPAN_ORDER_SQL,
+        "element_rule_documents": _ELEMENT_RULE_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,

@@ -888,6 +888,48 @@ def cross_field_rule(
     )
 
 
+def element_rule(
+    df: DataFrame,
+    array_col: str,
+    *,
+    when,
+    expect,
+    field: str,
+    id_cols: list[str],
+    rule: str = "cross_field_violation",
+) -> DataFrame:
+    """Per-element conditional rule over an ``array<struct>`` column — the
+    array analog of :func:`cross_field_rule`: for every element where
+    ``when(elem)`` holds but ``expect(elem)`` does not, emit a violation at
+    ``{array_col}[i].{field}``.
+
+    ``when`` / ``expect`` are callables Column -> Column over the element
+    struct (e.g. ``lambda s: s["kind"] == F.lit("text")``). A null ``expect``
+    counts as a failure when ``when`` holds (coalesced to false), mirroring
+    cross_field_rule. All offending indices are reported (unlike
+    span_order_violations, which reports only the first of a per-doc chain).
+
+    Plan shape: transform-with-index marks offenders, ``F.filter`` drops the
+    rest, one shuffle-free ``posexplode``-style generate fans out violations
+    — no Python, no Exchange; linear in total element count."""
+    arr = F.col(array_col)
+    marked = F.transform(
+        arr,
+        lambda e, i: F.when(
+            F.coalesce(when(e), F.lit(False)) & ~F.coalesce(expect(e), F.lit(False)), i
+        ),
+    )
+    hits = F.filter(marked, lambda x: x.isNotNull())
+    return (
+        df.select(*[F.col(c) for c in id_cols], F.explode(hits).alias("_i"))
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.format_string(f"{array_col}[%d].{field}", F.col("_i").cast("int")).alias("path"),
+            F.lit(rule).alias("rule"),
+        )
+    )
+
+
 def span_order_violations(
     df: DataFrame,
     array_col: str,

@@ -137,6 +137,23 @@ def main() -> None:
         forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
         note="cross-element rule as a codegen array expression; linear in total spans",
     )
+    from okay_spark.checks import element_rule
+    from pyspark.sql import functions as Fx
+
+    audit(
+        "element_rule (per-element conditional)",
+        element_rule(
+            inter,
+            "spans",
+            when=lambda s: s["kind"] == Fx.lit("text"),
+            expect=lambda s: Fx.length(s["text"]) > 0,
+            field="text",
+            id_cols=["doc_id"],
+        ),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="transform-with-index + filter + explode; all offending indices, zero Python",
+    )
 
     # 2. partition summary: one partial+final aggregate
     audit(

@@ -416,3 +416,36 @@ def test_span_order_violations_semantics_and_plan(spark):
     out = span_order_violations(df, "spans", "offset", id_cols=["doc_id"])
     plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_element_rule_semantics_and_plan(spark):
+    from okay_spark.checks import element_rule
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [("text", "hi"), ("media", None), ("text", "")]),   # idx 2 fails
+        (2, [("text", None), ("text", "x")]),                   # null expect at idx 0 fails
+        (3, [(None, None), ("media", None)]),                   # when null/false: ignored
+        (4, [("text", ""), ("text", "")]),                      # both indices reported
+        (5, []),                                                # empty: ok
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, spans array<struct<kind:string,text:string>>")
+    out = element_rule(
+        df,
+        "spans",
+        when=lambda s: s["kind"] == F.lit("text"),
+        expect=lambda s: F.length(s["text"]) > 0,
+        field="text",
+        id_cols=["doc_id"],
+        rule="empty_text_span",
+    )
+    got = sorted((r["doc_id"], r["path"]) for r in out.collect())
+    assert got == [
+        (1, "spans[2].text"),
+        (2, "spans[0].text"),
+        (4, "spans[0].text"),
+        (4, "spans[1].text"),
+    ]
+    assert {r["rule"] for r in out.collect()} == {"empty_text_span"}
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan and "Python" not in plan
