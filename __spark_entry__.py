@@ -963,6 +963,62 @@ def q_element_rule_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_stream(col, tag: str):
+    """The fixture's cross-engine hash stream over an existing column."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit("|" + tag))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def q_referential_spans_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star referential check ON the north-rule shape, exact oracle:
+    spans[].media_ref anti-joined against a derived catalog (ids not
+    divisible by 13), broadcast plan. DuckDB recovers each orphan from the
+    ref string itself."""
+    from okay_spark.checks import media_ref_violations
+    from okay_spark.fixtures import CATALOG_SIZE, oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    catalog = (
+        spark.range(CATALOG_SIZE)
+        .filter(F.col("id") % 13 != 0)
+        .select(F.format_string("media-%08d", F.col("id")).alias("media_ref"))
+    )
+    return media_ref_violations(docs, catalog, broadcast=True).select("doc_id", "path")
+
+
+def q_uniqueness_spans_doc_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star exact uniqueness ON the north-rule shape: an md5-selected
+    ~1/19 of docs is appended twice (deterministically, so DuckDB replays the
+    duplicate set), then hash-aggregate duplicate detection."""
+    from okay_spark.checks import duplicate_keys
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    dups = docs.filter(_md5_stream(F.col("doc_id"), "dupsel") % 19 == 0)
+    return duplicate_keys(docs.unionByName(dups), "doc_id")
+
+
+def q_span_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star per-column stats ON the north-rule shape: per-kind span
+    counts and exact integer text-length totals (one explode + one
+    aggregate; no float aggregates, so the value hash is order-free)."""
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    s = docs.select(F.explode("spans").alias("s")).select(
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    return s.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count("text").alias("n_text"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+        F.count("media_ref").alias("n_media_ref"),
+    )
+
+
 def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import minhash_near_duplicates
 
@@ -1196,6 +1252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "battery_spans_documents": q_battery_spans_documents,
         "span_order_documents": q_span_order_documents,
         "element_rule_documents": q_element_rule_documents,
+        "referential_spans_media": q_referential_spans_media,
+        "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
+        "span_kind_stats": q_span_kind_stats,
         # fixture-input rows-only entries early: round 1's driver run produced
         # no CORRECTNESS rows for the last dict entries (tail truncation)
         "multimodal_features": q_multimodal_features,
@@ -1361,6 +1420,7 @@ WITH base AS (
     ('0x' || substr(md5(doc_id::VARCHAR || '|et|' || j), 1, 8))::BIGINT AS het,
     ('0x' || substr(md5(doc_id::VARCHAR || '|len|' || j), 1, 8))::BIGINT AS hlen,
     ('0x' || substr(md5(doc_id::VARCHAR || '|badm|' || j), 1, 8))::BIGINT AS hbadm,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|m|' || j), 1, 8))::BIGINT AS hm,
     ('0x' || substr(md5(doc_id::VARCHAR || '|nego|' || j), 1, 8))::BIGINT AS hnego
   FROM s
 ), sp AS (
@@ -1372,7 +1432,8 @@ WITH base AS (
          WHEN het % 53 = 0 THEN ''
          ELSE substr(text, 1, CAST(hlen % 30 + 1 AS INT)) END AS text_span,
     CASE WHEN hk % 3 <> 0 THEN NULL
-         WHEN hbadm % 53 = 0 THEN 'MEDIA_X' ELSE 'ok' END AS media_ref,
+         WHEN hbadm % 53 = 0 THEN 'MEDIA_X'
+         ELSE printf('media-%08d', hm % 100000) END AS media_ref,
     CASE WHEN hnego % 53 = 0 THEN -1 ELSE 0 END AS off_neg
   FROM h
 )
@@ -1393,6 +1454,38 @@ UNION ALL SELECT sid, printf('spans[%d].offset', j), 'number_too_small' FROM sp 
 _ELEMENT_RULE_SQL = _SPANS_CTE + r"""
 SELECT sid AS doc_id, printf('spans[%d].text', j) AS path, 'empty_text_span' AS rule
 FROM sp WHERE kind = 'text' AND (text_span IS NULL OR length(text_span) = 0)
+"""
+
+# Referential twin: valid catalog ids are those not divisible by 13; MEDIA_X
+# never resolves. The orphan id is recoverable from the ref string itself.
+_REF_SPANS_SQL = _SPANS_CTE + r"""
+SELECT sid AS doc_id, printf('spans[%d].media_ref', j) AS path
+FROM sp
+WHERE media_ref = 'MEDIA_X'
+   OR (media_ref IS NOT NULL AND media_ref <> 'MEDIA_X'
+       AND CAST(substr(media_ref, 7) AS BIGINT) % 13 = 0)
+"""
+
+# Uniqueness twin: a deterministic md5-selected ~1/19 of docs is appended a
+# second time, so the duplicate set is exactly computable on both engines.
+_UNIQ_SPANS_SQL = _SPANS_CTE + r"""
+, u AS (
+  SELECT sid FROM d
+  UNION ALL
+  SELECT sid FROM d
+  WHERE ('0x' || substr(md5(sid || '|dupsel'), 1, 8))::BIGINT % 19 = 0
+)
+SELECT sid AS doc_id, COUNT(*)::BIGINT AS cnt FROM u GROUP BY sid HAVING COUNT(*) > 1
+"""
+
+# Per-kind stats twin: exact integer aggregates only (no float hashing risk).
+_SPAN_KIND_STATS_SQL = _SPANS_CTE + r"""
+SELECT kind,
+       COUNT(*)::BIGINT AS n_spans,
+       COUNT(text_span)::BIGINT AS n_text,
+       SUM(length(text_span))::BIGINT AS total_text_chars,
+       COUNT(media_ref)::BIGINT AS n_media_ref
+FROM sp GROUP BY kind
 """
 
 # Span-order twin: reconstruct the full offsets (not just the -1 flag) and
@@ -2111,6 +2204,9 @@ def oracle_sql() -> dict[str, str]:
         "battery_spans_documents": _BATTERY_SPANS_SQL,
         "span_order_documents": _SPAN_ORDER_SQL,
         "element_rule_documents": _ELEMENT_RULE_SQL,
+        "referential_spans_media": _REF_SPANS_SQL,
+        "uniqueness_spans_doc_id": _UNIQ_SPANS_SQL,
+        "span_kind_stats": _SPAN_KIND_STATS_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,
