@@ -1019,6 +1019,26 @@ def q_span_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_spans_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star drift ON the north-rule shape: PSI + binned KS of span
+    offsets between the two partition halves of the md5-replayable table
+    (bins from the reference half's extent, as drift_metrics defines)."""
+    from okay_spark.checks import drift_metrics
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    s = docs.select("part", F.explode("spans").alias("sp")).select(
+        "part", F.col("sp.offset").alias("offset")
+    )
+    cur = s.filter(F.col("part") < 16)
+    ref = s.filter(F.col("part") >= 16)
+    m = drift_metrics(cur, ref, "offset", bins=20)
+    return spark.createDataFrame(
+        [(round(m["psi"], 6), round(m["ks"], 6), m["n_current"], m["n_reference"])],
+        "psi double, ks double, n_current bigint, n_reference bigint",
+    )
+
+
 def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import minhash_near_duplicates
 
@@ -1255,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_spans_media": q_referential_spans_media,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "span_kind_stats": q_span_kind_stats,
+        "drift_spans_offset": q_drift_spans_offset,
         # fixture-input rows-only entries early: round 1's driver run produced
         # no CORRECTNESS rows for the last dict entries (tail truncation)
         "multimodal_features": q_multimodal_features,
@@ -1486,6 +1507,48 @@ SELECT kind,
        SUM(length(text_span))::BIGINT AS total_text_chars,
        COUNT(media_ref)::BIGINT AS n_media_ref
 FROM sp GROUP BY kind
+"""
+
+# Drift twin on the spans shape: rebuild offsets + part, then the same
+# 20-bin PSI/KS pipeline as _DRIFT_SQL with reference = part >= 16.
+_DRIFT_SPANS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|empty'), 1, 8))::BIGINT AS h_empty,
+    ('0x' || substr(md5(doc_id::VARCHAR || '|ns'), 1, 8))::BIGINT AS h_ns
+  FROM documents WHERE doc_id IS NOT NULL
+), d AS (
+  SELECT doc_id, CAST(doc_id % 32 AS INT) AS part,
+    CASE WHEN h_empty % 67 = 0 THEN 0 ELSE CAST(h_ns % 4 + 1 AS INT) END AS n_spans
+  FROM base
+), o AS (
+  SELECT d.part,
+    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|nego|' || t.j), 1, 8))::BIGINT % 53 = 0 THEN -1
+         ELSE t.j * 16 + ('0x' || substr(md5(doc_id::VARCHAR || '|off|' || t.j), 1, 8))::BIGINT % 16
+    END AS value
+  FROM d, UNNEST(range(0, n_spans)) AS t(j)
+), ref AS (SELECT value::DOUBLE AS value FROM o WHERE part >= 16),
+cur AS (SELECT value::DOUBLE AS value FROM o WHERE part < 16),
+ext AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ref),
+rh AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - lo) / ((hi - lo) / 20)), 0), 19) AS INT) AS b,
+              COUNT(*)::BIGINT AS c FROM ref, ext GROUP BY 1),
+ch AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - lo) / ((hi - lo) / 20)), 0), 19) AS INT) AS b,
+              COUNT(*)::BIGINT AS c FROM cur, ext GROUP BY 1),
+bins AS (SELECT CAST(i AS INT) AS b FROM range(0, 20) t(i)),
+tot AS (SELECT (SELECT COUNT(*) FROM cur) AS nc, (SELECT COUNT(*) FROM ref) AS nr),
+j0 AS (
+  SELECT bins.b, COALESCE(ch.c, 0) AS cc, COALESCE(rh.c, 0) AS rc
+  FROM bins LEFT JOIN ch ON ch.b = bins.b LEFT JOIN rh ON rh.b = bins.b
+), j AS (
+  SELECT b, cc / nc::DOUBLE AS p, rc / nr::DOUBLE AS q FROM j0 CROSS JOIN tot
+), terms AS (
+  SELECT b, (GREATEST(p, 1e-6) - GREATEST(q, 1e-6)) * LN(GREATEST(p, 1e-6) / GREATEST(q, 1e-6)) AS term,
+    SUM(p) OVER (ORDER BY b) AS cp, SUM(q) OVER (ORDER BY b) AS cq
+  FROM j
+)
+SELECT round(SUM(term), 6) AS psi, round(MAX(ABS(cp - cq)), 6) AS ks,
+  (SELECT nc FROM tot) AS n_current, (SELECT nr FROM tot) AS n_reference
+FROM terms
 """
 
 # Span-order twin: reconstruct the full offsets (not just the -1 flag) and
@@ -2207,6 +2270,7 @@ def oracle_sql() -> dict[str, str]:
         "referential_spans_media": _REF_SPANS_SQL,
         "uniqueness_spans_doc_id": _UNIQ_SPANS_SQL,
         "span_kind_stats": _SPAN_KIND_STATS_SQL,
+        "drift_spans_offset": _DRIFT_SPANS_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,
