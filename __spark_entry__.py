@@ -1039,6 +1039,26 @@ def q_drift_spans_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_summary_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star per-partition pass/fail ON the north-rule shape: one row
+    per `part` with doc/violation/failed-doc counts and pass rate, computed
+    in the same pass as the rule battery (violations array is a projection;
+    the only shuffle is the tiny groupBy on part). DuckDB twin rebuilds the
+    per-doc violation counts from the shared span CTE."""
+    from okay_spark.checks import partition_summary
+    from okay_spark.fixtures import document_schema, oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    out = partition_summary(docs, document_schema, "part")
+    return out.select(
+        "part",
+        "n_docs",
+        "n_violations",
+        "n_failed_docs",
+        F.round("pass_rate", 6).alias("pass_rate"),
+    )
+
+
 def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import minhash_near_duplicates
 
@@ -1276,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "span_kind_stats": q_span_kind_stats,
         "drift_spans_offset": q_drift_spans_offset,
+        "partition_summary_spans": q_partition_summary_spans,
         # fixture-input rows-only entries early: round 1's driver run produced
         # no CORRECTNESS rows for the last dict entries (tail truncation)
         "multimodal_features": q_multimodal_features,
@@ -1507,6 +1528,29 @@ SELECT kind,
        SUM(length(text_span))::BIGINT AS total_text_chars,
        COUNT(media_ref)::BIGINT AS n_media_ref
 FROM sp GROUP BY kind
+"""
+
+# Per-partition summary twin: per-doc violation counts from the shared CTE,
+# left-joined back to every doc (zero-violation docs count too).
+_PARTITION_SUMMARY_SPANS_SQL = _SPANS_CTE + r"""
+, v AS (
+  SELECT sid FROM d WHERE NOT regexp_full_match(sid, 'doc-\d{12}')
+  UNION ALL SELECT sid FROM d WHERE n_spans = 0
+  UNION ALL SELECT sid FROM sp WHERE kind IS NULL
+  UNION ALL SELECT sid FROM sp WHERE kind = 'blob'
+  UNION ALL SELECT sid FROM sp WHERE text_span IS NOT NULL AND length(text_span) < 1
+  UNION ALL SELECT sid FROM sp WHERE media_ref = 'MEDIA_X'
+  UNION ALL SELECT sid FROM sp WHERE off_neg = -1
+), vc AS (
+  SELECT sid, COUNT(*) AS nv FROM v GROUP BY sid
+), per AS (
+  SELECT CAST(d.doc_id % 32 AS INT) AS part, COALESCE(vc.nv, 0) AS nv
+  FROM d LEFT JOIN vc ON vc.sid = d.sid
+)
+SELECT part, COUNT(*)::BIGINT AS n_docs, CAST(SUM(nv) AS BIGINT) AS n_violations,
+  CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_docs,
+  round((COUNT(*) - SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END)) / COUNT(*)::DOUBLE, 6) AS pass_rate
+FROM per GROUP BY part
 """
 
 # Drift twin on the spans shape: rebuild offsets + part, then the same
@@ -2271,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         "uniqueness_spans_doc_id": _UNIQ_SPANS_SQL,
         "span_kind_stats": _SPAN_KIND_STATS_SQL,
         "drift_spans_offset": _DRIFT_SPANS_SQL,
+        "partition_summary_spans": _PARTITION_SUMMARY_SPANS_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,
