@@ -902,6 +902,36 @@ def q_streaming_battery_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(sink).select("doc_id", "path", "rule")
 
 
+def q_streaming_battery_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship spans battery executed as a Structured Streaming job:
+    the md5-replayable interleaved table is materialized to parquet once,
+    streamed through the same compiled rule battery (Trigger.AvailableNow,
+    exactly-once sink + checkpoint), and the sink must hash-match the same
+    _BATTERY_SPANS_SQL oracle as the batch run — streaming execution of the
+    north-rule shape is bit-identical to batch."""
+    import tempfile
+
+    from okay_spark.fixtures import document_schema, oracle_interleaved_documents
+    from okay_spark.streaming import run_incremental
+
+    src_dir = tempfile.mkdtemp(prefix="okay_stream_spans_src_")
+    sink = tempfile.mkdtemp(prefix="okay_stream_spans_sink_")
+    ckpt = tempfile.mkdtemp(prefix="okay_stream_spans_ckpt_")
+    oracle_interleaved_documents(_read(spark, sf_dir, "documents")).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    run_incremental(
+        spark,
+        source_dir=src_dir,
+        source_ddl=spark.read.parquet(src_dir).schema,
+        schema=document_schema,
+        sink_dir=sink,
+        checkpoint_dir=ckpt,
+        id_cols=["doc_id"],
+    )
+    return spark.read.parquet(sink).select("doc_id", "path", "rule")
+
+
 def q_battery_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.engine import validate_dataframe
     from okay_spark.fixtures import document_schema, interleaved_documents
@@ -1297,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_kind_stats": q_span_kind_stats,
         "drift_spans_offset": q_drift_spans_offset,
         "partition_summary_spans": q_partition_summary_spans,
+        "streaming_battery_spans": q_streaming_battery_spans,
         # fixture-input rows-only entries early: round 1's driver run produced
         # no CORRECTNESS rows for the last dict entries (tail truncation)
         "multimodal_features": q_multimodal_features,
@@ -2319,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,
+        "streaming_battery_spans": _BATTERY_SPANS_SQL,
         "stats_documents": _STATS_SQL,
         "uniqueness_lineitem": (
             "SELECT l_orderkey, COUNT(*)::BIGINT AS cnt FROM lineitem "
