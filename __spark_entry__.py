@@ -1,6 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)  -> flagship: the okay_spark rule battery over documents.parquet
+entry(spark)  -> flagship: the okay_spark rule battery over the north-rule
+                 interleaved spans table (derived from documents.parquet)
 queries()     -> one DataFrame-producing callable per implemented operator
 oracle_sql()  -> DuckDB-equivalent SQL for every SQL-expressible query
 
