@@ -137,3 +137,80 @@ def test_strip_duplicate_spans_matches_python_reference(spark, seed):
         ).collect()
     }
     assert got == expected
+
+
+def _py_span_order(rows, strict=True):
+    """Reference: first adjacent non-increasing offset per doc, nulls skipped
+    (null comparisons are three-valued in the engine: never a violation)."""
+    out = set()
+    for doc_id, spans in rows:
+        for i in range(1, len(spans)):
+            a, b = spans[i - 1], spans[i]
+            if a is None or b is None or a.get("offset") is None or b.get("offset") is None:
+                continue
+            if (b["offset"] <= a["offset"]) if strict else (b["offset"] < a["offset"]):
+                out.add((doc_id, f"spans[{i}].offset"))
+                break
+    return out
+
+
+@pytest.mark.parametrize("seed,strict", [(1, True), (2, True), (3, False)])
+def test_span_order_matches_python_reference(spark, seed, strict):
+    from okay_spark.checks import span_order_violations
+
+    rng = random.Random(seed)
+    rows = []
+    for d in range(120):
+        n = rng.randrange(0, 6)
+        spans = []
+        for _ in range(n):
+            off = None if rng.random() < 0.1 else rng.randrange(-2, 8)
+            spans.append({"offset": off} if rng.random() > 0.05 else None)
+        rows.append((d, spans))
+    df = spark.createDataFrame(rows, "doc_id int, spans array<struct<offset:int>>")
+    got = {
+        (r["doc_id"], r["path"])
+        for r in span_order_violations(
+            df, "spans", "offset", id_cols=["doc_id"], strict=strict
+        ).collect()
+    }
+    assert got == _py_span_order(rows, strict=strict)
+
+
+def _py_element_rule(rows):
+    out = []
+    for doc_id, spans in rows:
+        for i, s in enumerate(spans or []):
+            if s is None or s.get("kind") != "text":
+                continue
+            t = s.get("text")
+            if t is None or len(t) == 0:
+                out.append((doc_id, f"spans[{i}].text"))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_element_rule_matches_python_reference(spark, seed):
+    from okay_spark.checks import element_rule
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    rows = []
+    for d in range(150):
+        spans = []
+        for _ in range(rng.randrange(0, 5)):
+            kind = rng.choice(["text", "media", None])
+            text = rng.choice(["hello", "", None])
+            spans.append({"kind": kind, "text": text} if rng.random() > 0.05 else None)
+        rows.append((d, spans))
+    df = spark.createDataFrame(rows, "doc_id int, spans array<struct<kind:string,text:string>>")
+    out = element_rule(
+        df,
+        "spans",
+        when=lambda s: s["kind"] == F.lit("text"),
+        expect=lambda s: F.length(s["text"]) > 0,
+        field="text",
+        id_cols=["doc_id"],
+    )
+    got = sorted((r["doc_id"], r["path"]) for r in out.collect())
+    assert got == _py_element_rule(rows)
