@@ -449,3 +449,39 @@ def test_element_rule_semantics_and_plan(spark):
     assert {r["rule"] for r in out.collect()} == {"empty_text_span"}
     plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_oracle_interleaved_battery_matches_reference_validator(spark, docs, okay_reference):
+    """Triple verification for the flagship shape: the md5-replayable spans
+    table is checked against DuckDB elsewhere; here every row is ALSO
+    validated by the reference okay validator itself — Spark, DuckDB, and
+    the original Python library must agree on the same table."""
+    from okay import validate  # type: ignore
+    from okay.schema import required, optional  # type: ignore
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    table = oracle_interleaved_documents(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    out = validate_dataframe(table, compile_schema(document_schema), id_cols=["doc_id"])
+    got: dict[str, set] = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], set()).add((r["rule"], r["path"]))
+
+    def ref_schema():
+        required("doc_id", type="string", regex=r"doc-\d{12}")
+        required("spans", type="list", min=1)
+        required("spans[]", type="object")
+        required("spans[].kind", type="string", options=["text", "media"])
+        optional("spans[].text", type="string?", min=1)
+        optional("spans[].media_ref", type="string?", regex=r"media-\d{8}")
+        required("spans[].offset", type="int", min=0)
+        optional("part", type="int?")
+
+    mismatches = []
+    for row in table.collect():
+        doc = row.asDict(recursive=True)
+        expect = {(m.type, m.field) for m in validate(ref_schema, doc)}
+        if got.get(doc["doc_id"], set()) != expect:
+            mismatches.append(doc["doc_id"])
+    assert mismatches == []
