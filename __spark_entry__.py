@@ -1090,6 +1090,24 @@ def q_partition_summary_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-referenced media assets on the north-rule shape (boilerplate
+    detection input: an asset referenced from a large share of docs pins a
+    referential-join reducer — this is the salting-decision feed). Exact
+    two-phase aggregate + deterministic tiebreak; DuckDB twin on the shared
+    span CTE."""
+    from okay_spark.checks import heavy_hitters
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+    )
+    return heavy_hitters(refs, "media_ref", k=10)
+
+
 def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.dedup import minhash_near_duplicates
 
@@ -1329,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_spans_offset": q_drift_spans_offset,
         "partition_summary_spans": q_partition_summary_spans,
         "streaming_battery_spans": q_streaming_battery_spans,
+        "heavy_media_refs": q_heavy_media_refs,
         # fixture-input rows-only entries early: round 1's driver run produced
         # no CORRECTNESS rows for the last dict entries (tail truncation)
         "multimodal_features": q_multimodal_features,
@@ -1560,6 +1579,16 @@ SELECT kind,
        SUM(length(text_span))::BIGINT AS total_text_chars,
        COUNT(media_ref)::BIGINT AS n_media_ref
 FROM sp GROUP BY kind
+"""
+
+_HEAVY_MEDIA_SQL = _SPANS_CTE + r"""
+, refs AS (SELECT media_ref FROM sp WHERE media_ref IS NOT NULL),
+t AS (SELECT COUNT(*)::DOUBLE AS total FROM refs)
+SELECT media_ref AS value, COUNT(*)::BIGINT AS cnt,
+       round(COUNT(*) / (SELECT total FROM t), 6) AS share
+FROM refs GROUP BY media_ref
+ORDER BY cnt DESC, value
+LIMIT 10
 """
 
 # Per-partition summary twin: per-doc violation counts from the shared CTE,
@@ -2348,6 +2377,7 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_stats": _SPAN_KIND_STATS_SQL,
         "drift_spans_offset": _DRIFT_SPANS_SQL,
         "partition_summary_spans": _PARTITION_SUMMARY_SPANS_SQL,
+        "heavy_media_refs": _HEAVY_MEDIA_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,
