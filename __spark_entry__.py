@@ -406,7 +406,9 @@ def q_resample_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_violation_exemplars_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triage report over the documents battery: per-rule counts plus the 3
-    smallest offending doc_ids as bounded example arrays."""
+    smallest offending doc_ids as bounded examples. The example array is
+    projected through array_join (driver's pandas canonicalizer cannot hash
+    list cells — r02 ERR row); the DuckDB twin mirrors the join."""
     from okay_spark.checks import violation_exemplars
     from okay_spark.engine import validate_dataframe
 
@@ -414,7 +416,15 @@ def q_violation_exemplars_documents(spark: SparkSession, sf_dir: str) -> DataFra
     viol = validate_dataframe(df, _documents_schema, id_cols=["doc_id"]).select(
         "doc_id", "path", "rule"
     )
-    return violation_exemplars(viol, "doc_id", per_rule=3)
+    out = violation_exemplars(viol, "doc_id", per_rule=3)
+    return out.select(
+        "path",
+        "rule",
+        "n_violations",
+        F.array_join(F.col("example_ids").cast("array<string>"), ",").alias(
+            "example_ids"
+        ),
+    )
 
 
 def q_referential_composite_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1237,13 +1247,23 @@ def q_pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-bucket sequence packing over the chunked corpus
     (rows-only: greedy reset-on-overflow is not one-shot SQL-expressible;
     invariants — full coverage, budget bound, determinism — are pytest-
-    asserted in tests/test_tfidf_and_stream_dedup.py)."""
+    asserted in tests/test_tfidf_and_stream_dedup.py). The doc_ids array is
+    projected through array_join: the driver's pandas canonicalizer hashes
+    cell values and lists are unhashable (r02 ERR row)."""
     from okay_spark.textops import chunk_documents, pack_chunks
 
     chunks = chunk_documents(
         _read(spark, sf_dir, "documents"), chunk_tokens=48, overlap=8
     )
-    return pack_chunks(chunks, budget_tokens=192, n_buckets=16)
+    packed = pack_chunks(chunks, budget_tokens=192, n_buckets=16)
+    return packed.select(
+        "bucket",
+        "seq_id",
+        "n_chunks",
+        "total_tokens",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+        "packed_text",
+    )
 
 
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1839,7 +1859,8 @@ FROM documents
 
 # Patterns mirror okay_spark.textops.PII_PATTERNS — the dialect-portable
 # regex subset (identical semantics in Java regex and DuckDB's RE2). The
-# planted suffix matches q_pii_scan_documents exactly.
+# planted suffix matches q_pii_scan_documents exactly. COALESCE mirrors
+# pii_scan's null-text-to-zero-counts rule (every row gets a decision).
 _PII_SCAN_SQL = r"""
 WITH planted AS (
   SELECT doc_id,
@@ -1850,9 +1871,9 @@ WITH planted AS (
   FROM documents
 ), counted AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-         len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
-         len(regexp_extract_all(text, '\+?\d{3}[- ]\d{3}[- ]\d{4}'))::BIGINT AS n_phone
+         COALESCE(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')), 0)::BIGINT AS n_email,
+         COALESCE(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')), 0)::BIGINT AS n_ipv4,
+         COALESCE(len(regexp_extract_all(text, '\+?\d{3}[- ]\d{3}[- ]\d{4}')), 0)::BIGINT AS n_phone
   FROM planted
 )
 SELECT doc_id, n_email, n_ipv4, n_phone,
@@ -1943,7 +1964,10 @@ c AS (SELECT path, rule, COUNT(*) AS n_violations FROM v GROUP BY path, rule),
 e AS (SELECT path, rule, doc_id,
              row_number() OVER (PARTITION BY path, rule ORDER BY doc_id) AS rn
       FROM v),
-ea AS (SELECT path, rule, list_sort(list(doc_id)) AS example_ids
+ea AS (SELECT path, rule,
+              array_to_string(
+                list_transform(list_sort(list(doc_id)), x -> x::VARCHAR), ','
+              ) AS example_ids
        FROM e WHERE rn <= 3 GROUP BY path, rule)
 SELECT c.path, c.rule, c.n_violations, ea.example_ids
 FROM c JOIN ea USING (path, rule)

@@ -785,6 +785,7 @@ def numeric_outliers(
     z_threshold: float = 3.0,
     id_cols: list[str] | None = None,
     group_by: list[str] | str | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Rows whose value lies more than ``z_threshold`` population standard
     deviations from the mean — the anomaly twin of :func:`column_stats`.
@@ -798,10 +799,12 @@ def numeric_outliers(
     reproduces every comparison. Two scans by design: one tiny moments
     aggregate (1 row, or #groups rows, broadcast back) and one filter scan
     — the fact table itself is never shuffled, and the z-expression runs
-    inside codegen. The broadcast assumes moderate group cardinality (the
-    usual case for status/type/partition keys); a group key with millions
-    of values should drop to a shuffle join. NaN/null values are excluded
-    from both the moments and the output."""
+    inside codegen. ``broadcast=True`` (default) assumes moderate group
+    cardinality (the usual case for status/type/partition keys); pass
+    ``broadcast=False`` for a group key with millions of values to drop the
+    stats join to a plain shuffle join instead of collecting #groups rows
+    onto every executor (mirrors ``referential_violations``). NaN/null
+    values are excluded from both the moments and the output."""
     v = F.col(value_col).cast("double")
     ok = v.isNotNull() & ~F.isnan(v)
     vs = F.when(ok, v)
@@ -817,10 +820,11 @@ def numeric_outliers(
     zcol = F.when(std > 0, F.abs(v - mean) / std).otherwise(F.lit(0.0))
     keep = keys + [c for c in (id_cols or []) if c not in keys] + [value_col]
     base = df.filter(ok)
+    stats_side = F.broadcast(stats) if broadcast else stats
     joined = (
-        base.join(F.broadcast(stats), on=keys)
+        base.join(stats_side, on=keys)
         if keys
-        else base.crossJoin(F.broadcast(stats))
+        else base.crossJoin(F.broadcast(stats))  # global moments: always 1 row
     )
     return joined.filter(zcol > z_threshold).select(*keep, F.round(zcol, 6).alias("z"))
 

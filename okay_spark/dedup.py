@@ -539,6 +539,12 @@ def connected_components(
 
     If ``nodes`` is given (a frame with ``id_col``), isolated documents are
     kept as singleton components; otherwise only endpoint nodes appear.
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iter`` while labels
+    are still changing: a partially-merged labeling silently mislabels
+    clusters, so an unconverged run must never be mistaken for an exact one.
+    With pointer doubling, 25 rounds cover diameters up to ~2^25 — hitting
+    the cap means the graph is pathological or max_iter was lowered.
     """
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -595,6 +601,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds; labels are partially merged — raise max_iter "
+            "(pointer doubling needs only O(log diameter) rounds)"
+        )
     return labels
 
 

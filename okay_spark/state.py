@@ -12,6 +12,7 @@ scan time.
 Lineage table schema:
     part        : partition value (stringified)
     run_id      : caller-supplied run identifier
+    run_seq     : monotonic run sequence stamped at write time (window order)
     snapshot    : input snapshot id / fingerprint ('' when unknown)
     schema_fp   : fingerprint of the compiled schema (rules change -> re-run)
     status      : 'done'
@@ -30,9 +31,20 @@ from .io import read_table, table_exists, write_table
 from .schema import CompiledSchema, compile_cached
 
 LINEAGE_DDL = (
-    "part string, run_id string, snapshot string, schema_fp string, "
+    "part string, run_id string, run_seq bigint, snapshot string, "
+    "schema_fp string, "
     "status string, n_docs bigint, n_violations bigint, n_failed_docs bigint"
 )
+
+
+def next_run_seq(spark: SparkSession, lineage_target: str) -> int:
+    """Monotonic run sequence: 1 + max(run_seq) already in the lineage table.
+    run_id is caller-supplied and only unique, not ordered ('run-10' sorts
+    before 'run-2' lexicographically) — trend analysis must order on this."""
+    if not table_exists(spark, lineage_target):
+        return 0
+    row = read_table(spark, lineage_target).agg(F.max("run_seq").alias("m")).first()
+    return 0 if row is None or row["m"] is None else int(row["m"]) + 1
 
 
 def schema_fingerprint(compiled: CompiledSchema) -> str:
@@ -147,10 +159,12 @@ def run_resumable_validation(
         ).agg(*vaggs).collect()
     }
 
+    run_seq = next_run_seq(spark, lineage_target)
     lineage_rows = [
         (
             part,
             run_id,
+            run_seq,
             snapshot,
             fp,
             "done",
@@ -191,16 +205,16 @@ def violation_trend(
     per_run = lineage.groupBy("run_id").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_violations").alias("n_violations"),
-        # lineage rows append in run order; monotonic id over the tiny
-        # aggregate preserves it for the window sort
-        F.min("snapshot").alias("snapshot"),
+        # run_seq is the write-time monotonic sequence; run_id is unique but
+        # NOT ordered ('run-10' < 'run-2' lexicographically)
+        F.min("run_seq").alias("run_seq"),
     )
     from pyspark.sql import Window
 
     rate = F.when(
         F.col("n_docs") > 0, F.col("n_violations") / F.col("n_docs")
     ).otherwise(F.lit(0.0))
-    w = Window.orderBy("run_id")
+    w = Window.orderBy("run_seq")
     out = (
         per_run.withColumn("rate", F.round(rate, 9))
         .withColumn("prev_rate", F.lag("rate").over(w))

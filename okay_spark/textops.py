@@ -304,18 +304,22 @@ def pack_chunks(
     (doc_id, chunk_id) order), the step between chunking and tokenization
     that lifts padding efficiency.
 
-    Packing is inherently sequential, so it runs per BUCKET (``doc_id %
-    n_buckets``) as an Arrow-batched ``applyInPandas`` group: each bucket
-    packs its own chunks independently — embarrassingly parallel across
-    buckets, deterministic within (sorted input, stable ids). A chunk never
-    crosses buckets, so packing quality degrades only marginally versus a
-    global greedy pass while the plan stays one shuffle on the bucket key.
-    Chunks longer than the budget become singleton sequences."""
+    Packing is inherently sequential, so it runs per BUCKET
+    (``pmod(xxhash64(doc_id), n_buckets)`` — id-type-agnostic, so string doc
+    ids like the flagship ``doc-%012d`` shape bucket fine) as an
+    Arrow-batched ``applyInPandas`` group: each bucket packs its own chunks
+    independently — embarrassingly parallel across buckets, deterministic
+    within (sorted input, stable ids). A chunk never crosses buckets, so
+    packing quality degrades only marginally versus a global greedy pass
+    while the plan stays one shuffle on the bucket key. Chunks longer than
+    the budget become singleton sequences. ``doc_ids`` keeps the input id
+    type (``array<input id type>``)."""
     from pyspark.sql import functions as F
 
+    id_type = chunks.schema[id_col].dataType.simpleString()
     out_ddl = (
         "bucket int, seq_id bigint, n_chunks int, total_tokens int, "
-        "doc_ids array<bigint>, packed_text string"
+        f"doc_ids array<{id_type}>, packed_text string"
     )
 
     def pack(pdf):
@@ -326,7 +330,7 @@ def pack_chunks(
         # plain-list iteration, not iterrows(): the greedy reset is an
         # irreducible sequential loop, but per-step cost drops ~10x when it
         # walks python scalars instead of materializing a Series per row
-        doc_ids = pdf[id_col].astype("int64").tolist()
+        doc_ids = pdf[id_col].tolist()
         toks = pdf[tokens_col].astype("int64").tolist()
         texts = pdf[text_col].tolist()
         rows, cur_docs, cur_texts, cur_tok, seq = [], [], [], 0, 0
@@ -355,7 +359,7 @@ def pack_chunks(
         )
 
     with_bucket = chunks.withColumn(
-        "bucket", (F.col(id_col) % n_buckets).cast("int")
+        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
     )
     return with_bucket.groupBy("bucket").applyInPandas(pack, out_ddl)
 
@@ -414,13 +418,21 @@ def pii_scan(
     Counts are non-overlapping leftmost matches via ``regexp_count`` — pure
     JVM Column expressions, row-local, no shuffle, embarrassingly parallel;
     the pattern set is dialect-portable so the DuckDB oracle reproduces the
-    counts exactly."""
+    counts exactly. NULL text coalesces to zero counts / has_pii=false so
+    every input row gets a definite keep/redact/drop decision — a NULL
+    has_pii would silently vanish from BOTH branches of a
+    ``filter(has_pii)`` / ``filter(~has_pii)`` split."""
     c = F.col(text_col)
     counts = {
-        kind: F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{kind}")
+        kind: F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0))
+        .cast("bigint")
+        .alias(f"n_{kind}")
         for kind, pat in PII_PATTERNS.items()
     }
-    total = sum((F.regexp_count(c, F.lit(p)) for p in PII_PATTERNS.values()), F.lit(0))
+    total = sum(
+        (F.coalesce(F.regexp_count(c, F.lit(p)), F.lit(0)) for p in PII_PATTERNS.values()),
+        F.lit(0),
+    )
     return df.select(
         F.col(id_col),
         *counts.values(),

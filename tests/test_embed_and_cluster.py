@@ -334,6 +334,19 @@ def test_connected_components_long_chain_converges_in_log_rounds(spark):
     assert {r["component"] for r in out} == {0}
 
 
+def test_connected_components_raises_when_unconverged(spark):
+    """An exhausted max_iter with labels still moving must raise, not return
+    a partially-merged labeling as if it were exact."""
+    import pytest
+
+    from okay_spark.dedup import connected_components
+
+    # 64-node path: 1 doubling round cannot finish it (needs ~log2(64))
+    edges = spark.createDataFrame([(i, i + 1) for i in range(63)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
 def test_arrow_fields_preserves_null_elements_and_null_column(spark):
     from okay_spark.engine import validate_dataframe
     from okay_spark import ignore_extra_fields, required

@@ -103,14 +103,14 @@ def test_violation_trend_flags_rate_regression(spark, tmp_path):
     out = str(tmp_path / "sinks")
     rows = [
         # run-1: 2 partitions, 1000 docs, 10 violations (rate 0.01)
-        ("p0", "run-1", "s", "fp", "done", 500, 5, 5),
-        ("p1", "run-1", "s", "fp", "done", 500, 5, 5),
+        ("p0", "run-1", 0, "s", "fp", "done", 500, 5, 5),
+        ("p1", "run-1", 0, "s", "fp", "done", 500, 5, 5),
         # run-2: same docs, 11 violations (rate 0.011 -> +10%, ok at 50%)
-        ("p0", "run-2", "s", "fp", "done", 500, 6, 6),
-        ("p1", "run-2", "s", "fp", "done", 500, 5, 5),
+        ("p0", "run-2", 1, "s", "fp", "done", 500, 6, 6),
+        ("p1", "run-2", 1, "s", "fp", "done", 500, 5, 5),
         # run-3: 30 violations (rate 0.03 -> +172%, regression)
-        ("p0", "run-3", "s", "fp", "done", 500, 20, 20),
-        ("p1", "run-3", "s", "fp", "done", 500, 10, 10),
+        ("p0", "run-3", 2, "s", "fp", "done", 500, 20, 20),
+        ("p1", "run-3", 2, "s", "fp", "done", 500, 10, 10),
     ]
     spark.createDataFrame(rows, LINEAGE_DDL).write.parquet(f"{out}/lineage")
     trend = {r["run_id"]: r for r in violation_trend(spark, out).collect()}
@@ -119,6 +119,55 @@ def test_violation_trend_flags_rate_regression(spark, tmp_path):
     assert not trend["run-2"]["regressed"]
     assert trend["run-3"]["regressed"]
     assert trend["run-3"]["rate"] == pytest.approx(0.03)
+
+
+def test_violation_trend_orders_on_run_seq_not_run_id(spark, tmp_path):
+    """'run-10' sorts before 'run-2' lexicographically; the trend window must
+    pair adjacent runs by write-time run_seq, not by run_id string order."""
+    from okay_spark.state import LINEAGE_DDL, violation_trend
+
+    out = str(tmp_path / "sinks")
+    rows = [
+        # write order: run-2 (rate 0.01) then run-10 (rate 0.03). A
+        # lexicographic sort would make run-2 "follow" run-10 and see a DROP;
+        # seq order must flag run-10 as the +200% regression.
+        ("p0", "run-2", 0, "s", "fp", "done", 1000, 10, 10),
+        ("p0", "run-10", 1, "s", "fp", "done", 1000, 30, 30),
+    ]
+    spark.createDataFrame(rows, LINEAGE_DDL).write.parquet(f"{out}/lineage")
+    trend = {r["run_id"]: r for r in violation_trend(spark, out).collect()}
+    assert trend["run-2"]["prev_rate"] is None
+    assert trend["run-10"]["prev_rate"] == pytest.approx(0.01)
+    assert trend["run-10"]["regressed"]
+
+
+def test_run_seq_increments_across_runs(spark, tmp_path):
+    """run_resumable_validation stamps a monotonic run_seq on each run's
+    lineage rows (the ordering key violation_trend windows over)."""
+    from okay_spark.schema import required
+    from okay_spark.state import run_resumable_validation
+
+    docs = spark.createDataFrame(
+        [(1, "a", 0), (2, None, 1)], "doc_id bigint, text string, part int"
+    )
+
+    def schema():
+        required("text", type="string")
+
+    kwargs = dict(
+        schema=schema,
+        partition_col="part",
+        violations_target=str(tmp_path / "viol"),
+        lineage_target=str(tmp_path / "lineage"),
+    )
+    run_resumable_validation(docs, run_id="run-2", snapshot="s1", **kwargs)
+    run_resumable_validation(docs, run_id="run-10", snapshot="s2", **kwargs)
+    lin = spark.read.parquet(str(tmp_path / "lineage"))
+    seqs = {
+        r["run_id"]: r["run_seq"]
+        for r in lin.select("run_id", "run_seq").distinct().collect()
+    }
+    assert seqs["run-2"] == 0 and seqs["run-10"] == 1
 
 
 def test_read_with_rejects_jsonl(spark, tmp_path):

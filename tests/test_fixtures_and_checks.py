@@ -353,6 +353,29 @@ def test_numeric_outliers_grouped_uses_group_moments(spark):
     assert all(r["event_id"] != 50 for r in glob)
 
 
+def test_numeric_outliers_shuffle_join_path_matches_broadcast(spark):
+    """broadcast=False (high-cardinality group keys: #groups rows no longer
+    fit on every executor) must produce the identical answer via a plain
+    shuffle join, and its plan must carry no broadcast hint of ours."""
+    from okay_spark.checks import numeric_outliers
+
+    rows = (
+        [(i, "A", 10.0) for i in range(50)]
+        + [(50, "A", 100.0)]
+        + [(100 + i, "B", 1000.0 * (1 + (i % 5))) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "event_id int, grp string, value double")
+    kw = dict(z_threshold=3.0, id_cols=["event_id"], group_by="grp")
+    bcast = numeric_outliers(df, "value", **kw)
+    shuffled = numeric_outliers(df, "value", broadcast=False, **kw)
+    assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, shuffled.collect()))
+    # the hint is what forces a broadcast even past autoBroadcastJoinThreshold;
+    # its absence is what lets a huge stats side shuffle instead of OOM-ing
+    assert "UnresolvedHint" not in shuffled._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in shuffled._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in bcast._jdf.queryExecution().analyzed().toString()
+
+
 def test_oracle_interleaved_battery_matches_duckdb(spark):
     """Cross-engine gate for the md5-replayable spans fixture: DuckDB rebuilds
     the exact table from the documents parquet and predicts the exact

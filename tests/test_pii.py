@@ -32,8 +32,18 @@ def test_pii_counts_planted(spark):
     assert out[3]["pii_total"] == 0 and out[3]["has_pii"] is False
     assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (1, 1, 1)
     assert out[4]["pii_total"] == 3 and out[4]["has_pii"] is True
-    # nulls propagate, not crash
-    assert out[5]["n_email"] is None and out[5]["has_pii"] is None
+    # null text -> definite zero counts / has_pii=false, so the doc lands in
+    # exactly one branch of a filter(has_pii) / filter(~has_pii) split
+    assert out[5]["n_email"] == 0 and out[5]["pii_total"] == 0
+    assert out[5]["has_pii"] is False
+
+
+def test_pii_scan_null_text_lands_in_exactly_one_branch(spark):
+    df = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    scanned = pii_scan(df)
+    kept = scanned.filter(~F.col("has_pii")).count()
+    dropped = scanned.filter(F.col("has_pii")).count()
+    assert kept + dropped == len(ROWS)
 
 
 def test_pii_redact(spark):

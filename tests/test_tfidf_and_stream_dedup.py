@@ -164,6 +164,27 @@ def test_pack_chunks_oversize_chunk_becomes_singleton(spark):
     assert rows[1]["n_chunks"] == 1 and rows[1]["total_tokens"] == 5
 
 
+def test_pack_chunks_string_doc_ids(spark):
+    """The flagship spans shape has string doc ids ('doc-%012d'); bucketing
+    is hash-based so packing must work and doc_ids must keep the id type."""
+    from okay_spark.textops import chunk_documents, pack_chunks
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=f"doc-{i:012d}", text=" ".join(f"w{i}_{j}" for j in range(20)))
+            for i in range(12)
+        ]
+    )
+    chunks = chunk_documents(docs, chunk_tokens=8, overlap=2)
+    packed = pack_chunks(chunks, budget_tokens=24, n_buckets=4)
+    assert dict(packed.dtypes)["doc_ids"] == "array<string>"
+    rows = packed.collect()
+    assert sum(r["n_chunks"] for r in rows) == chunks.count()
+    assert all(r["total_tokens"] <= 24 for r in rows)
+    assert all(d.startswith("doc-") for r in rows for d in r["doc_ids"])
+
+
 def test_compression_ratio_orders_junk_below_prose(spark):
     from okay_spark.textops import compression_ratio
     from pyspark.sql import Row
