@@ -6,16 +6,18 @@ queries()     -> one DataFrame-producing callable per implemented operator
 oracle_sql()  -> DuckDB-equivalent SQL for every SQL-expressible query
 
 Column names and value rounding are aligned on both sides (the driver hashes
-values after sorting columns by name). Approximate/fixture operators whose
-exact output is not SQL-reproducible are included WITHOUT an oracle entry
-(driver records a rows-only check): battery_interleaved (fixture input),
-minhash_near_duplicates (approximate candidate set), ivf/lsh ANN variants,
-multimodal_features and referential_media_catalog (fixture + mapInPandas
-binary plumbing), approx_distinct (sketch). Those two fixture queries and
-embedding_neardup_lsh produced no/vacuous driver rows in round 1 (the run
-appears to have truncated at the tail of the dict), so the fixture-input
-entries now run EARLY in the dict and embedding_neardup_lsh gained a planted
-duplicate plus a real DuckDB oracle.
+values after sorting columns by name). Approximate operators whose exact
+output is not SQL-reproducible are included WITHOUT an oracle entry (driver
+records a rows-only check): battery_interleaved (fixture input),
+minhash_near_duplicates (approximate candidate set, planted duplicate makes
+the row non-vacuous), ivf_topk / lsh_knn_join (probabilistic probe/recall;
+the planted ivf duplicate and the exact lsh_knn_planted rank-1 entry cover
+the deterministic core), pack_chunks (greedy reset not one-shot SQL),
+compression_ratio (zlib engine-side), approx_distinct (sketch),
+streaming/battery fixture variants as documented in
+tests/test_driver_contract.py. multimodal_features and
+referential_media_catalog gained EXACT parquet-derived DuckDB twins in round
+3 (md5/sha256 streams DuckDB replays bit-for-bit).
 """
 
 from __future__ import annotations
@@ -538,11 +540,20 @@ def q_window_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with a PLANTED nearest neighbor: vec -1 is a copy of vec 0
+    (the query), so both land in the query's nearest inverted list — which
+    n_probe >= 1 always probes — and the top-10 must contain both at cosine
+    1.0. Rows-only (k-means probe set is not SQL-expressible) but non-vacuous
+    by construction; pytest asserts the planted ids appear."""
     from okay_spark.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = ivf_topk(emb, query, k=10, n_lists=16, n_probe=4, iters=1)
+    planted = (
+        emb.filter(F.col("vec_id") == 0)
+        .withColumn("vec_id", F.lit(-1).cast(emb.schema["vec_id"].dataType))
+    )
+    out = ivf_topk(emb.unionByName(planted), query, k=10, n_lists=16, n_probe=4, iters=1)
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
@@ -1005,9 +1016,11 @@ def q_element_rule_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _md5_stream(col, tag: str):
-    """The fixture's cross-engine hash stream over an existing column."""
+    """The fixture's cross-engine 32-bit hash stream over an existing column:
+    DuckDB replays it as ('0x' || substr(md5(col::VARCHAR || '|tag'), 1, 8))::BIGINT
+    (the fixtures.oracle_interleaved_documents recipe)."""
     return F.conv(
-        F.substring(F.md5(F.concat(col, F.lit("|" + tag))), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit("|" + tag))), 1, 8), 16, 10
     ).cast("bigint")
 
 
@@ -1119,10 +1132,25 @@ def q_heavy_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup detection with a PLANTED duplicate: doc -1 is a
+    verbatim copy of the smallest non-null doc, so the pair (-1, that doc)
+    has Jaccard 1.0, shares every band bucket, and MUST appear in the output
+    — the rows-only driver row is non-vacuous by construction (r02 ran the
+    natural corpus only, where an empty result would have passed silently).
+    The planted pair's presence is also pytest-asserted
+    (tests/test_new_ops.py)."""
     from okay_spark.dedup import minhash_near_duplicates
 
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    planted = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .withColumn("doc_id", F.lit(-1).cast(docs.schema["doc_id"].dataType))
+    )
     return minhash_near_duplicates(
-        _read(spark, sf_dir, "documents"), threshold=0.5, num_hashes=16, bands=8
+        docs.unionByName(planted), threshold=0.5, num_hashes=16, bands=8
     )
 
 
@@ -1160,22 +1188,70 @@ def q_lsh_knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from okay_spark.fixtures import media_catalog
-    from okay_spark.multimodal import attach_payload, extract_media_features
+def q_lsh_knn_planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle variant of the LSH k-NN join: the query set is ten
+    planted copies of vecs 0..9 (query_id = -1 - vec_id, so the self-match
+    filter never removes the true neighbor). Identical vectors share every
+    hyperplane bucket, so each planted query's rank-1 neighbor is guaranteed
+    to be its source vector at cosine 1.0 — the testdata's max inter-vector
+    cosine is ~0.51, far below any tie. Restricting to rank 1 makes the
+    approximate plan's output deterministic and hash-checkable; the
+    probabilistic tail (ranks 2..k) keeps its recall pytest and the
+    rows-only lsh_knn_join_embeddings entry."""
+    from okay_spark.similarity import lsh_knn_join
 
-    media = attach_payload(media_catalog(spark, 500))
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.lit(-1) - F.col("vec_id")).cast(emb.schema["vec_id"].dataType).alias("vec_id"),
+        "embedding",
+    )
+    out = lsh_knn_join(planted, emb, dim=dim, k=5, planes=8)
+    return out.filter(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode/featurize plumbing with an EXACT DuckDB twin: one media
+    asset per document, ref/kind from md5 streams of doc_id, payload = the
+    ASCII-hex bytes of repeat(md5(media_ref), 4) (128 bytes — pure ASCII so
+    DuckDB's VARCHAR-only sha256 hashes the identical byte sequence), and
+    features from the sha256 digest exactly as multimodal._fake_decode
+    derives them. r02 ran this on an inline fixture the driver could not
+    twin (no_oracle); deriving from the documents parquet makes it
+    hash-checkable."""
+    from okay_spark.multimodal import extract_media_features
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    did = docs["doc_id"]
+    ref = F.format_string("media-%08d", _md5_stream(did, "mref") % 100000)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (_md5_stream(did, "mkind") % 3 + 1).cast("int"),
+    )
+    media = docs.select(ref.alias("media_ref"), kind.alias("media_kind")).withColumn(
+        "payload", F.repeat(F.md5(F.col("media_ref")), 4).cast("binary")
+    )
     return extract_media_features(media, feature_dim=8).select(
         "media_ref", "media_kind", "n_bytes", "width", "height", "duration_ms"
     )
 
 
 def q_referential_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-catalog referential check on the flagship spans shape, exact:
+    docs are the md5-replayable spans table and the catalog is range(100000)
+    minus md5-selected holes (~1/29) — both sides reconstructible in DuckDB,
+    so every unknown_reference row is predicted (r02: no_oracle because the
+    inputs were inline fixtures)."""
     from okay_spark.checks import media_ref_violations
-    from okay_spark.fixtures import interleaved_documents, media_catalog
+    from okay_spark.fixtures import oracle_interleaved_documents
 
-    docs = interleaved_documents(spark, 5_000, parts=16)
-    catalog = media_catalog(spark, 100_000)
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    cat_base = spark.range(100_000)
+    catalog = cat_base.filter(_md5_stream(cat_base["id"], "hole") % 29 != 0).select(
+        F.format_string("media-%08d", F.col("id")).alias("media_ref")
+    )
     return media_ref_violations(docs, catalog, broadcast=True)
 
 
@@ -1355,6 +1431,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is load-bearing: the driver certifies only the FIRST 50
+    # entries per round. Window layout for round 3 —
+    #   1-12:  flagship north-rule spans suite (stays certified every round)
+    #   13-29: the 17 entries no driver round has ever sampled (r01+r02 gap)
+    #   30-35: r02 non-green rows, now fixed (exact twins / stringified arrays)
+    #   36-39: planted-non-vacuity dedup/ANN entries (incl. the new exact
+    #          lsh_knn_planted rank-1 row)
+    #   40-50: r01-only-certified entries due re-certification (the float-sum
+    #          set that was flaky in r01, fixed in r02 but never re-rowed)
+    # Everything past 50 was driver-certified green in r02.
     return {
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -1368,13 +1454,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_summary_spans": q_partition_summary_spans,
         "streaming_battery_spans": q_streaming_battery_spans,
         "heavy_media_refs": q_heavy_media_refs,
-        # fixture-input rows-only entries early: round 1's driver run produced
-        # no CORRECTNESS rows for the last dict entries (tail truncation)
+        # -- never driver-certified in any round (17) --
+        "corr_value_k_events": q_corr_value_k_events,
+        "user_value_rank_events": q_user_value_rank_events,
+        "repetition_documents": q_repetition_documents,
+        "contamination_documents": q_contamination_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "label_centroids_embeddings": q_label_centroids_embeddings,
+        "quantization_error_embeddings": q_quantization_error_embeddings,
+        "tfidf_documents": q_tfidf_documents,
+        "users_click_and_purchase": q_users_click_and_purchase,
+        "ks_exact_events": q_ks_exact_events,
+        "expectations_documents": q_expectations_documents,
+        "chunk_documents": q_chunk_documents,
+        "vocab_documents": q_vocab_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "char_entropy_documents": q_char_entropy_documents,
+        "compression_ratio_documents": q_compression_ratio_documents,
+        "streaming_battery_documents": q_streaming_battery_documents,
+        # -- r02 non-green rows, fixed this round --
         "multimodal_features": q_multimodal_features,
         "referential_media_catalog": q_referential_media_catalog,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "lsh_knn_join_embeddings": q_lsh_knn_join_embeddings,
+        "lsh_knn_planted_embeddings": q_lsh_knn_planted_embeddings,
         "pack_chunks_documents": q_pack_chunks_documents,
+        "violation_exemplars_documents": q_violation_exemplars_documents,
+        # -- planted-non-vacuity approximate entries --
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "minhash_near_duplicates": q_minhash_near_duplicates,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "battery_interleaved": q_battery_interleaved,
+        # -- r01-only certified, due re-certification --
+        "sessions_events": q_sessions_events,
+        "session_windows_events": q_session_windows_events,
+        "grouping_sets_events": q_grouping_sets_events,
+        "window_events_hourly": q_window_events_hourly,
+        "range_join_events": q_range_join_events,
+        "asof_purchase_click": q_asof_purchase_click,
+        "battery_json_documents": q_battery_json_documents,
+        "approx_distinct_events": q_approx_distinct_events,
+        "drift_events_value": q_drift_events_value,
+        "pivot_events": q_pivot_events,
+        "props_json_events": q_props_json_events,
+        # ---- window boundary: entries below were driver-green in r02 ----
         "stats_documents": q_stats_documents,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "uniqueness_salted_events": q_uniqueness_salted_events,
@@ -1399,7 +1521,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_documents": q_cap_per_source_documents,
         "resample_lang_documents": q_resample_lang_documents,
         "outliers_events_value": q_outliers_events_value,
-        "violation_exemplars_documents": q_violation_exemplars_documents,
         "cross_field_events": q_cross_field_events,
         "quantile_drift_events": q_quantile_drift_events,
         "referential_composite_lineitem": q_referential_composite_lineitem,
@@ -1408,51 +1529,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_documents": q_pii_scan_documents,
         "inferred_schema_documents": q_inferred_schema_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
-        "window_events_hourly": q_window_events_hourly,
-        "drift_events_value": q_drift_events_value,
         "rollup_documents": q_rollup_documents,
         "sample_documents": q_sample_documents,
         "split_documents": q_split_documents,
         "top_violating_events": q_top_violating_events,
         "topk_events_per_type": q_topk_events_per_type,
         "partition_summary_documents": q_partition_summary_documents,
-        "sessions_events": q_sessions_events,
-        "session_windows_events": q_session_windows_events,
-        "asof_purchase_click": q_asof_purchase_click,
-        "range_join_events": q_range_join_events,
         "histogram_events_value": q_histogram_events_value,
         "heavy_hitters_events": q_heavy_hitters_events,
         "entropy_documents": q_entropy_documents,
         "schema_diff_documents": q_schema_diff_documents,
         "distinct_counts_events": q_distinct_counts_events,
         "cube_documents": q_cube_documents,
-        "props_json_events": q_props_json_events,
-        "grouping_sets_events": q_grouping_sets_events,
-        "corr_value_k_events": q_corr_value_k_events,
-        "user_value_rank_events": q_user_value_rank_events,
-        "pivot_events": q_pivot_events,
         "click_days_no_purchase": q_click_days_no_purchase,
-        "repetition_documents": q_repetition_documents,
-        "contamination_documents": q_contamination_documents,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "label_centroids_embeddings": q_label_centroids_embeddings,
-        "quantization_error_embeddings": q_quantization_error_embeddings,
-        "tfidf_documents": q_tfidf_documents,
-        "users_click_and_purchase": q_users_click_and_purchase,
-        "ks_exact_events": q_ks_exact_events,
-        "expectations_documents": q_expectations_documents,
-        "chunk_documents": q_chunk_documents,
-        "vocab_documents": q_vocab_documents,
-        "stratified_sample_documents": q_stratified_sample_documents,
-        "char_entropy_documents": q_char_entropy_documents,
-        # rows-only checks (approximate / fixture-input operators)
-        "compression_ratio_documents": q_compression_ratio_documents,
-        "approx_distinct_events": q_approx_distinct_events,
-        "battery_json_documents": q_battery_json_documents,
-        "streaming_battery_documents": q_streaming_battery_documents,
-        "battery_interleaved": q_battery_interleaved,
-        "minhash_near_duplicates": q_minhash_near_duplicates,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
 
 
@@ -1632,6 +1721,63 @@ SELECT part, COUNT(*)::BIGINT AS n_docs, CAST(SUM(nv) AS BIGINT) AS n_violations
   CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_docs,
   round((COUNT(*) - SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END)) / COUNT(*)::DOUBLE, 6) AS pass_rate
 FROM per GROUP BY part
+"""
+
+# Multimodal twin: the payload is repeat(md5(media_ref), 4) — 128 pure-ASCII
+# hex chars, so DuckDB's VARCHAR sha256 hashes the identical byte sequence
+# the mapInPandas kernel sees, and every _fake_decode feature (width/height
+# from digest bytes 0-1, duration from bytes 2-3) is replayed from substr of
+# the hex digest. media_ref/media_kind come from the same doc_id md5 streams
+# the Spark wrapper derives.
+_MULTIMODAL_FEATURES_SQL = r"""
+WITH m AS (
+  SELECT
+    printf('media-%08d',
+      ('0x' || substr(md5(doc_id::VARCHAR || '|mref'), 1, 8))::BIGINT % 100000) AS media_ref,
+    (['image','audio','video'])[
+      CAST(('0x' || substr(md5(doc_id::VARCHAR || '|mkind'), 1, 8))::BIGINT % 3 + 1 AS INT)
+    ] AS media_kind
+  FROM documents WHERE doc_id IS NOT NULL
+), p AS (
+  SELECT media_ref, media_kind, repeat(md5(media_ref), 4) AS payload FROM m
+), dg AS (
+  SELECT media_ref, media_kind, length(payload)::BIGINT AS n_bytes,
+         sha256(payload) AS digest
+  FROM p
+)
+SELECT media_ref, media_kind, n_bytes,
+  CAST(CASE WHEN media_kind = 'image'
+       THEN 16 + ('0x' || substr(digest, 1, 2))::INT * 4 ELSE 0 END AS INT) AS width,
+  CAST(CASE WHEN media_kind = 'image'
+       THEN 16 + ('0x' || substr(digest, 3, 2))::INT * 4 ELSE 0 END AS INT) AS height,
+  CAST(CASE WHEN media_kind IN ('audio', 'video')
+       THEN ('0x' || substr(digest, 5, 2))::INT * 256 + ('0x' || substr(digest, 7, 2))::INT
+       ELSE 0 END AS INT) AS duration_ms
+FROM dg
+"""
+
+# Full-catalog referential twin: catalog = range(100000) minus md5-selected
+# holes (id streams md5(id||'|hole') % 29 = 0); a span ref violates when it
+# is regex-invalid (MEDIA_X) or its numeric id falls in a hole. The id is
+# recovered from the ref string (no leading-zero loss: %08d formats the same
+# integer DuckDB re-parses).
+_REF_CATALOG_SQL = _SPANS_CTE + r"""
+SELECT sid AS doc_id, printf('spans[%d].media_ref', j) AS path,
+       'unknown_reference' AS rule,
+       '{"value":"' || media_ref || '"}' AS expected
+FROM sp
+WHERE media_ref IS NOT NULL
+  AND (media_ref = 'MEDIA_X'
+       OR ('0x' || substr(md5(CAST(substr(media_ref, 7) AS BIGINT)::VARCHAR || '|hole'), 1, 8))::BIGINT % 29 = 0)
+"""
+
+# Planted k-NN twin: identical vectors always share an LSH bucket and cosine
+# 1.0 beats every natural neighbor (corpus max ~0.51), so rank-1 per planted
+# query is exact without replaying the LSH plan.
+_LSH_KNN_PLANTED_SQL = """
+SELECT (-1 - vec_id)::BIGINT AS query_id, vec_id AS neighbor_id,
+       CAST(1.0 AS DOUBLE) AS score, 1 AS "rank"
+FROM embeddings WHERE vec_id < 10
 """
 
 # Drift twin on the spans shape: rebuild offsets + part, then the same
@@ -2402,6 +2548,9 @@ def oracle_sql() -> dict[str, str]:
         "drift_spans_offset": _DRIFT_SPANS_SQL,
         "partition_summary_spans": _PARTITION_SUMMARY_SPANS_SQL,
         "heavy_media_refs": _HEAVY_MEDIA_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        "referential_media_catalog": _REF_CATALOG_SQL,
+        "lsh_knn_planted_embeddings": _LSH_KNN_PLANTED_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,

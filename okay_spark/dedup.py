@@ -156,6 +156,8 @@ def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    max_bucket_size: int | None = 1_000,
     **lsh_kwargs,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH bucket.
@@ -163,9 +165,30 @@ def minhash_candidate_pairs(
     One hash-aggregate groups ids per (band, bucket) and pairs are expanded
     within each bucket — signatures are computed once (a bucket self-join
     would compute them per join side) and the only shuffle is the groupBy.
-    Bucket sizes are small by construction (that is what LSH is for), so the
-    in-bucket pairwise expansion is bounded."""
+    Bucket sizes are small by construction (that is what LSH is for) — but a
+    boilerplate-heavy corpus (templated pages, licence headers) can flood one
+    bucket with millions of near-identical docs, and the per-bucket
+    ``collect_list`` state is O(bucket size). ``max_bucket_size`` (default
+    1,000 — the ``max_doc_freq`` analogue) bounds it in TWO phases: a
+    scalar ``count`` aggregate (partial-combines map-side, O(1) state) finds
+    oversized buckets, then an anti-join removes their rows BEFORE the
+    collect — the reducer never materializes the giant list. Dropped buckets
+    are observable (not silent) via :func:`minhash_oversized_buckets`, which
+    shares the same bucketing; a flooded bucket means the docs are
+    boilerplate-duplicates better handled by exact dedup on fingerprints.
+    ``max_bucket_size=None`` restores the uncapped behavior."""
     buckets = minhash_lsh_buckets(df, text_col, id_col, **lsh_kwargs)
+    if max_bucket_size is not None:
+        oversize = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        # no broadcast hint: the oversize set is normally tiny (AQE will
+        # broadcast it), but pathological corpora could make it wide and a
+        # forced broadcast would be its own OOM
+        buckets = buckets.join(oversize, ["band", "bucket"], "left_anti")
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
@@ -184,6 +207,27 @@ def minhash_candidate_pairs(
         grouped.select(F.explode(pair_arr).alias("_p"))
         .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .distinct()
+    )
+
+
+def minhash_oversized_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_bucket_size: int = 1_000,
+    **lsh_kwargs,
+) -> DataFrame:
+    """(band, bucket, size) of every LSH bucket larger than
+    ``max_bucket_size`` — the buckets :func:`minhash_candidate_pairs` drops
+    under the same cap. Run (or count) this alongside a capped dedup pass so
+    truncation is reported, never silent; scalar count aggregate only, no
+    posting lists."""
+    return (
+        minhash_lsh_buckets(df, text_col, id_col, **lsh_kwargs)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > max_bucket_size)
     )
 
 
@@ -280,10 +324,17 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 1_000,
 ) -> DataFrame:
     """Full pipeline: LSH candidates -> exact Jaccard filter >= threshold."""
     pairs = minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
     )
     scored = ngram_jaccard(pairs, df, text_col, id_col, shingle_k=shingle_k)
     return scored.filter(F.col("jaccard") >= threshold)

@@ -40,8 +40,8 @@ def test_rows_only_queries_are_the_documented_exceptions(entrymod):
     # every rows-only entry must be an approximate / fixture-input /
     # streaming operator called out in the module docstring
     documented = {
-        "multimodal_features",
-        "referential_media_catalog",
+        # multimodal_features / referential_media_catalog left this set in
+        # round 3: exact parquet-derived md5/sha256 DuckDB twins
         "lsh_knn_join_embeddings",
         "approx_distinct_events",
         "battery_interleaved",
