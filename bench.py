@@ -47,6 +47,21 @@ def _session():
     )
 
 
+def _cpu_total_steal() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — the steal-aware protocol:
+    every recorded time carries the hypervisor-steal share measured DURING
+    that window, so a cross-round 'regression' whose best repeat ran at 30%
+    steal is attributable to the machine, not the plan (r02's −26% headline
+    docs/sec did not reproduce on a quiet machine; this field makes the next
+    one self-diagnosing instead of a round-long bisect hunt)."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def _fixture_path(kind: str, n: int) -> str:
     return f"/tmp/okay_spark_bench/{kind}_{n}"
 
@@ -202,13 +217,23 @@ def bench_queries(spark) -> dict[str, dict]:
             n_rep = max(repeats, 3)
         else:
             n_rep = repeats
-        best, out = None, None
+        best, out, best_steal, max_steal = None, None, 0.0, 0.0
         for _ in range(n_rep):
+            tot0, st0 = _cpu_total_steal()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        results[name] = {"sec": round(best, 3), "result": out}
+            tot1, st1 = _cpu_total_steal()
+            steal = 100.0 * (st1 - st0) / max(1, tot1 - tot0)
+            max_steal = max(max_steal, steal)
+            if best is None or dt < best:
+                best, best_steal = dt, steal
+        results[name] = {
+            "sec": round(best, 3),
+            "result": out,
+            "steal_pct": round(best_steal, 1),
+            "max_steal_pct": round(max_steal, 1),
+        }
         if n_rows:
             results[name]["rows_per_sec"] = round(n_rows / best)
     return results
@@ -219,7 +244,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + fixture caches so timings measure the operators
     _ensure_fixture(spark, "interleaved", BATTERY_DOCS)
+    tot0, st0 = _cpu_total_steal()
     results = bench_queries(spark)
+    tot1, st1 = _cpu_total_steal()
     total = round(sum(v["sec"] for v in results.values()), 3)
     battery = results.get("battery_interleaved", {})
     payload = {
@@ -231,6 +258,11 @@ def main() -> None:
         "cpus": CPUS,
         "battery_docs": BATTERY_DOCS,
         "docs_per_sec": battery.get("rows_per_sec"),
+        # steal-aware protocol: hypervisor steal share during the suite and
+        # during each query's BEST repeat — compare rounds on steal-clean
+        # numbers, not wall clock alone
+        "suite_steal_pct": round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 1),
+        "query_steal_pct": {k: v["steal_pct"] for k, v in results.items()},
         "detail": {k: v.get("result") for k, v in results.items()},
     }
     print(json.dumps(payload))

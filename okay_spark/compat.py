@@ -164,52 +164,92 @@ def _apply_arrow_rule(rule: Rule, ipath: str, value: Any, seq: int) -> dict | No
     return {"path": path, "rule": rule_name, "expected": expected, "seq": seq}
 
 
+def _field_array_conv(ft: DataType):
+    """Per-field element conversion for the struct-of-arrays ship format:
+    ``ndarray.tolist()`` is the C fast path (recursively yields plain Python
+    scalars/lists); nested struct/map elements then go through the compiled
+    nested converter so maps become dicts exactly as on the unpruned path."""
+    inner_c = _build_converter(ft, top=False)
+    if inner_c is None:
+        return lambda arr: arr.tolist() if hasattr(arr, "tolist") else list(arr)
+    return lambda arr, _c=inner_c: [
+        _c(x) for x in (arr.tolist() if hasattr(arr, "tolist") else arr)
+    ]
+
+
 def _maybe_prune(custom_rules, rest, top_dt: DataType, inner: Column):
     """Column pruning for custom rules: when every Arrow-routed rule on the
     field is a ``custom`` rule that declares its read-set via the engine-only
     ``arrow_fields=`` parameter, ship only those struct fields across Arrow.
 
-    On a wide span struct where the callable reads one field this cuts the
-    Arrow encode/decode volume by the width ratio — the dominant cost of the
-    custom path once the Python side is vectorized. Opt-in: with no
+    Returns ``(ship_dt, ship_col, rebuild)``; ``rebuild`` is None when the
+    value ships unchanged (the caller then uses the generic compiled
+    converter), else a callable mapping the shipped cell back to the
+    original-shaped pruned value the user callable expects.
+
+    For ``array<struct>`` the pruned value ships as a STRUCT OF PLAIN ARRAYS
+    (an element-validity boolean array plus one array per declared field),
+    not as an array of narrowed structs. Measured at 6M docs / local[32]
+    (BENCH/ARROW_FIELDS.md): a null-guarded ``transform(.., when(isNotNull,
+    struct(..)))`` rebuild costs ~3.5s JVM-side (the ``when`` guard alone
+    ~2.5s — per-element branches in a higher-order lambda don't codegen
+    tightly), and an array-of-one-field-structs crosses Arrow at 4.65s vs
+    1.30s for a plain array — which is why round 2's struct-rebuild pruning
+    measured SLOWER than unpruned. ``getField`` extraction is columnar, the
+    validity mask is a cheap HOF, and the dict-per-element rebuild happens
+    Python-side on ``ndarray.tolist()`` output. Null elements stay
+    distinguishable via the mask (a callable's ``if span is not None`` must
+    not flip — tests/test_embed_and_cluster.py pins it). Opt-in: with no
     declaration the full value crosses, byte-for-byte reference semantics."""
     if rest:
-        return top_dt, inner  # pruning defined only for whole-column rules
+        return top_dt, inner, None  # pruning defined only for whole-column rules
     declared = []
     for _seq, rule in custom_rules:
         if rule.type != "custom":
-            return top_dt, inner
+            return top_dt, inner, None
         fields = rule.params.get("arrow_fields")
         if fields is None:
-            return top_dt, inner
+            return top_dt, inner, None
         declared.extend(fields)
     if isinstance(top_dt, ArrayType) and isinstance(top_dt.elementType, StructType):
         elem = top_dt.elementType
         keep = [f for f in elem.fields if f.name in set(declared)]
-        if not keep:
-            return top_dt, inner
-        pruned_elem = StructType(keep)
-        # the rebuild must be null-guarded: struct(x.f, ...) on a NULL
-        # element is a struct of nulls, not null — a callable's
-        # `if span is not None` would silently flip (caught by
-        # tests/test_embed_and_cluster.py::test_arrow_fields_preserves_null_elements)
-        pruned = F.transform(
-            inner,
-            lambda x: F.when(
-                x.isNotNull(), F.struct(*[x[f.name].alias(f.name) for f in keep])
-            ),
+        if not keep or any(f.name == "_valid" for f in keep):
+            return top_dt, inner, None
+        names = [f.name for f in keep]
+        ship = F.struct(
+            F.transform(inner, lambda x: x.isNotNull()).alias("_valid"),
+            *[inner.getField(f.name).alias(f.name) for f in keep],
         )
-        return ArrayType(pruned_elem, top_dt.containsNull), pruned
+        convs = [_field_array_conv(f.dataType) for f in keep]
+
+        def rebuild(cell: Any, _names=names, _convs=convs) -> Any:
+            if cell is None or (isinstance(cell, float) and math.isnan(cell)):
+                return None
+            valid = cell["_valid"]
+            if valid is None:  # the source array itself was NULL
+                return None
+            cols = [c(cell[n]) for n, c in zip(_names, _convs)]
+            return [
+                dict(zip(_names, vals)) if ok else None
+                for ok, *vals in zip(valid, *cols)
+            ]
+
+        # ship_dt unused on this path: the caller routes through `rebuild`
+        # instead of compiling a converter from the datatype
+        return None, ship, rebuild
     if isinstance(top_dt, StructType):
         keep = [f for f in top_dt.fields if f.name in set(declared)]
         if not keep:
-            return top_dt, inner
+            return top_dt, inner, None
+        # row-level when/struct stays in whole-stage codegen (the measured
+        # blowup is specific to per-element branches inside transform)
         pruned = F.when(
             inner.isNotNull(),
             F.struct(*[inner[f.name].alias(f.name) for f in keep]),
         )
-        return StructType(keep), pruned
-    return top_dt, inner
+        return StructType(keep), pruned, None
+    return top_dt, inner, None
 
 
 def custom_violation_arrays(
@@ -239,6 +279,7 @@ def custom_violation_arrays(
         if not custom_rules:
             continue
         steps = parse_path(path)
+        rebuild = None
         if path == ROOT:
             top_dt: DataType = df_schema
             inner = F.struct(*[F.col("`" + c + "`").alias(c) for c in df_schema.names])
@@ -251,11 +292,11 @@ def custom_violation_arrays(
             top_dt = df_schema[head.name].dataType
             inner = F.col("`" + head.name + "`")
             base_path, rest = head.name, steps[1:]
-            top_dt, inner = _maybe_prune(custom_rules, rest, top_dt, inner)
+            top_dt, inner, rebuild = _maybe_prune(custom_rules, rest, top_dt, inner)
         wrapped = F.struct(inner.alias("v"))
 
-        def make_udf(rules=custom_rules, dtype=top_dt, base=base_path, rem=rest):
-            conv = _build_converter(dtype, top=True)
+        def make_udf(rules=custom_rules, dtype=top_dt, base=base_path, rem=rest, rb=rebuild):
+            conv = rb if rb is not None else _build_converter(dtype, top=True)
 
             @F.pandas_udf(VIOL_ARRAY_DDL)
             def run(col: pd.DataFrame) -> pd.Series:
