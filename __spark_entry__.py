@@ -521,6 +521,21 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("col_name", F.round("p", 2).alias("p"), F.round("q", 4).alias("q"))
 
 
+def q_quantiles_twopass_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-row exact-quantile path (sketch bracket -> exact in-bracket
+    interpolation, bounded state — checks.exact_quantiles_twopass) must give
+    the same percentile_cont answer as the full-sort aggregate; DuckDB's
+    quantile_cont is the cross-engine pin. accuracy=1000 keeps the bracket
+    deliberately coarse so the in-bracket stage does real work at sf0.01."""
+    from okay_spark.checks import exact_quantiles_twopass
+
+    df = _read(spark, sf_dir, "lineitem")
+    out = exact_quantiles_twopass(
+        df, ["l_quantity", "l_extendedprice"], probabilities=(0.5, 0.9, 0.99), accuracy=1_000
+    )
+    return out.select("col_name", F.round("p", 2).alias("p"), F.round("q", 4).alias("q"))
+
+
 def q_window_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from okay_spark.relops import decimal_avg
 
@@ -1495,8 +1510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_events": q_approx_distinct_events,
         "drift_events_value": q_drift_events_value,
         "pivot_events": q_pivot_events,
+        "quantiles_twopass_lineitem": q_quantiles_twopass_lineitem,
+        # ---- window boundary: entries below were driver-green in r02,
+        # r01 (props_json), or both ----
         "props_json_events": q_props_json_events,
-        # ---- window boundary: entries below were driver-green in r02 ----
         "stats_documents": q_stats_documents,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "uniqueness_salted_events": q_uniqueness_salted_events,
@@ -2660,6 +2677,9 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids_embeddings": _LABEL_CENTROIDS_SQL,
         "quantization_error_embeddings": _QUANT_ERROR_SQL,
         "quantiles_lineitem": _QUANTILES_SQL,
+        # same oracle: the two-pass path must land on the identical
+        # percentile_cont answer the full-sort aggregate gives
+        "quantiles_twopass_lineitem": _QUANTILES_SQL,
         "window_events_hourly": _WINDOW_EVENTS_SQL,
         "drift_events_value": _DRIFT_SQL,
         "rollup_documents": _ROLLUP_SQL,

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import BooleanType, DecimalType, NumericType
 
 from .engine import violations_array
@@ -270,6 +270,131 @@ def exact_quantiles(df: DataFrame, cols: list[str], probabilities=(0.5, 0.9, 0.9
     return tall.select(
         "col_name", F.posexplode(F.arrays_zip(F.col("_ps").alias("p"), F.col("_qs").alias("q")))
     ).select("col_name", F.col("col.p").alias("p"), F.col("col.q").alias("q"))
+
+
+def exact_quantiles_twopass(
+    df: DataFrame,
+    cols: list[str],
+    probabilities=(0.5, 0.9, 0.99),
+    *,
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """EXACT interpolated quantiles with BOUNDED state at any scale — the
+    10^12-row replacement for :func:`exact_quantiles` (whose ``percentile``
+    aggregate materializes every distinct value of a column on one reducer:
+    fine for the fixture-scale metrics table, a full-sort hazard at corpus
+    scale).
+
+    Three bounded scans, no full sort:
+
+    1. ``approx_percentile`` (mergeable sketch, rank error <= n/accuracy)
+       brackets each target quantile from both sides, plus exact non-null
+       counts. Driver receives #cols rows.
+    2. One conditional-count aggregate (map-side partial, scalar state)
+       computes the exact rank below each bracket's lower edge.
+    3. Value-level counts are aggregated ONLY inside the brackets — at most
+       ~6n/accuracy rows per (col, probability) BEFORE value dedup — a
+       per-(col,p) cumulative sum over those candidates turns exact global
+       ranks into the two order statistics percentile_cont interpolates
+       between. Driver receives one row.
+
+    Output matches :func:`exact_quantiles` / ANSI ``percentile_cont``
+    bit-for-bit (pinned by pytest); nulls and NaN are excluded. ``accuracy``
+    trades pass-1 sketch memory against pass-3 candidate volume."""
+    probs = [float(p) for p in probabilities]
+    margin = 3.0 / accuracy
+
+    def _clean(c: str) -> Column:
+        v = F.col(c).cast("double")
+        return F.when(v.isNotNull() & ~F.isnan(v), v)
+
+    # pass 1: exact n + sketch brackets per (col, p)
+    aggs = []
+    for c in cols:
+        v = _clean(c)
+        lo_ps = [max(0.0, p - margin) for p in probs]
+        hi_ps = [min(1.0, p + margin) for p in probs]
+        aggs.append(F.count(v).alias(f"n_{c}"))
+        aggs.append(
+            F.percentile_approx(v, F.lit(lo_ps), F.lit(accuracy)).alias(f"lo_{c}")
+        )
+        aggs.append(
+            F.percentile_approx(v, F.lit(hi_ps), F.lit(accuracy)).alias(f"hi_{c}")
+        )
+    first = df.agg(*aggs).first()
+
+    plan: list[tuple[str, float, int, float, int, int, float, float]] = []
+    empty: list[tuple[str, float]] = []
+    for c in cols:
+        n = first[f"n_{c}"]
+        for j, p in enumerate(probs):
+            if not n:
+                empty.append((c, p))
+                continue
+            h = (n - 1) * p
+            i = int(math.floor(h))
+            f = h - i
+            lo, hi = first[f"lo_{c}"][j], first[f"hi_{c}"][j]
+            plan.append((c, p, j, f, i + 1, i + 2 if f > 0 else i + 1, lo, hi))
+
+    out_rows: list[tuple[str, float, float | None]] = [(c, p, None) for c, p in empty]
+    if plan:
+        # pass 2: exact count strictly below each bracket (scalar aggregate)
+        below_aggs = [
+            F.count(F.when(_clean(c) < F.lit(lo), 1)).alias(f"b_{c}_{j}")
+            for c, p, j, f, k1, k2, lo, hi in plan
+        ]
+        below = df.agg(*below_aggs).first()
+
+        # pass 3: candidate (value, count) inside each bracket, tagged per
+        # (col, p) — one scan via explode, then a per-tag cumulative sum over
+        # the candidates ONLY (<= ~6n/accuracy rows per tag, value-deduped)
+        tags = F.array(
+            *[
+                F.struct(
+                    F.lit(f"{c}\x00{j}").alias("tag"),
+                    F.when(
+                        (_clean(c) >= F.lit(lo)) & (_clean(c) <= F.lit(hi)), _clean(c)
+                    ).alias("v"),
+                )
+                for c, p, j, f, k1, k2, lo, hi in plan
+            ]
+        )
+        cand = (
+            df.select(F.explode(tags).alias("s"))
+            .select("s.tag", "s.v")
+            .filter(F.col("v").isNotNull())
+            .groupBy("tag", "v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = (
+            Window.partitionBy("tag")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = cand.withColumn("cum", F.sum("cnt").over(w))
+        pick_aggs = []
+        for c, p, j, f, k1, k2, lo, hi in plan:
+            tag, b = f"{c}\x00{j}", below[f"b_{c}_{j}"]
+            hit = F.col("tag") == F.lit(tag)
+            pick_aggs.append(
+                F.min(F.when(hit & (F.lit(b) + F.col("cum") >= F.lit(k1)), F.col("v"))).alias(
+                    f"v1_{c}_{j}"
+                )
+            )
+            pick_aggs.append(
+                F.min(F.when(hit & (F.lit(b) + F.col("cum") >= F.lit(k2)), F.col("v"))).alias(
+                    f"v2_{c}_{j}"
+                )
+            )
+        picked = ranked.agg(*pick_aggs).first()
+        for c, p, j, f, k1, k2, lo, hi in plan:
+            v1, v2 = picked[f"v1_{c}_{j}"], picked[f"v2_{c}_{j}"]
+            q = v1 if f == 0 or v2 is None else v1 + f * (v2 - v1)
+            out_rows.append((c, p, q))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(out_rows, "col_name string, p double, q double")
 
 
 def quantile_drift(

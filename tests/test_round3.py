@@ -85,6 +85,54 @@ def test_minhash_uncapped_matches_capped_on_clean_corpus(docs):
 
 
 # ---------------------------------------------------------------------------
+# Two-pass exact quantiles (the scale path for exact_quantiles)
+# ---------------------------------------------------------------------------
+
+
+def test_twopass_quantiles_equal_full_sort_exact(spark):
+    from okay_spark.checks import exact_quantiles, exact_quantiles_twopass
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+    probs = (0.25, 0.5, 0.9, 0.99)
+    want = {
+        (r["col_name"], r["p"]): r["q"] for r in exact_quantiles(li, cols, probs).collect()
+    }
+    got = {
+        (r["col_name"], r["p"]): r["q"]
+        for r in exact_quantiles_twopass(li, cols, probs, accuracy=1_000).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_twopass_quantiles_duplicates_nulls_and_edges(spark):
+    from okay_spark.checks import exact_quantiles, exact_quantiles_twopass
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [5] * 100 + [1, 2, 3] + [9] * 7] + [(None,)] * 5,
+        "x double",
+    )
+    probs = (0.0, 0.01, 0.5, 0.99, 1.0)
+    want = {r["p"]: r["q"] for r in exact_quantiles(df, ["x"], probs).collect()}
+    got = {
+        r["p"]: r["q"]
+        for r in exact_quantiles_twopass(df, ["x"], probs, accuracy=100).collect()
+    }
+    for p in probs:
+        assert got[p] == pytest.approx(want[p], abs=1e-12), p
+
+
+def test_twopass_quantiles_all_null_column(spark):
+    from okay_spark.checks import exact_quantiles_twopass
+
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    rows = exact_quantiles_twopass(df, ["x"], (0.5,)).collect()
+    assert len(rows) == 1 and rows[0]["q"] is None
+
+
+# ---------------------------------------------------------------------------
 # Planted non-vacuity for the approximate driver entries
 # ---------------------------------------------------------------------------
 
