@@ -448,6 +448,22 @@ def main() -> None:
         "is a JVM md5 expression in the scan pipeline",
     )
 
+    from okay_spark.dedup import minhash_candidate_pairs
+
+    audit(
+        "minhash_candidate_pairs (capped)",
+        minhash_candidate_pairs(docs, num_hashes=8, bands=4, max_bucket_size=1000),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="bucket-size cap is TWO-PHASE: a scalar count(1) aggregate per "
+        "(band,bucket) — O(1) reducer state, partial-combined map-side — "
+        "finds oversized (boilerplate-flooded) buckets, then a left-anti "
+        "join removes their rows BEFORE the collect_list, so the posting "
+        "aggregate's per-group state is hard-bounded at max_bucket_size; "
+        "in-bucket pair expansion is a codegen'd transform, and the final "
+        "distinct dedups cross-band repeats",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
@@ -496,7 +512,21 @@ def write_scale_md() -> None:
         "not engine overhead; the engineered escape is the declared read-set\n"
         "(`arrow_fields=[...]`), which prunes struct fields before the Arrow\n"
         "crossing and halves the measured cost (bench: battery_custom_pruned vs\n"
-        "battery_custom_arrow).\n\n"
+        "battery_custom_arrow). Round 3 replaced the pruning projection with a\n"
+        "struct-of-plain-arrays ship format after measurement showed the\n"
+        "null-guarded transform rebuild ate the savings — see\n"
+        "`BENCH/ARROW_FIELDS.md` for the component numbers.\n\n"
+        "Exact quantiles at scale: `exact_quantiles` (full-sort `percentile`\n"
+        "aggregate — every distinct value of a column lands on one reducer) is\n"
+        "FIXTURE-SCALE-ONLY, like `q_embedding_pairs_exact`. The 10^12-row path\n"
+        "is `exact_quantiles_twopass`: approx_percentile sketch brackets (rank\n"
+        "error <= n/accuracy, mergeable, executor-bounded), one scalar\n"
+        "conditional-count aggregate, then value-level counts ONLY inside the\n"
+        "brackets — bounded at ~6n/accuracy candidate rows per (col, p) BEFORE\n"
+        "value dedup (n=10^12, accuracy=10^5 -> <=6x10^7 candidate rows, one\n"
+        "small range-sorted window per tag) — interpolating exactly; bit-equal\n"
+        "to percentile_cont (pytest + DuckDB quantile_cont driver oracle,\n"
+        "`quantiles_twopass_lineitem`).\n\n"
         "Companion evidence:\n\n"
         "- `BENCH/SKEW.md` — max-reducer-share measurement showing the salted\n"
         "  referential join caps the hottest reducer at ~1/buckets of the rows\n"
