@@ -1203,6 +1203,52 @@ def q_lsh_knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup (dedup a new corpus against the already-kept
+    reference / doc-level decontamination) pinned at its EXACT operating
+    point: at threshold=1.0, equal shingle sets produce identical minhash
+    signatures, so every shingle-set-equal cross pair shares all band
+    buckets and LSH recall is 1 by construction. Reference = md5-selected
+    ~1/10 of docs; corpus = the rest plus a planted verbatim copy (id -1)
+    of the smallest shingle-bearing reference doc. The DuckDB twin joins
+    md5 fingerprints of the sorted shingle sets."""
+    from okay_spark.dedup import minhash_cross_duplicates
+    from okay_spark.textops import word_shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    is_ref = _md5_stream(F.col("doc_id"), "xref") % 10 == 0
+    reference = docs.filter(is_ref)
+    corpus = docs.filter(~is_ref)
+    planted = (
+        reference.filter(F.size(word_shingles(F.col("text"), 3)) > 0)
+        .orderBy("doc_id")
+        .limit(1)
+        .withColumn("doc_id", F.lit(-1).cast(docs.schema["doc_id"].dataType))
+    )
+    out = minhash_cross_duplicates(
+        corpus.unionByName(planted), reference, threshold=1.0, num_hashes=16, bands=8
+    )
+    return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget fill (balance.sample_to_token_budget):
+    md5-ordered take-while, two-phase so a hot group never sorts whole.
+    Exact DuckDB twin: one window cumulative sum over the same md5 order."""
+    from okay_spark.balance import sample_to_token_budget
+    from okay_spark.textops import token_count
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    out = sample_to_token_budget(
+        token_count(docs), "lang", budget_tokens=3_000, token_col="n_tokens"
+    )
+    return out.select("doc_id", "lang", "n_tokens")
+
+
 def q_lsh_knn_planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-oracle variant of the LSH k-NN join: the query set is ten
     planted copies of vecs 0..9 (query_id = -1 - vec_id, so the self-match
@@ -1506,14 +1552,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_events_hourly": q_window_events_hourly,
         "range_join_events": q_range_join_events,
         "asof_purchase_click": q_asof_purchase_click,
-        "battery_json_documents": q_battery_json_documents,
-        "approx_distinct_events": q_approx_distinct_events,
         "drift_events_value": q_drift_events_value,
         "pivot_events": q_pivot_events,
         "quantiles_twopass_lineitem": q_quantiles_twopass_lineitem,
+        # -- new round-3 operators (exact oracles) --
+        "cross_dedup_documents": q_cross_dedup_documents,
+        "token_budget_documents": q_token_budget_documents,
         # ---- window boundary: entries below were driver-green in r02,
-        # r01 (props_json), or both ----
+        # r01 (props_json/battery_json/approx_distinct), or both ----
         "props_json_events": q_props_json_events,
+        "battery_json_documents": q_battery_json_documents,
+        "approx_distinct_events": q_approx_distinct_events,
         "stats_documents": q_stats_documents,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "uniqueness_salted_events": q_uniqueness_salted_events,
@@ -1795,6 +1844,48 @@ _LSH_KNN_PLANTED_SQL = """
 SELECT (-1 - vec_id)::BIGINT AS query_id, vec_id AS neighbor_id,
        CAST(1.0 AS DOUBLE) AS score, 1 AS "rank"
 FROM embeddings WHERE vec_id < 10
+"""
+
+# Cross-corpus exact-duplicate twin: jaccard 1.0 <=> equal shingle sets <=>
+# equal md5 fingerprints of the sorted distinct 3-gram set (chr(0) delimiter
+# so in-shingle characters can't alias a set boundary).
+_CROSS_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+    list_sort(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS s
+  FROM t WHERE len(w) >= 3
+), f AS (
+  SELECT doc_id, md5(array_to_string(s, chr(0))) AS fp FROM sh WHERE len(s) > 0
+), refs AS (
+  SELECT * FROM f
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|xref'), 1, 8))::BIGINT % 10 = 0
+), corp AS (
+  SELECT * FROM f
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|xref'), 1, 8))::BIGINT % 10 <> 0
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), fp FROM refs WHERE doc_id = (SELECT min(doc_id) FROM refs)
+)
+SELECT c.doc_id AS a, r.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM corp c JOIN refs r ON c.fp = r.fp
+"""
+
+# Token-budget twin: same md5 order, one window cumulative sum.
+_TOKEN_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n_tokens,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS fr
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY fr, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+  FROM t
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE ct <= 3000
 """
 
 # Drift twin on the spans shape: rebuild offsets + part, then the same
@@ -2568,6 +2659,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "referential_media_catalog": _REF_CATALOG_SQL,
         "lsh_knn_planted_embeddings": _LSH_KNN_PLANTED_SQL,
+        "cross_dedup_documents": _CROSS_DEDUP_SQL,
+        "token_budget_documents": _TOKEN_BUDGET_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,

@@ -50,6 +50,61 @@ def cap_per_group(
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    group_col: str | list[str],
+    *,
+    budget_tokens: int,
+    token_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fill each group with documents until its TOKEN budget is reached —
+    the "N billion tokens per language/domain" step of training-mix
+    construction, where :func:`cap_per_group` counts rows and this counts
+    tokens. Docs are taken in md5(key) order (a reproducible shuffle, so
+    the kept set is unbiased, engine-portable, and stable across runs and
+    cluster sizes); a doc is kept while the running token total INCLUDING
+    it stays <= ``budget_tokens``. The rule is take-while, not knapsack:
+    the first doc whose inclusion crosses the budget ends the group
+    (deterministic, order-respecting, exactly SQL-replayable — a
+    skip-and-continue greedy fill would depend on pathological token
+    distributions and be much harder to audit). Token counts must be
+    non-negative and non-null (both take-while passes rely on the running
+    total being monotone).
+
+    Scale shape: the naive form is a cumulative-sum window over
+    ``partitionBy(group)`` — one reducer sorts an entire hot group. A
+    pre-prune pass runs the same take-while within
+    ``(group, spark_partition_id)``: a doc's within-shard running total is
+    computed over a SUBSET of its global md5-predecessors, so it can only
+    under-count — any doc already over budget within its shard is over
+    budget globally and is safely dropped. The global pass then sorts at
+    most ~``budget_tokens`` worth of rows per (group, shard), never the
+    whole group."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    order = hash_fraction(key_col, salt=salt)
+    toks = F.col(token_col).cast("bigint")
+
+    def take_while(win: Window) -> Column:
+        return F.sum(toks).over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    shard = Window.partitionBy(*groups, F.spark_partition_id()).orderBy(
+        order, F.col(key_col)
+    )
+    pre = df.withColumn("_sct", take_while(shard)).filter(
+        F.col("_sct") <= budget_tokens
+    ).drop("_sct")
+    final = Window.partitionBy(*groups).orderBy(order, F.col(key_col))
+    return (
+        pre.withColumn("_ct", take_while(final))
+        .filter(F.col("_ct") <= budget_tokens)
+        .drop("_ct")
+    )
+
+
 def resample_to_target(
     df: DataFrame,
     group_col: str,

@@ -177,18 +177,12 @@ def minhash_candidate_pairs(
     shares the same bucketing; a flooded bucket means the docs are
     boilerplate-duplicates better handled by exact dedup on fingerprints.
     ``max_bucket_size=None`` restores the uncapped behavior."""
-    buckets = minhash_lsh_buckets(df, text_col, id_col, **lsh_kwargs)
-    if max_bucket_size is not None:
-        oversize = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        # no broadcast hint: the oversize set is normally tiny (AQE will
-        # broadcast it), but pathological corpora could make it wide and a
-        # forced broadcast would be its own OOM
-        buckets = buckets.join(oversize, ["band", "bucket"], "left_anti")
+    # no broadcast hint inside the cap: the oversize set is normally tiny
+    # (AQE will broadcast it), but pathological corpora could make it wide
+    # and a forced broadcast would be its own OOM
+    buckets = _cap_bucket_flood(
+        minhash_lsh_buckets(df, text_col, id_col, **lsh_kwargs), id_col, max_bucket_size
+    )
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
@@ -338,6 +332,82 @@ def minhash_near_duplicates(
     )
     scored = ngram_jaccard(pairs, df, text_col, id_col, shingle_k=shingle_k)
     return scored.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_cross_duplicates(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 1_000,
+) -> DataFrame:
+    """Docs in ``corpus`` with a near-duplicate in ``reference`` — the
+    CROSS-CORPUS form of :func:`minhash_near_duplicates`: dedup a new crawl
+    against the already-kept corpus, or document-level benchmark
+    decontamination (the n-gram variant is
+    :func:`okay_spark.textops.ngram_contamination`; this one catches whole
+    near-duplicate documents the n-gram overlap score can under-rank).
+
+    Returns ``(a, b, jaccard)`` with ``a`` from corpus, ``b`` from
+    reference, exact word-shingle Jaccard >= ``threshold``.
+
+    Scale shape: signatures/buckets are computed per side with the SAME
+    md5 hash family, so candidates meet through an equi-join on
+    (band, bucket) — never corpus x reference. Each side's flooded buckets
+    are removed by the same two-phase ``max_bucket_size`` cap as the
+    self-join path, bounding the join fan-out per bucket at
+    ``max_bucket_size**2``. The exact-Jaccard re-rank joins each side's
+    shingle set by id (broadcastable when the candidate set is small).
+    At ``threshold=1.0`` the output is EXACT, not approximate: equal
+    shingle sets produce identical signatures, so verbatim (and
+    shingle-set-equal) cross-corpus duplicates share every band bucket and
+    LSH recall is 1 by construction — the driver entry pins that case
+    against a DuckDB shingle-fingerprint join."""
+    bc = _cap_bucket_flood(
+        minhash_lsh_buckets(corpus, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
+        id_col,
+        max_bucket_size,
+    ).select(F.col(id_col).alias("a"), "band", "bucket")
+    br = _cap_bucket_flood(
+        minhash_lsh_buckets(reference, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
+        id_col,
+        max_bucket_size,
+    ).select(F.col(id_col).alias("b"), "band", "bucket")
+    pairs = bc.join(br, ["band", "bucket"]).select("a", "b").distinct()
+
+    sha = _spread(corpus).select(
+        F.col(id_col).alias("a"), word_shingles(F.col(text_col), shingle_k).alias("_sha")
+    )
+    shb = _spread(reference).select(
+        F.col(id_col).alias("b"), word_shingles(F.col(text_col), shingle_k).alias("_shb")
+    )
+    joined = pairs.join(sha, "a").join(shb, "b")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = (F.size("_sha") + F.size("_shb")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select("a", "b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _cap_bucket_flood(buckets: DataFrame, id_col: str, max_bucket_size: int | None) -> DataFrame:
+    """The two-phase bucket cap shared by the self-join and cross-corpus
+    candidate generators: scalar count per (band, bucket), anti-join the
+    oversized set out before anything expands."""
+    if max_bucket_size is None:
+        return buckets
+    oversize = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    return buckets.join(oversize, ["band", "bucket"], "left_anti")
 
 
 # ---------------------------------------------------------------------------

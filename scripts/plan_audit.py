@@ -464,6 +464,39 @@ def main() -> None:
         "distinct dedups cross-band repeats",
     )
 
+    from okay_spark.balance import sample_to_token_budget
+    from okay_spark.dedup import minhash_cross_duplicates
+    from okay_spark.textops import token_count
+
+    ref_side = docs.filter(F.col("doc_id") % 7 == 0)
+    corp_side = docs.filter(F.col("doc_id") % 7 != 0)
+    audit(
+        "minhash_cross_duplicates",
+        minhash_cross_duplicates(corp_side, ref_side, threshold=0.5),
+        max_shuffles=8,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="cross-corpus near-dup: per-side signatures never cross-join — "
+        "candidates meet via the (band,bucket) equi-join, each side's "
+        "flooded buckets anti-joined out first (two-phase cap), exact "
+        "Jaccard re-rank joins shingle sets by id on the candidate set only",
+    )
+    audit(
+        "sample_to_token_budget (two-phase)",
+        sample_to_token_budget(
+            token_count(docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())),
+            "lang",
+            budget_tokens=2_000,
+            token_col="n_tokens",
+        ),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        note="token-budget fill: take-while over md5 order; the shard pass "
+        "keyed (group, spark_partition_id) under-counts the global prefix "
+        "sum, so everything it drops is provably over budget — the global "
+        "window sorts only ~budget-worth of survivors per (group, shard), "
+        "never a whole hot group (partition-invariance pytest-pinned)",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")

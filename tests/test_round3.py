@@ -168,6 +168,138 @@ def test_driver_lsh_knn_planted_rank1_exact(spark):
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_cross_duplicates_agree_with_bruteforce(spark, docs):
+    """The LSH-bucketed cross join at a mid threshold must find exactly the
+    pairs the exhaustive corpus x reference Jaccard join finds whose shingle
+    signatures collide in some band; at threshold 1.0 it must find ALL
+    shingle-set-equal pairs (recall 1 by construction)."""
+    from okay_spark.dedup import minhash_cross_duplicates
+    from okay_spark.textops import word_shingles
+
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    corp = docs.filter(F.col("doc_id") % 7 != 0)
+    got = {
+        (r["a"], r["b"]): round(r["jaccard"], 6)
+        for r in minhash_cross_duplicates(corp, ref, threshold=0.5).collect()
+    }
+    # exhaustive oracle: every cross pair with jaccard >= 0.5
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("s")
+    ).filter(F.size("s") > 0)
+    a = sh.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("a"), F.col("s").alias("sa")
+    )
+    b = sh.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("b"), F.col("s").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    want = {
+        (r["a"], r["b"]): round(r["j"], 6)
+        for r in a.crossJoin(b)
+        .select("a", "b", (inter / union).alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert want, "fixture regression: no cross near-dups at 0.5"
+    # LSH may miss sub-1.0 pairs (probabilistic recall) but every reported
+    # pair must be a true one with the exact score
+    assert set(got) <= set(want)
+    for k in got:
+        assert got[k] == want[k]
+    # and the jaccard-1.0 subset must be found COMPLETELY
+    exact_want = {k for k, v in want.items() if v == 1.0}
+    exact_got = {k for k, v in got.items() if v == 1.0}
+    assert exact_got == exact_want
+
+
+def test_cross_duplicates_driver_entry_finds_planted(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["cross_dedup_documents"](spark, SF_DIR).collect()
+    assert any(r["a"] == -1 and r["jaccard"] == 1.0 for r in rows)
+
+
+def test_cross_duplicates_caps_each_side(spark):
+    from okay_spark.dedup import minhash_cross_duplicates
+
+    flooded = _flood_corpus(spark)  # 300 identical docs + 2 near-dups
+    ref = spark.createDataFrame(
+        [(5000, "all rights reserved copyright notice terms of service apply"),
+         (5001, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_cross_duplicates(flooded, ref, threshold=0.5, max_bucket_size=50).collect()
+    ids = {r["a"] for r in pairs}
+    # the flooded boilerplate bucket is dropped on the corpus side...
+    assert not any(i < 300 for i in ids)
+    # ...while the genuine pair still matches across corpora
+    assert {(r["a"], r["b"]) for r in pairs} == {(1000, 5001), (1001, 5001)}
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_two_phase_is_partition_invariant(spark, docs):
+    """The pre-prune must be exact: the kept set on 1 partition (where the
+    shard pass is the global pass) and on 16 partitions must be identical."""
+    from okay_spark.balance import sample_to_token_budget
+    from okay_spark.textops import token_count
+
+    base = token_count(docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull()))
+    kept1 = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            base.repartition(1), "lang", budget_tokens=2_000, token_col="n_tokens"
+        ).collect()
+    }
+    kept16 = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            base.repartition(16), "lang", budget_tokens=2_000, token_col="n_tokens"
+        ).collect()
+    }
+    assert kept1 == kept16 and kept1
+
+
+def test_token_budget_respects_budget_and_takewhile_order(spark, docs):
+    from okay_spark.balance import sample_to_token_budget
+    from okay_spark.sampling import hash_fraction
+    from okay_spark.textops import token_count
+
+    base = token_count(docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull()))
+    budget = 2_000
+    out = sample_to_token_budget(base, "lang", budget_tokens=budget, token_col="n_tokens")
+    rows = out.select("doc_id", "lang", "n_tokens").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    order = {
+        r["doc_id"]: (r["fr"], r["doc_id"])
+        for r in base.select("doc_id", hash_fraction("doc_id").alias("fr")).collect()
+    }
+    for lang, kept in by_lang.items():
+        total = sum(r["n_tokens"] for r in kept)
+        assert total <= budget, (lang, total)
+        # take-while: the kept set is exactly the maximal md5-order prefix
+        want = base.filter(F.col("lang").eqNullSafe(F.lit(lang))).select("doc_id", "n_tokens").collect()
+        want_sorted = sorted(want, key=lambda r: order[r["doc_id"]])
+        prefix, acc = set(), 0
+        for r in want_sorted:
+            if acc + r["n_tokens"] > budget:
+                break
+            acc += r["n_tokens"]
+            prefix.add(r["doc_id"])
+        assert {r["doc_id"] for r in kept} == prefix, lang
+
+
+# ---------------------------------------------------------------------------
 # Arrow-seam audit: the declared crossings are the ONLY Python in the plan
 # ---------------------------------------------------------------------------
 
