@@ -57,11 +57,15 @@ def main() -> None:
     # box shows multi-second load bursts), but a burst rarely covers two
     # JVMs launched a minute apart
     for cpus in (32, args.low, args.high):
-        cands = [run_once(cpus, args.docs, args.sf_dir) for _ in range(2)]
+        # the N/4N pair gets a third JVM: the ratio is the north metric and
+        # one steal burst in either leg moves it by tenths
+        n_jvms = 2 if cpus == 32 else 3
+        cands = [run_once(cpus, args.docs, args.sf_dir) for _ in range(n_jvms)]
         r = min(cands, key=lambda c: c["queries"]["battery_interleaved"])
         runs[cpus] = r
+        steal = r.get("query_steal_pct", {}).get("battery_interleaved")
         print(f"local[{cpus}]: battery {r['queries']['battery_interleaved']}s "
-              f"({r['docs_per_sec']} docs/s)")
+              f"({r['docs_per_sec']} docs/s, steal {steal}% on best repeat)")
 
     t_low = runs[args.low]["queries"]["battery_interleaved"]
     t_high = runs[args.high]["queries"]["battery_interleaved"]
