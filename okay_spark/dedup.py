@@ -584,6 +584,39 @@ def hyperplane_bucket(vec: Column, dim: int, *, planes: int = 8) -> Column:
     return sum(bits[1:], bits[0]).cast("int")
 
 
+def sample_bucket_anchors(
+    side: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    max_bucket_size: int | None,
+    *,
+    salt: str = "bktcap",
+) -> DataFrame:
+    """Deterministically downsample each LSH bucket to ~``max_bucket_size``
+    ANCHOR rows (md5-keyed membership — stable across runs, partitionings,
+    and engines). An equi self-join on bucket has no unbounded reducer
+    *state* (sort-merge spills), but its fan-out is O(bucket^2) rows of
+    cosine work — a degenerate corpus (one near-identical cluster) turns one
+    bucket into n^2 compute. Keeping ~cap anchors per bucket bounds the
+    fan-out at n x cap while every non-anchor still meets every anchor of
+    its bucket, which is what downstream connected-components clustering
+    needs to merge the flood into one component. Scalar count aggregate +
+    join; ``None`` = no sampling."""
+    from .sampling import hash_fraction
+
+    if max_bucket_size is None:
+        return side
+    sizes = side.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_bn"))
+    return (
+        side.join(sizes, bucket_col)
+        .filter(
+            (F.col("_bn") <= max_bucket_size)
+            | (hash_fraction(F.col(id_col), salt=salt) < F.lit(float(max_bucket_size)) / F.col("_bn"))
+        )
+        .drop("_bn")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -593,12 +626,22 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     planes: int = 8,
     multiprobe: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold.
 
     Candidates come from hyperplane-LSH buckets (optionally multiprobing the
     ``planes`` single-bit-flip neighbor buckets so near-misses across a
-    hyperplane still meet); exact cosine verifies. Shuffle is bucket-local."""
+    hyperplane still meet); exact cosine verifies. Shuffle is bucket-local.
+
+    ``max_bucket_size`` (opt-in) bounds the quadratic join fan-out of a
+    flooded bucket: the right side keeps ~cap md5-sampled ANCHORS per
+    bucket and the pair condition relaxes to ``!=`` with least/greatest
+    normalization, so every flooded doc still meets every surviving anchor
+    (one connected component downstream) at n x cap instead of n^2 cosine
+    evaluations. Default ``None`` = exact candidate set: unlike the minhash
+    ``collect_list`` this join holds no unbounded reducer state, so the cap
+    is a compute policy, not a memory guard."""
     bucket = hyperplane_bucket(F.col(vec_col), dim, planes=planes)
     base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("_bkt"))
     if multiprobe:
@@ -611,12 +654,15 @@ def embedding_near_duplicates(
     right = base.select(
         F.col(id_col).alias("_id2"), F.col(vec_col).alias("_vec2"), F.col("_bkt").alias("_probe")
     )
+    if max_bucket_size is None:
+        joined = left.join(right, on="_probe").filter(F.col(id_col) < F.col("_id2"))
+    else:
+        right = sample_bucket_anchors(right, "_probe", "_id2", max_bucket_size)
+        joined = left.join(right, on="_probe").filter(F.col(id_col) != F.col("_id2"))
     pairs = (
-        left.join(right, on="_probe")
-        .filter(F.col(id_col) < F.col("_id2"))
-        .select(
-            F.col(id_col).alias("a"),
-            F.col("_id2").alias("b"),
+        joined.select(
+            F.least(F.col(id_col), F.col("_id2")).alias("a"),
+            F.greatest(F.col(id_col), F.col("_id2")).alias("b"),
             cosine(F.col(vec_col), F.col("_vec2")).alias("cos"),
         )
         .distinct()

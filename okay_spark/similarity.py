@@ -69,10 +69,21 @@ def lsh_knn_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     multiprobe: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN join: for each query row, top-k corpus rows by cosine
     among LSH-bucket candidates. Returns (query_id, neighbor_id, score, rank).
+
+    ``max_bucket_size`` (opt-in) md5-samples each corpus bucket down to
+    ~cap candidates before the join (okay_spark.dedup.sample_bucket_anchors)
+    — the engineered escape when a degenerate embedding distribution floods
+    one bucket and turns the candidate join into per-query full scans. The
+    tradeoff is recall among the flooded near-ties only; default ``None``
+    keeps the exact candidate set (the join itself holds no unbounded
+    reducer state).
     """
+    from .dedup import sample_bucket_anchors
+
     qb = hyperplane_bucket(F.col(vec_col).cast("array<double>"), dim, planes=planes)
     cb = hyperplane_bucket(F.col(vec_col).cast("array<double>"), dim, planes=planes)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), qb.alias("_bkt"))
@@ -82,6 +93,7 @@ def lsh_knn_join(
     else:
         q = q.select("query_id", "_qv", F.col("_bkt").alias("_probe"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), cb.alias("_probe"))
+    c = sample_bucket_anchors(c, "_probe", "neighbor_id", max_bucket_size)
 
     scored = (
         q.join(c, on="_probe")

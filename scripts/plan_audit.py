@@ -497,6 +497,25 @@ def main() -> None:
         "never a whole hot group (partition-invariance pytest-pinned)",
     )
 
+    from okay_spark.dedup import embedding_near_duplicates
+
+    audit(
+        "embedding_near_duplicates (anchor-capped)",
+        embedding_near_duplicates(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+            dim=16,
+            threshold=0.9,
+            max_bucket_size=100,
+        ),
+        max_shuffles=6,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="hyperplane-LSH self-join with md5-sampled bucket ANCHORS on "
+        "the build side: the equi-join holds no unbounded reducer state "
+        "(SMJ spills) but a flooded bucket is O(n^2) cosine fan-out — the "
+        "cap bounds it at n x cap while every flooded doc still meets every "
+        "surviving anchor (single component downstream, pytest-pinned)",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")

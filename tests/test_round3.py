@@ -168,6 +168,62 @@ def test_driver_lsh_knn_planted_rank1_exact(spark):
 
 
 # ---------------------------------------------------------------------------
+# Embedding LSH bucket anchors (quadratic-fan-out cap)
+# ---------------------------------------------------------------------------
+
+
+def _vector_flood(spark, n=400, dim=8):
+    """n near-identical vectors (one LSH bucket) plus two distant ones."""
+    rows = [(i, [1.0] * dim) for i in range(n)]
+    rows += [(9000, [-1.0] * dim), (9001, [-1.0] * dim)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_neardup_anchor_cap_bounds_fanout_keeps_connectivity(spark):
+    from okay_spark.dedup import connected_components, embedding_near_duplicates
+
+    df = _vector_flood(spark)
+    pairs = embedding_near_duplicates(df, dim=8, threshold=0.95, max_bucket_size=10)
+    got = pairs.collect()
+    # fan-out bounded: ~n x cap x probes, nowhere near the 400^2/2 exact set
+    assert 0 < len(got) < 400 * 10 * 9
+    # every flooded doc must still reach one connected component
+    comp = connected_components(pairs.select("a", "b")).collect()
+    labels = {r["node"]: r["component"] for r in comp}
+    flood_labels = {labels[i] for i in range(400) if i in labels}
+    assert len(flood_labels) == 1
+    assert all(i in labels for i in range(400)), "cap must not orphan flooded docs"
+    # the distant pair is its own component
+    assert labels[9000] == labels[9001] != next(iter(flood_labels))
+
+
+def test_embedding_neardup_uncapped_unchanged_by_refactor(spark, embeddings):
+    """The least/greatest rewrite must not change the exact (uncapped)
+    output on the certified fixture shape."""
+    from okay_spark.dedup import embedding_near_duplicates
+
+    emb = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.first()["embedding"])
+    planted = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(-1).cast("long").alias("vec_id"), "embedding"
+    )
+    out = embedding_near_duplicates(emb.unionByName(planted), dim=dim, threshold=0.9)
+    rows = out.collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(-1, 0)]
+    assert all(r["a"] < r["b"] for r in rows)
+
+
+def test_lsh_knn_join_bucket_cap_still_ranks(spark):
+    from okay_spark.similarity import lsh_knn_join
+
+    df = _vector_flood(spark, n=300)
+    q = spark.createDataFrame([(7000, [1.0] * 8)], "vec_id long, embedding array<double>")
+    out = lsh_knn_join(q, df, dim=8, k=5, planes=8, max_bucket_size=20).collect()
+    assert len(out) == 5
+    assert all(r["score"] > 0.99 for r in out)
+
+
+# ---------------------------------------------------------------------------
 # Cross-corpus near-dup
 # ---------------------------------------------------------------------------
 
