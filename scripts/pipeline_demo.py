@@ -8,8 +8,10 @@ switching: schema validation plus the corpus operators okay never had.
     (SimHash -> connected components -> canonical keep)
     ->  duplicated-span strip (cross-doc token n-grams removed in place)
     ->  quality / repetition filters  ->  benchmark decontamination
-    ->  per-domain cap  ->  PII scan + redact  ->  chunk -> pack (token
-    budget)  ->  resample to target language mix -> splits
+    (n-gram overlap + whole-document cross-corpus minhash)
+    ->  per-domain cap  ->  PII scan + redact  ->  chunk -> pack (sequence
+    token budget)  ->  resample to target language mix -> per-language
+    corpus token budget -> splits
     ->  parquet sinks per stage + one summary line per stage
 
 Run: python scripts/pipeline_demo.py [--sf-dir /root/testdata/sf0.01]
@@ -124,6 +126,18 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     decontaminated = corpus.join(ok_ids, on="doc_id", how="left_semi")
     stats["after_decontamination"] = decontaminated.count()
 
+    # 5b'. document-level decontamination: whole near-duplicates of benchmark
+    #      docs (an n-gram overlap SCORE can under-rank a verbatim benchmark
+    #      copy padded with noise; the cross-corpus minhash join catches the
+    #      document shape itself)
+    from okay_spark.dedup import minhash_cross_duplicates
+
+    doc_hits = minhash_cross_duplicates(decontaminated, benchmark, threshold=0.8)
+    decontaminated = decontaminated.join(
+        doc_hits.select(F.col("a").alias("doc_id")).distinct(), on="doc_id", how="left_anti"
+    )
+    stats["after_doc_decontamination"] = decontaminated.count()
+
     # 5b. per-domain cap: no single source may dominate the corpus
     from okay_spark.balance import cap_per_group
 
@@ -155,7 +169,18 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     balanced = resample_to_target(
         redacted, "lang", {"en": 0.5, "fr": 0.25, "de": 0.25}, key_col="doc_id"
     )
-    final = split_column(balanced, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+    # 8b. token-budget fill: each language stops at a token quota (the mix
+    #     above fixes PROPORTIONS; the budget fixes the absolute size)
+    from okay_spark.balance import sample_to_token_budget
+    from okay_spark.textops import token_count
+
+    budgeted = sample_to_token_budget(
+        token_count(balanced), "lang", budget_tokens=1_000, token_col="n_tokens"
+    ).drop("n_tokens")
+    stats["after_token_budget"] = budgeted.count()
+
+    final = split_column(budgeted, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     final.write.mode("overwrite").partitionBy("split").parquet(f"{out}/corpus")
     stats["final_docs"] = final.count()
     return stats

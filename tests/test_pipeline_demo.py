@@ -19,7 +19,9 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     assert stats["ingested"] >= stats["validated"] >= stats["after_dedup"]
     assert stats["after_dedup"] >= stats["after_span_strip"] >= stats["after_quality"]
     assert stats["after_quality"] >= stats["after_decontamination"]
-    assert stats["after_decontamination"] >= stats["after_domain_cap"] >= stats["final_docs"]
+    assert stats["after_decontamination"] >= stats["after_doc_decontamination"]
+    assert stats["after_doc_decontamination"] >= stats["after_domain_cap"]
+    assert stats["after_domain_cap"] >= stats["after_token_budget"] >= stats["final_docs"]
     # nothing degenerate: the pipeline keeps a real corpus
     assert stats["validated"] > 0 and stats["after_dedup"] > 100
     assert stats["after_span_strip"] > 100
