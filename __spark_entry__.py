@@ -1152,15 +1152,18 @@ def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     has Jaccard 1.0, shares every band bucket, and MUST appear in the output
     — the rows-only driver row is non-vacuous by construction (r02 ran the
     natural corpus only, where an empty result would have passed silently).
-    The planted pair's presence is also pytest-asserted
-    (tests/test_new_ops.py)."""
+    The source doc is the smallest SHINGLE-BEARING doc (a < shingle_k-word
+    doc never buckets, which would silently void the plant). The planted
+    pair's presence is pytest-asserted (tests/test_round3.py)."""
     from okay_spark.dedup import minhash_near_duplicates
+    from okay_spark.textops import word_shingles
 
     docs = _read(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     planted = (
-        docs.orderBy("doc_id")
+        docs.filter(F.size(word_shingles(F.col("text"), 3)) > 0)
+        .orderBy("doc_id")
         .limit(1)
         .withColumn("doc_id", F.lit(-1).cast(docs.schema["doc_id"].dataType))
     )
@@ -1247,6 +1250,38 @@ def q_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(docs), "lang", budget_tokens=3_000, token_col="n_tokens"
     )
     return out.select("doc_id", "lang", "n_tokens")
+
+
+def q_oversized_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-cap observability companion (minhash_oversized_buckets)
+    with a PLANTED flood: 60 verbatim copies of the smallest shingle-bearing
+    doc overflow its 4 band buckets past cap=50, so the report is
+    non-vacuous and every (band, bucket, size) row is md5-replayable in
+    DuckDB (the bit-exact minhash bucket recipe of minhash_buckets_documents
+    over documents UNION the planted copies)."""
+    from okay_spark.dedup import minhash_oversized_buckets
+    from okay_spark.textops import word_shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    src = (
+        docs.filter(F.size(word_shingles(F.col("text"), 3)) > 0)
+        .orderBy("doc_id")
+        .limit(1)
+        .select("text")
+    )
+    planted = (
+        spark.range(60)
+        .crossJoin(src)
+        .select(
+            (-F.col("id") - 1).cast(docs.schema["doc_id"].dataType).alias("doc_id"),
+            "text",
+        )
+    )
+    return minhash_oversized_buckets(
+        docs.unionByName(planted), num_hashes=8, bands=4, shingle_k=3, max_bucket_size=50
+    )
 
 
 def q_lsh_knn_planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1544,7 +1579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "battery_interleaved": q_battery_interleaved,
         # -- r01-only certified, due re-certification --
         "sessions_events": q_sessions_events,
         "session_windows_events": q_session_windows_events,
@@ -1558,11 +1592,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-3 operators (exact oracles) --
         "cross_dedup_documents": q_cross_dedup_documents,
         "token_budget_documents": q_token_budget_documents,
+        "oversized_buckets_documents": q_oversized_buckets_documents,
         # ---- window boundary: entries below were driver-green in r02,
         # r01 (props_json/battery_json/approx_distinct), or both ----
         "props_json_events": q_props_json_events,
         "battery_json_documents": q_battery_json_documents,
         "approx_distinct_events": q_approx_distinct_events,
+        "battery_interleaved": q_battery_interleaved,
         "stats_documents": q_stats_documents,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "uniqueness_salted_events": q_uniqueness_salted_events,
@@ -1844,6 +1880,38 @@ _LSH_KNN_PLANTED_SQL = """
 SELECT (-1 - vec_id)::BIGINT AS query_id, vec_id AS neighbor_id,
        CAST(1.0 AS DOUBLE) AS score, 1 AS "rank"
 FROM embeddings WHERE vec_id < 10
+"""
+
+# Oversized-bucket twin: the bit-exact minhash bucket recipe over
+# documents UNION 60 planted copies of the smallest shingle-bearing doc,
+# grouped and filtered past the cap. Planted ids never reach the output
+# (only band/bucket/size), so the twin needs no id alignment.
+_OVERSIZED_BUCKETS_SQL = """
+WITH t0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), tw AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS w FROM t0
+), eligible AS (
+  SELECT doc_id, text FROM tw WHERE len(w) >= 3
+), alldocs AS (
+  SELECT text FROM t0
+  UNION ALL
+  SELECT (SELECT text FROM eligible WHERE doc_id = (SELECT min(doc_id) FROM eligible))
+  FROM range(0, 60)
+), t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS w FROM alldocs
+), sh AS (
+  SELECT list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles
+  FROM t
+), sig AS (
+  SELECT [list_min([md5(CAST(h AS VARCHAR) || '|' || s) FOR s IN shingles]) FOR h IN range(0, 8)] AS mh
+  FROM sh WHERE len(shingles) > 0
+), bk AS (
+  SELECT b AS band, md5(array_to_string(mh[b*2+1 : b*2+2], ',')) AS bucket
+  FROM sig, range(0, 4) t(b)
+)
+SELECT band, bucket, COUNT(*)::BIGINT AS size FROM bk
+GROUP BY band, bucket HAVING COUNT(*) > 50
 """
 
 # Cross-corpus exact-duplicate twin: jaccard 1.0 <=> equal shingle sets <=>
@@ -2661,6 +2729,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_knn_planted_embeddings": _LSH_KNN_PLANTED_SQL,
         "cross_dedup_documents": _CROSS_DEDUP_SQL,
         "token_budget_documents": _TOKEN_BUDGET_SQL,
+        "oversized_buckets_documents": _OVERSIZED_BUCKETS_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,

@@ -75,13 +75,24 @@ def sample_to_token_budget(
 
     Scale shape: the naive form is a cumulative-sum window over
     ``partitionBy(group)`` — one reducer sorts an entire hot group. A
-    pre-prune pass runs the same take-while within
-    ``(group, spark_partition_id)``: a doc's within-shard running total is
-    computed over a SUBSET of its global md5-predecessors, so it can only
-    under-count — any doc already over budget within its shard is over
-    budget globally and is safely dropped. The global pass then sorts at
-    most ~``budget_tokens`` worth of rows per (group, shard), never the
-    whole group."""
+    pre-prune pass runs a take-while within ``(group,
+    spark_partition_id)``, keeping each row whose PRECEDING within-shard
+    sum is within budget (i.e. the shard's first budget-breaker survives
+    too). That preceding shard sum is computed over a subset of the row's
+    global md5-predecessors, so it under-counts: any row it drops has
+    preceding-global-sum > budget and is over budget globally. Keeping the
+    breaker is what makes the global pass EXACT — the true kept-prefix K
+    consists of rows whose predecessors all lie in K (subset sums <=
+    budget, so they all survive), the first global breaker's predecessors
+    are exactly K (so it survives), and therefore every later row's
+    survivor cumsum includes K plus the breaker and exceeds the budget.
+    Dropping breakers instead (the naive `shard cumsum <= budget` filter)
+    deletes their tokens from the global sum and falsely keeps rows past
+    the true boundary — partition-DEPENDENT output (caught in round-3
+    review; regression-pinned by the adversarial-partitioning pytest).
+    The global pass sorts at most ~``budget_tokens``-worth of
+    positive-token rows (+1 breaker) per (group, shard), never the whole
+    group."""
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     order = hash_fraction(key_col, salt=salt)
     toks = F.col(token_col).cast("bigint")
@@ -95,7 +106,7 @@ def sample_to_token_budget(
         order, F.col(key_col)
     )
     pre = df.withColumn("_sct", take_while(shard)).filter(
-        F.col("_sct") <= budget_tokens
+        F.col("_sct") - toks <= budget_tokens
     ).drop("_sct")
     final = Window.partitionBy(*groups).orderBy(order, F.col(key_col))
     return (

@@ -181,7 +181,7 @@ def minhash_candidate_pairs(
     # (AQE will broadcast it), but pathological corpora could make it wide
     # and a forced broadcast would be its own OOM
     buckets = _cap_bucket_flood(
-        minhash_lsh_buckets(df, text_col, id_col, **lsh_kwargs), id_col, max_bucket_size
+        minhash_lsh_buckets(df, text_col, id_col, **lsh_kwargs), max_bucket_size
     )
     grouped = (
         buckets.groupBy("band", "bucket")
@@ -370,12 +370,10 @@ def minhash_cross_duplicates(
     against a DuckDB shingle-fingerprint join."""
     bc = _cap_bucket_flood(
         minhash_lsh_buckets(corpus, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
-        id_col,
         max_bucket_size,
     ).select(F.col(id_col).alias("a"), "band", "bucket")
     br = _cap_bucket_flood(
         minhash_lsh_buckets(reference, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
-        id_col,
         max_bucket_size,
     ).select(F.col(id_col).alias("b"), "band", "bucket")
     pairs = bc.join(br, ["band", "bucket"]).select("a", "b").distinct()
@@ -395,7 +393,7 @@ def minhash_cross_duplicates(
     )
 
 
-def _cap_bucket_flood(buckets: DataFrame, id_col: str, max_bucket_size: int | None) -> DataFrame:
+def _cap_bucket_flood(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """The two-phase bucket cap shared by the self-join and cross-corpus
     candidate generators: scalar count per (band, bucket), anti-join the
     oversized set out before anything expands."""

@@ -324,6 +324,41 @@ def test_token_budget_two_phase_is_partition_invariant(spark, docs):
     assert kept1 == kept16 and kept1
 
 
+def test_token_budget_breaker_doc_must_survive_shard_pass(spark):
+    """Round-3 review repro: md5 order 6 < 19 < 9, tokens 5,6,1, budget 10.
+    True take-while keeps only doc 6 (5+6 > 10 stops at 19). If docs 6 and
+    19 are co-partitioned and the shard pass drops the breaker (19), the
+    global pass never sees its 6 tokens and falsely keeps doc 9. The fixed
+    pre-prune keeps each shard's breaker, so every partitioning yields
+    exactly {6}."""
+    from okay_spark.balance import sample_to_token_budget
+    from okay_spark.sampling import hash_fraction
+
+    rows = [(6, "g", 5), (19, "g", 6), (9, "g", 1)]
+    order = {
+        r["doc_id"]: r["fr"]
+        for r in spark.createDataFrame(rows, "doc_id long, g string, n long")
+        .select("doc_id", hash_fraction("doc_id").alias("fr"))
+        .collect()
+    }
+    assert order[6] < order[19] < order[9], "fixture md5 order changed"
+
+    sc = spark.sparkContext
+    rdd = sc.parallelize([(6, "g", 5), (19, "g", 6)], 1).union(
+        sc.parallelize([(9, "g", 1)], 1)
+    )
+    adversarial = spark.createDataFrame(rdd, "doc_id long, g string, n long")
+    assert adversarial.rdd.getNumPartitions() == 2
+    for frame in (adversarial, adversarial.coalesce(1)):
+        kept = {
+            r["doc_id"]
+            for r in sample_to_token_budget(
+                frame, "g", budget_tokens=10, token_col="n"
+            ).collect()
+        }
+        assert kept == {6}, kept
+
+
 def test_token_budget_respects_budget_and_takewhile_order(spark, docs):
     from okay_spark.balance import sample_to_token_budget
     from okay_spark.sampling import hash_fraction
