@@ -1128,6 +1128,44 @@ def q_partition_summary_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_summary_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule per-partition pass/fail summary computed by Structured
+    Streaming: the same checks.partition_summary plan (rule battery as a
+    projection + groupBy on part) runs as a STATEFUL streaming aggregate
+    (complete mode, Trigger.AvailableNow, memory sink — 32 rows) and must
+    hash-match the same DuckDB twin as the batch entry. Where
+    streaming_battery_spans proves row-local streaming parity, this proves
+    the SHUFFLED aggregation path: state lives in the streaming agg store,
+    not a projection."""
+    import tempfile
+    import uuid
+
+    from okay_spark.checks import partition_summary
+    from okay_spark.fixtures import document_schema, oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    src = tempfile.mkdtemp(prefix="okay_stream_summary_src_")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = partition_summary(stream, document_schema, "part")
+    name = "stream_summary_" + uuid.uuid4().hex[:8]
+    (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name).select(
+        "part",
+        "n_docs",
+        "n_violations",
+        "n_failed_docs",
+        F.round("pass_rate", 6).alias("pass_rate"),
+    )
+
+
 def q_heavy_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-referenced media assets on the north-rule shape (boilerplate
     detection input: an asset referenced from a large share of docs pins a
@@ -1532,11 +1570,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1-12:  flagship north-rule spans suite (stays certified every round)
     #   13-29: the 17 entries no driver round has ever sampled (r01+r02 gap)
     #   30-35: r02 non-green rows, now fixed (exact twins / stringified arrays)
-    #   36-39: planted-non-vacuity dedup/ANN entries (incl. the new exact
+    #   36-38: planted-non-vacuity dedup/ANN entries (incl. the new exact
     #          lsh_knn_planted rank-1 row)
-    #   40-50: r01-only-certified entries due re-certification (the float-sum
+    #   39-47: r01-only-certified entries due re-certification (the float-sum
     #          set that was flaky in r01, fixed in r02 but never re-rowed)
-    # Everything past 50 was driver-certified green in r02.
+    #   48-50: new round-3 operators (cross-corpus dedup, token budget,
+    #          oversized-bucket report — all exact oracles)
+    # Everything past 50 was driver-certified green in r01 or r02.
     return {
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -1587,8 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "asof_purchase_click": q_asof_purchase_click,
         "drift_events_value": q_drift_events_value,
-        "pivot_events": q_pivot_events,
         "quantiles_twopass_lineitem": q_quantiles_twopass_lineitem,
+        "streaming_summary_spans": q_streaming_summary_spans,
         # -- new round-3 operators (exact oracles) --
         "cross_dedup_documents": q_cross_dedup_documents,
         "token_budget_documents": q_token_budget_documents,
@@ -1596,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- window boundary: entries below were driver-green in r02,
         # r01 (props_json/battery_json/approx_distinct), or both ----
         "props_json_events": q_props_json_events,
+        "pivot_events": q_pivot_events,
         "battery_json_documents": q_battery_json_documents,
         "approx_distinct_events": q_approx_distinct_events,
         "battery_interleaved": q_battery_interleaved,
@@ -2734,6 +2775,8 @@ def oracle_sql() -> dict[str, str]:
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,
         "streaming_battery_spans": _BATTERY_SPANS_SQL,
+        # ...and streaming stateful aggregation must equal the batch summary
+        "streaming_summary_spans": _PARTITION_SUMMARY_SPANS_SQL,
         "stats_documents": _STATS_SQL,
         "uniqueness_lineitem": (
             "SELECT l_orderkey, COUNT(*)::BIGINT AS cnt FROM lineitem "

@@ -391,6 +391,30 @@ def test_token_budget_respects_budget_and_takewhile_order(spark, docs):
 
 
 # ---------------------------------------------------------------------------
+# Streaming stateful aggregation == batch
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_partition_summary_equals_batch(spark):
+    import __spark_entry__ as e
+    from okay_spark.checks import partition_summary
+    from okay_spark.fixtures import document_schema, oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    batch = {
+        r["part"]: (r["n_docs"], r["n_violations"], r["n_failed_docs"], round(r["pass_rate"], 6))
+        for r in partition_summary(docs, document_schema, "part").collect()
+    }
+    streamed = {
+        r["part"]: (r["n_docs"], r["n_violations"], r["n_failed_docs"], r["pass_rate"])
+        for r in e.queries()["streaming_summary_spans"](spark, SF_DIR).collect()
+    }
+    assert streamed == batch and len(batch) == 32
+
+
+# ---------------------------------------------------------------------------
 # Arrow-seam audit: the declared crossings are the ONLY Python in the plan
 # ---------------------------------------------------------------------------
 
