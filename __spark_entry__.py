@@ -966,6 +966,11 @@ def q_streaming_battery_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=ckpt,
         id_cols=["doc_id"],
     )
+    # the returned frame reads only the SINK; drop the materialized source
+    # (sizeable at bench scale) so repeated gate runs don't accumulate /tmp
+    import shutil
+
+    shutil.rmtree(src_dir, ignore_errors=True)
     return spark.read.parquet(sink).select("doc_id", "path", "rule")
 
 
@@ -1157,6 +1162,11 @@ def q_streaming_summary_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
+    # the memory sink holds the 32 result rows in the driver; the
+    # materialized source parquet is no longer needed — don't leak it
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).select(
         "part",
         "n_docs",
@@ -1566,17 +1576,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies only the FIRST 50
-    # entries per round. Window layout for round 3 —
+    # entries per round. Window layout for round 3 (positions verified
+    # programmatically against this dict — update BOTH together) —
     #   1-12:  flagship north-rule spans suite (stays certified every round)
     #   13-29: the 17 entries no driver round has ever sampled (r01+r02 gap)
-    #   30-35: r02 non-green rows, now fixed (exact twins / stringified arrays)
-    #   36-38: planted-non-vacuity dedup/ANN entries (incl. the new exact
-    #          lsh_knn_planted rank-1 row)
-    #   39-47: r01-only-certified entries due re-certification (the float-sum
-    #          set that was flaky in r01, fixed in r02 but never re-rowed)
-    #   48-50: new round-3 operators (cross-corpus dedup, token budget,
-    #          oversized-bucket report — all exact oracles)
-    # Everything past 50 was driver-certified green in r01 or r02.
+    #   30-35: r02 non-green rows, now fixed (exact twins / stringified
+    #          arrays), plus the new exact lsh_knn_planted rank-1 row at 33
+    #   36-38: planted-non-vacuity dedup/ANN entries
+    #   39-45: r01-certified entries due re-certification — 39-43 are the
+    #          float-sum set that was flaky in r01 and fixed in r02 without a
+    #          fresh driver row; 44-45 (asof, drift_events) were plain green
+    #          in r01
+    #   46-50: new round-3 entries, all exact oracles (two-pass quantiles,
+    #          streaming stateful summary, cross-corpus dedup, token budget,
+    #          oversized-bucket report)
+    # Entries past 50 were driver-certified green in r01 or r02 (pivot/
+    # props/battery_json/approx_distinct/battery_interleaved in r01; the
+    # rest in r02); battery_interleaved and approx_distinct are rows-only
+    # fixtures whose correctness is carried by exact twins on the same
+    # shapes (battery_spans_documents, distinct_counts_events).
     return {
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
