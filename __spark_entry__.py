@@ -1429,6 +1429,23 @@ def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, edges)
 
 
+def q_dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper-policy dedup over the same exact SimHash component structure
+    as dedup_clusters: the kept document per cluster is the LONGEST
+    (max n_chars, ties broken by min doc_id) — the policy real pipelines
+    use — decided by two scalar aggregates per component, no windows.
+    Universe restricted to rows with non-null (doc_id, text, n_chars) so
+    null-comparison semantics can't diverge across engines; the DuckDB twin
+    replays the recursive-CTE components and the same argmax."""
+    from okay_spark.dedup import dedup_keep_best, simhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    edges = simhash_near_duplicates(docs, bits=32, band_bits=4, max_hamming=7)
+    return dedup_keep_best(docs, edges, "n_chars")
+
+
 def q_label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label element-wise mean embedding, long form (label, pos,
     centroid, n) — one posexplode + one decimal-summed hash aggregate."""
@@ -1583,18 +1600,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   30-35: r02 non-green rows, now fixed (exact twins / stringified
     #          arrays), plus the new exact lsh_knn_planted rank-1 row at 33
     #   36-38: planted-non-vacuity dedup/ANN entries
-    #   39-45: r01-certified entries due re-certification — 39-43 are the
+    #   39-44: r01-certified entries due re-certification — 39-43 are the
     #          float-sum set that was flaky in r01 and fixed in r02 without a
-    #          fresh driver row; 44-45 (asof, drift_events) were plain green
-    #          in r01
-    #   46-50: new round-3 entries, all exact oracles (two-pass quantiles,
+    #          fresh driver row; 44 (asof) was plain green in r01
+    #   45-50: new round-3 entries, all exact oracles (two-pass quantiles,
     #          streaming stateful summary, cross-corpus dedup, token budget,
-    #          oversized-bucket report)
+    #          oversized-bucket report, keeper-policy dedup)
     # Entries past 50 were driver-certified green in r01 or r02 (pivot/
-    # props/battery_json/approx_distinct/battery_interleaved in r01; the
-    # rest in r02); battery_interleaved and approx_distinct are rows-only
-    # fixtures whose correctness is carried by exact twins on the same
-    # shapes (battery_spans_documents, distinct_counts_events).
+    # props/drift_events/battery_json/approx_distinct/battery_interleaved
+    # in r01; the rest in r02); battery_interleaved and approx_distinct are
+    # rows-only fixtures whose correctness is carried by exact twins on the
+    # same shapes (battery_spans_documents, distinct_counts_events).
     return {
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -1644,16 +1660,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_events_hourly": q_window_events_hourly,
         "range_join_events": q_range_join_events,
         "asof_purchase_click": q_asof_purchase_click,
-        "drift_events_value": q_drift_events_value,
         "quantiles_twopass_lineitem": q_quantiles_twopass_lineitem,
         "streaming_summary_spans": q_streaming_summary_spans,
         # -- new round-3 operators (exact oracles) --
         "cross_dedup_documents": q_cross_dedup_documents,
         "token_budget_documents": q_token_budget_documents,
         "oversized_buckets_documents": q_oversized_buckets_documents,
+        "dedup_keep_best_documents": q_dedup_keep_best_documents,
         # ---- window boundary: entries below were driver-green in r02,
         # r01 (props_json/battery_json/approx_distinct), or both ----
         "props_json_events": q_props_json_events,
+        "drift_events_value": q_drift_events_value,
         "pivot_events": q_pivot_events,
         "battery_json_documents": q_battery_json_documents,
         "approx_distinct_events": q_approx_distinct_events,
@@ -2736,6 +2753,48 @@ SELECT node AS doc_id, MIN(comp)::BIGINT AS component, (MIN(comp) = node) AS is_
 FROM reach GROUP BY node
 """
 
+# Keeper-policy twin: same recursive-CTE components over the non-null
+# universe, canonical = argmax(n_chars) with min-id tiebreak.
+_DEDUP_KEEP_BEST_SQL = """
+WITH RECURSIVE d0 AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL
+), t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM d0
+), h AS (
+  SELECT doc_id, [('0x' || substr(md5(x), 1, 8))::BIGINT FOR x IN toks] AS hs FROM t
+), s AS (
+  SELECT doc_id,
+    CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, v -> ((v >> i) & 1) = 1)) > len(hs)
+                        THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                   FOR i IN range(0, 32)]) AS BIGINT) AS sh
+  FROM h
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 7
+), e AS (
+  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+), reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM d0
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(comp)::BIGINT AS component FROM reach GROUP BY node
+), j AS (
+  SELECT c.doc_id, c.component, d0.n_chars AS score
+  FROM comp c JOIN d0 ON c.doc_id = d0.doc_id
+), w AS (
+  SELECT component, MAX(score) AS smax FROM j GROUP BY component
+), k AS (
+  SELECT j.component, MIN(j.doc_id) AS keep
+  FROM j JOIN w ON j.component = w.component AND j.score = w.smax
+  GROUP BY j.component
+)
+SELECT j.doc_id, j.component, j.score, (j.doc_id = k.keep) AS is_canonical
+FROM j JOIN k ON j.component = k.component
+"""
+
 _LABEL_CENTROIDS_SQL = """
 WITH e AS (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding)::DOUBLE AS x
@@ -2789,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_dedup_documents": _CROSS_DEDUP_SQL,
         "token_budget_documents": _TOKEN_BUDGET_SQL,
         "oversized_buckets_documents": _OVERSIZED_BUCKETS_SQL,
+        "dedup_keep_best_documents": _DEDUP_KEEP_BEST_SQL,
         "battery_json_documents": _BATTERY_JSON_DOCUMENTS_SQL,
         # streaming execution of the battery must equal the batch answer
         "streaming_battery_documents": _BATTERY_DOCUMENTS_SQL,

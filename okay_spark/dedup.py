@@ -799,6 +799,49 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    edges: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """:func:`dedup_clusters` with a KEEPER POLICY: the canonical document
+    per cluster is the one with the highest ``score_col`` (ties broken by
+    smallest id) instead of the smallest id — real pipelines keep the
+    longest / highest-quality member of a duplicate cluster, not an
+    arbitrary one. Returns ``(id, component, score, is_canonical)``.
+
+    Scale shape: after the O(log diameter) component rounds, the keeper is
+    two scalar hash aggregates (max score per component, then min id among
+    the maxima) plus broadcast-or-shuffle joins keyed on component — no
+    window over members, no per-cluster state beyond two scalars, so a
+    10M-member boilerplate cluster costs the same per row as a pair."""
+    comp = connected_components(
+        edges, a_col, b_col, nodes=df, id_col=id_col, max_iter=max_iter
+    )
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("score")),
+        "node",
+    )
+    best = scored.groupBy("component").agg(F.max("score").alias("_smax"))
+    winners = (
+        scored.join(best, "component")
+        .filter(F.col("score") == F.col("_smax"))
+        .groupBy("component")
+        .agg(F.min("node").alias("_keep"))
+    )
+    return scored.join(winners, "component").select(
+        F.col("node").alias(id_col),
+        "component",
+        "score",
+        (F.col("node") == F.col("_keep")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-span removal (substring dedup at token granularity)
 # ---------------------------------------------------------------------------

@@ -391,6 +391,56 @@ def test_token_budget_respects_budget_and_takewhile_order(spark, docs):
 
 
 # ---------------------------------------------------------------------------
+# Keeper-policy dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_keep_best_argmax_and_ties(spark):
+    from okay_spark.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        # cluster {1,2,3}: 2 has the best score (min-id policy would keep 1);
+        # cluster {10,11}: tied scores -> min id 10 wins; 20 is a singleton
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4), (20, 1)],
+        "doc_id long, quality long",
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    rows = {r["doc_id"]: r for r in dedup_keep_best(docs, edges, "quality").collect()}
+    assert len(rows) == 6
+    assert [rows[i]["is_canonical"] for i in (1, 2, 3)] == [False, True, False]
+    assert rows[10]["is_canonical"] and not rows[11]["is_canonical"]
+    assert rows[20]["is_canonical"]
+    assert rows[1]["component"] == rows[2]["component"] == rows[3]["component"]
+    # exactly one keeper per component
+    comps = {}
+    for r in rows.values():
+        comps.setdefault(r["component"], 0)
+        comps[r["component"]] += int(r["is_canonical"])
+    assert all(v == 1 for v in comps.values())
+
+
+def test_dedup_keep_best_driver_entry_differs_from_min_id(spark):
+    """At sf0.001 the SimHash clusters must contain at least one cluster
+    whose longest member is not the smallest id — otherwise the keeper
+    policy would be indistinguishable from dedup_clusters and the driver
+    row vacuous."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["dedup_keep_best_documents"](spark, SF_DIR).collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    multi = [v for v in by_comp.values() if len(v) > 1]
+    assert multi, "no multi-member clusters at this sf — fixture regression"
+    differs = [
+        v
+        for v in multi
+        if next(r["doc_id"] for r in v if r["is_canonical"]) != min(r["doc_id"] for r in v)
+    ]
+    assert differs, "keeper never differs from min-id: policy untested"
+
+
+# ---------------------------------------------------------------------------
 # Streaming stateful aggregation == batch
 # ---------------------------------------------------------------------------
 
