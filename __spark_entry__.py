@@ -1278,8 +1278,16 @@ def q_cross_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .withColumn("doc_id", F.lit(-1).cast(docs.schema["doc_id"].dataType))
     )
+    # max_bucket_size=None: the exact-recall claim must not be undermined by
+    # the default flood cap — a >1000-doc band bucket would drop Spark-side
+    # pairs the fingerprint-join twin still reports
     out = minhash_cross_duplicates(
-        corpus.unionByName(planted), reference, threshold=1.0, num_hashes=16, bands=8
+        corpus.unionByName(planted),
+        reference,
+        threshold=1.0,
+        num_hashes=16,
+        bands=8,
+        max_bucket_size=None,
     )
     return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -1946,8 +1954,11 @@ SELECT sid AS doc_id, printf('spans[%d].media_ref', j) AS path,
 FROM sp
 WHERE media_ref IS NOT NULL
   AND (media_ref = 'MEDIA_X'
-       OR ('0x' || substr(md5(CAST(substr(media_ref, 7) AS BIGINT)::VARCHAR || '|hole'), 1, 8))::BIGINT % 29 = 0)
+       OR ('0x' || substr(md5(TRY_CAST(substr(media_ref, 7) AS BIGINT)::VARCHAR || '|hole'), 1, 8))::BIGINT % 29 = 0)
 """
+# ^ TRY_CAST, not CAST: DuckDB does not guarantee OR short-circuit order, so
+# the cast must survive the 'MEDIA_X' rows (substr -> 'X') whichever branch
+# evaluates first; md5(NULL || ...) is NULL and the % predicate stays false.
 
 # Planted k-NN twin: identical vectors always share an LSH bucket and cosine
 # 1.0 beats every natural neighbor (corpus max ~0.51), so rank-1 per planted

@@ -23,7 +23,17 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DataType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StructType,
+)
 
 from .errors import SchemaError
 from .messages import Message, expected_json
@@ -168,9 +178,43 @@ def _field_array_conv(ft: DataType):
     """Per-field element conversion for the struct-of-arrays ship format:
     ``ndarray.tolist()`` is the C fast path (recursively yields plain Python
     scalars/lists); nested struct/map elements then go through the compiled
-    nested converter so maps become dicts exactly as on the unpruned path."""
+    nested converter so maps become dicts exactly as on the unpruned path.
+
+    Arrow->pandas promotes a NULLABLE integer (or boolean) field array to
+    float64-with-NaN, so a bare ``tolist()`` would hand the callable ``nan``
+    where a pure-Python caller (the reference) sees ``None`` — silently
+    flipping ``if field is None`` checks on declared rules. Integral/boolean
+    dtypes therefore normalize NaN back to None and promoted floats back to
+    int/bool (measured: a nullable-int batch arrives as ``None|7.0`` on the
+    unpruned path and arrived as ``nan|7.0`` here pre-fix; post-fix the
+    pruned path delivers the reference-faithful ``None|7``). The all-valid
+    case keeps the ndarray fast path (dtype stays integer/bool kind).
+    Float/double fields are deliberately NOT normalized: a null double
+    inside a struct surfaces as NaN on the unpruned path too (the
+    documented Arrow divergence in :func:`custom_violation_arrays`)."""
     inner_c = _build_converter(ft, top=False)
     if inner_c is None:
+        if isinstance(ft, (ByteType, ShortType, IntegerType, LongType)):
+
+            def conv_int(arr):
+                if hasattr(arr, "dtype") and arr.dtype.kind in "iu":
+                    return arr.tolist()
+                out = arr.tolist() if hasattr(arr, "tolist") else list(arr)
+                return [
+                    None if x is None or x != x else int(x) if isinstance(x, float) else x
+                    for x in out
+                ]
+
+            return conv_int
+        if isinstance(ft, BooleanType):
+
+            def conv_bool(arr):
+                if hasattr(arr, "dtype") and arr.dtype.kind == "b":
+                    return arr.tolist()
+                out = arr.tolist() if hasattr(arr, "tolist") else list(arr)
+                return [None if x is None or x != x else bool(x) for x in out]
+
+            return conv_bool
         return lambda arr: arr.tolist() if hasattr(arr, "tolist") else list(arr)
     return lambda arr, _c=inner_c: [
         _c(x) for x in (arr.tolist() if hasattr(arr, "tolist") else arr)

@@ -104,6 +104,16 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _shingled(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
+    """(id, _sh) — word-shingle set per document; shingle-less docs (< k
+    tokens) are dropped: their Jaccard with anything is 0, so they can never
+    clear a positive near-dup threshold, and keeping them would collapse into
+    one degenerate all-identical-signature bucket."""
+    return _spread(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+
+
 def minhash_lsh_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -114,10 +124,15 @@ def minhash_lsh_buckets(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, band, bucket) — one row per (doc, band); bucket = md5 of the
-    band's slice of the signature. Documents with no shingles (< k tokens)
-    are dropped: their Jaccard with anything is 0, so they can never clear a
-    positive near-dup threshold, and keeping them would collapse into one
-    degenerate all-identical-signature bucket."""
+    band's slice of the signature."""
+    return _buckets_from_shingled(
+        _shingled(df, text_col, id_col, shingle_k), id_col, num_hashes=num_hashes, bands=bands
+    )
+
+
+def _buckets_from_shingled(
+    shingled: DataFrame, id_col: str, *, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
     rows_per_band = num_hashes // bands
     # Expression subtrees referenced inside higher-order-function lambdas are
     # re-evaluated PER ELEMENT at runtime (no common-subexpression reuse), so
@@ -126,9 +141,6 @@ def minhash_lsh_buckets(
     # re-inlines single-use expressions — but a Generate (explode) is an
     # optimizer barrier: its child projection computes the shingle array once
     # per input row, and everything above reads the materialized attribute.
-    shingled = _spread(df).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("_sh")
-    ).filter(F.size("_sh") > 0)
     per_band = shingled.select(
         id_col,
         "_sh",
@@ -183,6 +195,10 @@ def minhash_candidate_pairs(
     buckets = _cap_bucket_flood(
         minhash_lsh_buckets(df, text_col, id_col, **lsh_kwargs), max_bucket_size
     )
+    return _pairs_from_buckets(buckets, id_col)
+
+
+def _pairs_from_buckets(buckets: DataFrame, id_col: str) -> DataFrame:
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
@@ -320,18 +336,27 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     max_bucket_size: int | None = 1_000,
 ) -> DataFrame:
-    """Full pipeline: LSH candidates -> exact Jaccard filter >= threshold."""
-    pairs = minhash_candidate_pairs(
-        df,
-        text_col,
-        id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_k=shingle_k,
-        max_bucket_size=max_bucket_size,
+    """Full pipeline: LSH candidates -> exact Jaccard filter >= threshold.
+
+    The shingle frame is computed ONCE and ``localCheckpoint``-ed: it feeds
+    the signature/bucket pipeline AND both sides of the exact re-rank join
+    — without the pin the re-rank (via :func:`ngram_jaccard`) would
+    re-tokenize the corpus a second and third time."""
+    sh = _shingled(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
+    buckets = _cap_bucket_flood(
+        _buckets_from_shingled(sh, id_col, num_hashes=num_hashes, bands=bands),
+        max_bucket_size,
     )
-    scored = ngram_jaccard(pairs, df, text_col, id_col, shingle_k=shingle_k)
-    return scored.filter(F.col("jaccard") >= threshold)
+    pairs = _pairs_from_buckets(buckets, id_col)
+    a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select("a", "b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_cross_duplicates(
@@ -368,22 +393,22 @@ def minhash_cross_duplicates(
     shingle-set-equal) cross-corpus duplicates share every band bucket and
     LSH recall is 1 by construction — the driver entry pins that case
     against a DuckDB shingle-fingerprint join."""
+    # one shingle pass per side, pinned: feeds that side's signature/bucket
+    # pipeline AND its leg of the exact re-rank join
+    shc = _shingled(corpus, text_col, id_col, shingle_k).localCheckpoint(eager=True)
+    shr = _shingled(reference, text_col, id_col, shingle_k).localCheckpoint(eager=True)
     bc = _cap_bucket_flood(
-        minhash_lsh_buckets(corpus, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
+        _buckets_from_shingled(shc, id_col, num_hashes=num_hashes, bands=bands),
         max_bucket_size,
     ).select(F.col(id_col).alias("a"), "band", "bucket")
     br = _cap_bucket_flood(
-        minhash_lsh_buckets(reference, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
+        _buckets_from_shingled(shr, id_col, num_hashes=num_hashes, bands=bands),
         max_bucket_size,
     ).select(F.col(id_col).alias("b"), "band", "bucket")
     pairs = bc.join(br, ["band", "bucket"]).select("a", "b").distinct()
 
-    sha = _spread(corpus).select(
-        F.col(id_col).alias("a"), word_shingles(F.col(text_col), shingle_k).alias("_sha")
-    )
-    shb = _spread(reference).select(
-        F.col(id_col).alias("b"), word_shingles(F.col(text_col), shingle_k).alias("_shb")
-    )
+    sha = shc.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+    shb = shr.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
     joined = pairs.join(sha, "a").join(shb, "b")
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = (F.size("_sha") + F.size("_shb")).cast("double") - inter
@@ -396,9 +421,18 @@ def minhash_cross_duplicates(
 def _cap_bucket_flood(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """The two-phase bucket cap shared by the self-join and cross-corpus
     candidate generators: scalar count per (band, bucket), anti-join the
-    oversized set out before anything expands."""
+    oversized set out before anything expands.
+
+    The buckets frame feeds BOTH the count pre-pass and the anti-join probe
+    side, and Spark cannot reuse the subplan across the diamond (the
+    exchanges differ) — without materialization the MinHash signature
+    pipeline (num_hashes x |shingles| md5s per doc, the dominant cost of the
+    whole operator) executes twice. ``localCheckpoint`` pins it to one
+    evaluation (MEMORY_AND_DISK, 3 narrow columns), the same discipline as
+    the edges checkpoint in :func:`connected_components`."""
     if max_bucket_size is None:
         return buckets
+    buckets = buckets.localCheckpoint(eager=True)
     oversize = (
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -604,6 +638,9 @@ def sample_bucket_anchors(
 
     if max_bucket_size is None:
         return side
+    # side feeds both the size pre-pass and the join probe; pin it so the
+    # upstream bucket computation (hyperplane dot products) runs once
+    side = side.localCheckpoint(eager=True)
     sizes = side.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_bn"))
     return (
         side.join(sizes, bucket_col)

@@ -37,13 +37,34 @@ LINEAGE_DDL = (
 )
 
 
+def _read_lineage(spark: SparkSession, lineage_target: str) -> DataFrame:
+    """Read a lineage table tolerating the pre-``run_seq`` format: tables
+    written before the column existed (and parquet dirs MIXING old and new
+    part files, which a plain read would collapse to one footer's schema)
+    are normalized to ``run_seq = -1`` — ordered before every stamped run,
+    so ``next_run_seq`` resumes at 0 and trend windows keep a total order."""
+    from .io import _is_table_ident, iceberg_available
+
+    if _is_table_ident(lineage_target) and iceberg_available(spark):
+        lin = read_table(spark, lineage_target)
+    else:
+        lin = spark.read.option("mergeSchema", "true").parquet(lineage_target)
+    if "run_seq" not in lin.columns:
+        lin = lin.withColumn("run_seq", F.lit(-1).cast("bigint"))
+    else:
+        lin = lin.withColumn(
+            "run_seq", F.coalesce(F.col("run_seq"), F.lit(-1)).cast("bigint")
+        )
+    return lin
+
+
 def next_run_seq(spark: SparkSession, lineage_target: str) -> int:
     """Monotonic run sequence: 1 + max(run_seq) already in the lineage table.
     run_id is caller-supplied and only unique, not ordered ('run-10' sorts
     before 'run-2' lexicographically) — trend analysis must order on this."""
     if not table_exists(spark, lineage_target):
         return 0
-    row = read_table(spark, lineage_target).agg(F.max("run_seq").alias("m")).first()
+    row = _read_lineage(spark, lineage_target).agg(F.max("run_seq").alias("m")).first()
     return 0 if row is None or row["m"] is None else int(row["m"]) + 1
 
 
@@ -67,7 +88,7 @@ def completed_partitions(
 ) -> set[str]:
     if not table_exists(spark, lineage_target):
         return set()
-    lin = read_table(spark, lineage_target)
+    lin = _read_lineage(spark, lineage_target)
     rows = (
         lin.filter(
             (F.col("status") == "done")
@@ -201,7 +222,7 @@ def violation_trend(
     window step, so the ordered window runs over run-count rows, not data.
     Returns ``(run_id, n_docs, n_violations, rate, prev_rate, increase_frac,
     regressed)`` ordered by first appearance."""
-    lineage = read_table(spark, f"{output}/lineage")
+    lineage = _read_lineage(spark, f"{output}/lineage")
     per_run = lineage.groupBy("run_id").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_violations").alias("n_violations"),

@@ -1,0 +1,227 @@
+"""Round-4 pins: ADVICE fixes (pruned-path NaN normalization, lineage
+run_seq migration, oracle-SQL robustness) and the minhash single-evaluation
+refactor's observable invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# arrow_fields pruning: nullable integral fields must not leak NaN/float
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_fields_null_int_field_sees_none_and_int(spark):
+    """A declared nullable int field crosses Arrow as float64+NaN; the pruned
+    path must hand the callable None for the null and a plain int for valid
+    values (reference semantics), and the is-None decision must match the
+    unpruned path (ADVICE r3: pre-fix the pruned path delivered nan/7.0,
+    silently flipping `field is None` checks between declared and
+    undeclared rules)."""
+    from okay_spark import ignore_extra_fields, required
+    from okay_spark.engine import validate_dataframe
+    from okay_spark.messages import Message
+
+    df = spark.createDataFrame(
+        [("a", [("text", "x", None, None), ("text", "y", None, 7)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+    def mk(declare):
+        def schema():
+            def probe(field, value, **kw):
+                desc = "|".join(
+                    "None" if s["offset"] is None
+                    else f"{type(s['offset']).__name__}:{s['offset']}"
+                    for s in value
+                )
+                return Message(type=f"seen_{desc}", field=field)
+
+            kw = {"arrow_fields": ["offset"]} if declare else {}
+            required("spans", type="custom", validator=probe, **kw)
+            ignore_extra_fields()
+
+        return schema
+
+    pruned = {
+        r["rule"] for r in validate_dataframe(df, mk(True), id_cols=["doc_id"]).collect()
+    }
+    full = {
+        r["rule"] for r in validate_dataframe(df, mk(False), id_cols=["doc_id"]).collect()
+    }
+    # pruned: reference-faithful None + int
+    assert pruned == {"seen_None|int:7"}
+    # unpruned keeps its documented Arrow artifact (float promotion) but the
+    # None decision agrees; pin it so a silent change is noticed
+    assert full == {"seen_None|float:7.0"}
+
+
+def test_arrow_fields_all_valid_int_field_stays_int(spark):
+    """No nulls -> the ndarray fast path must still deliver plain ints."""
+    from okay_spark import ignore_extra_fields, required
+    from okay_spark.engine import validate_dataframe
+    from okay_spark.messages import Message
+
+    df = spark.createDataFrame(
+        [("a", [("text", "x", None, 3), ("text", "y", None, 7)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+    def schema():
+        def probe(field, value, **kw):
+            desc = "|".join(f"{type(s['offset']).__name__}:{s['offset']}" for s in value)
+            return Message(type=f"seen_{desc}", field=field)
+
+        required("spans", type="custom", validator=probe, arrow_fields=["offset"])
+        ignore_extra_fields()
+
+    rules = {
+        r["rule"] for r in validate_dataframe(df, schema, id_cols=["doc_id"]).collect()
+    }
+    assert rules == {"seen_int:3|int:7"}
+
+
+def test_arrow_fields_nullable_bool_field_normalizes(spark):
+    from okay_spark import ignore_extra_fields, required
+    from okay_spark.engine import validate_dataframe
+    from okay_spark.messages import Message
+
+    df = spark.createDataFrame(
+        [("a", [(None,), (True,)])],
+        "doc_id string, spans array<struct<flag:boolean>>",
+    )
+
+    def schema():
+        def probe(field, value, **kw):
+            desc = "|".join(
+                "None" if s["flag"] is None else f"{type(s['flag']).__name__}:{s['flag']}"
+                for s in value
+            )
+            return Message(type=f"seen_{desc}", field=field)
+
+        required("spans", type="custom", validator=probe, arrow_fields=["flag"])
+        ignore_extra_fields()
+
+    rules = {
+        r["rule"] for r in validate_dataframe(df, schema, id_cols=["doc_id"]).collect()
+    }
+    assert rules == {"seen_None|bool:True"}
+
+
+# ---------------------------------------------------------------------------
+# lineage run_seq migration: tables written before the column existed
+# ---------------------------------------------------------------------------
+
+_OLD_LINEAGE_DDL = (
+    "part string, run_id string, snapshot string, schema_fp string, "
+    "status string, n_docs bigint, n_violations bigint, n_failed_docs bigint"
+)
+
+
+def test_old_lineage_without_run_seq_reads_and_resumes(spark, tmp_path):
+    """A lineage table written by the pre-run_seq format must not break
+    next_run_seq (resume at 0), violation_trend (old rows order first), or a
+    new append (mixed-schema parquet dir read with mergeSchema)."""
+    from okay_spark.schema import required
+    from okay_spark.state import next_run_seq, run_resumable_validation, violation_trend
+
+    out = str(tmp_path / "sinks")
+    old_rows = [("p0", "old-run", "s", "fp", "done", 1000, 10, 10)]
+    spark.createDataFrame(old_rows, _OLD_LINEAGE_DDL).write.parquet(f"{out}/lineage")
+
+    assert next_run_seq(spark, f"{out}/lineage") == 0
+
+    docs = spark.createDataFrame(
+        [(1, "a", 0), (2, None, 0)], "doc_id bigint, text string, part int"
+    )
+
+    def schema():
+        required("text", type="string")
+
+    run_resumable_validation(
+        docs,
+        schema=schema,
+        partition_col="part",
+        violations_target=f"{out}/viol",
+        lineage_target=f"{out}/lineage",
+        run_id="new-run",
+        snapshot="s2",
+    )
+    trend = {r["run_id"]: r for r in violation_trend(spark, out).collect()}
+    assert set(trend) == {"old-run", "new-run"}
+    # old rows act as run_seq=-1: ordered before the stamped run, so the new
+    # run's prev_rate is the old run's rate (0.01), not None
+    assert trend["old-run"]["prev_rate"] is None
+    assert trend["new-run"]["prev_rate"] == pytest.approx(0.01)
+    # and the next stamped run continues the sequence after the new run's 0
+    assert next_run_seq(spark, f"{out}/lineage") == 1
+
+
+# ---------------------------------------------------------------------------
+# driver wiring pins (exact-oracle claims must not be undermined silently)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_dedup_driver_entry_is_uncapped():
+    """q_cross_dedup_documents pins recall=1 at threshold=1.0 against an
+    exact fingerprint-join twin; the default bucket cap could silently drop
+    Spark-side pairs the twin still reports, so the entry must disable it."""
+    import inspect
+
+    import __spark_entry__ as e
+
+    src = inspect.getsource(e.q_cross_dedup_documents)
+    assert "max_bucket_size=None" in src
+
+
+def test_ref_catalog_oracle_survives_media_x_rows():
+    """DuckDB does not guarantee OR short-circuit order, so the catalog twin
+    must TRY_CAST the id it parses out of media_ref — a plain CAST can raise
+    on the 'MEDIA_X' rows (substr -> 'X') whichever branch runs first."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    sql = e._REF_CATALOG_SQL
+    assert "TRY_CAST(substr(media_ref, 7) AS BIGINT)" in sql
+    # the predicate itself must evaluate cleanly on a MEDIA_X value
+    row = duckdb.sql(
+        "SELECT ('0x' || substr(md5(TRY_CAST(substr('MEDIA_X', 7) AS BIGINT)::VARCHAR"
+        " || '|hole'), 1, 8))::BIGINT % 29 = 0"
+    ).fetchone()
+    assert row[0] is None  # NULL, never an error
+
+
+# ---------------------------------------------------------------------------
+# minhash single-evaluation refactor: semantics unchanged
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_near_duplicates_matches_pre_refactor_semantics(spark):
+    """The checkpointed shingle reuse must not change scores: jaccard from
+    the carried shingle frame equals a from-scratch ngram_jaccard on the
+    same pairs."""
+    from okay_spark.dedup import minhash_candidate_pairs, minhash_near_duplicates, ngram_jaccard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text about spark engines here"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs, threshold=0.3, num_hashes=8, bands=4).collect()
+    }
+    pairs = minhash_candidate_pairs(docs, num_hashes=8, bands=4)
+    want = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard(pairs, docs).collect()
+        if r["jaccard"] >= 0.3
+    }
+    assert got == want
+    assert got[(1, 4)] == 1.0
