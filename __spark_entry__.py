@@ -2562,7 +2562,7 @@ WITH s AS (
                       ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM s
 )
-SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*)::BIGINT AS n_events,
   round(epoch_us(MIN(ts)) / 1e6, 6) AS t_start_epoch,
   round(epoch_us(MAX(ts)) / 1e6, 6) AS t_end_epoch,
   round((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_sec,

@@ -85,6 +85,19 @@ def main(only: list[str] | None = None) -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [c.lower() for c in rel.columns]
+            # HUGEINT/DECIMAL materialize differently via fetchall vs Arrow —
+            # a driver that fetches via Arrow would hash them differently
+            # (the sessions_events r03 hash-red). Flag them as failures here
+            # so the local gate catches the class.
+            fragile = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")
+            ]
+            if fragile:
+                print(f"FAIL {name}: fetch-path-fragile oracle types {fragile}")
+                failures += 1
+                continue
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")

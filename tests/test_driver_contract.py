@@ -70,6 +70,51 @@ def test_all_oracle_sql_plans_on_duckdb(entrymod):
             pytest.fail(f"oracle for {name!r} does not plan: {ex}")
 
 
+# DuckDB types whose Python materialization is identical whether the driver
+# fetches rows via fetchall(), Arrow, or pandas. HUGEINT (window/regular SUM
+# of integers) and DECIMAL are NOT in this set: fetchall() yields int /
+# Decimal while Arrow yields decimal128 and pandas float64 — so the same
+# result hashes differently depending on the driver's fetch path. That
+# exact mismatch made `sessions_events` (the suite's only window-SUM output
+# column) rows+schema-green but hash-red at the driver in r01/r03 while
+# check_oracle's fetchall() path stayed green. Every oracle projection must
+# cast such columns (CAST(... AS BIGINT) / AS DOUBLE) explicitly.
+_MATERIALIZATION_STABLE = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "UBIGINT",
+    "UINTEGER",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "BOOLEAN",
+    "DATE",
+    "TIMESTAMP",
+}
+
+
+def test_oracle_result_types_survive_any_fetch_path(entrymod):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    fragile: dict[str, list[tuple[str, str]]] = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)  # types resolve without executing
+        bad = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if str(ty) not in _MATERIALIZATION_STABLE
+        ]
+        if bad:
+            fragile[name] = bad
+    assert not fragile, (
+        "oracle columns with fetch-path-dependent materialization "
+        f"(cast them to BIGINT/DOUBLE in the SQL): {fragile}"
+    )
+
+
 def test_queries_callables_have_uniform_signature(entrymod):
     import inspect
 
