@@ -1489,18 +1489,27 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy per-bucket sequence packing over the chunked corpus
-    (rows-only: greedy reset-on-overflow is not one-shot SQL-expressible;
-    invariants — full coverage, budget bound, determinism — are pytest-
-    asserted in tests/test_tfidf_and_stream_dedup.py). The doc_ids array is
-    projected through array_join: the driver's pandas canonicalizer hashes
-    cell values and lists are unhashable (r02 ERR row)."""
+    """Greedy per-bucket sequence packing over the chunked corpus. The
+    greedy reset-on-overflow is not ONE-SHOT SQL, but it IS an exact
+    recursive computation: the DuckDB twin (_PACK_SQL) steps every bucket
+    one chunk per recursive-CTE iteration (state = (seq, open_tokens)),
+    reproducing pack membership, token totals, doc-id order and the packed
+    text bit-for-bit. Bucketing uses pmod(doc_id, 16) here instead of the
+    default xxhash64 (Spark-specific hash the oracle cannot replay); the
+    operator's default path keeps xxhash64. The doc_ids array is projected
+    through array_join: the driver's pandas canonicalizer hashes cell
+    values and lists are unhashable (r02 ERR row)."""
     from okay_spark.textops import chunk_documents, pack_chunks
 
     chunks = chunk_documents(
         _read(spark, sf_dir, "documents"), chunk_tokens=48, overlap=8
     )
-    packed = pack_chunks(chunks, budget_tokens=192, n_buckets=16)
+    packed = pack_chunks(
+        chunks,
+        budget_tokens=192,
+        n_buckets=16,
+        bucket_expr=F.pmod(F.col("doc_id"), F.lit(16)),
+    )
     return packed.select(
         "bucket",
         "seq_id",
@@ -1534,8 +1543,14 @@ def q_char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_compression_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib compression-ratio quality signal (rows-only: zlib has no SQL
-    twin; level-fixed determinism pinned in pytest)."""
+    """zlib compression-ratio quality signal. DuckDB has no zlib, so the
+    twin is a REPLAY oracle (same trust model as the md5/sha256 fixture
+    twins): oracle_sql() computes comp_bytes/ratio per doc in single-process
+    Python at SQL-build time and inlines them as a VALUES table, while
+    raw_bytes is recomputed independently by DuckDB as octet_length(text).
+    The hash then certifies everything Spark adds — Arrow batching,
+    partitioning, the pandas-UDF struct plumbing, null/empty handling —
+    against a non-distributed reference."""
     from okay_spark.textops import compression_ratio
 
     return compression_ratio(_read(spark, sf_dir, "documents"))
@@ -2633,6 +2648,86 @@ SELECT doc_id, chunk_id, start_token::INT AS start_token, n_tokens::INT AS n_tok
 FROM c WHERE n_tokens > 0
 """
 
+# Exact twin of the greedy pack: a recursive CTE advances EVERY bucket by one
+# chunk per iteration, carrying the greedy state (seq counter, open-pack
+# tokens). Iteration count = max chunks in any bucket, not total chunks, so
+# the oracle stays fast. Transition (mirrors okay_spark.textops.pack_chunks):
+#   flushed := open > 0 AND open + t > budget   (close pack before adding)
+#   seq1    := seq + (flushed ? 1 : 0); the chunk joins pack seq1
+#   open2   := (flushed ? 0 : open) + t
+#   post    := open2 >= budget ? (seq1 + 1, 0) : (seq1, open2)
+_PACK_SQL = """
+WITH RECURSIVE ch AS (
+  SELECT (doc_id % 16)::INT AS bucket, doc_id, chunk_id, n_tokens, chunk_text,
+         row_number() OVER (PARTITION BY (doc_id % 16) ORDER BY doc_id, chunk_id) AS rn
+  FROM ({chunk_sql})
+),
+walk(bucket, rn, doc_id, n_tokens, chunk_text, s, seq_post, cur_post) AS (
+  SELECT bucket, rn, doc_id, n_tokens, chunk_text,
+         0::BIGINT,
+         (CASE WHEN n_tokens >= 192 THEN 1 ELSE 0 END)::BIGINT,
+         (CASE WHEN n_tokens >= 192 THEN 0 ELSE n_tokens END)::BIGINT
+  FROM ch WHERE rn = 1
+  UNION ALL
+  SELECT c.bucket, c.rn, c.doc_id, c.n_tokens, c.chunk_text,
+         w.seq_post + (CASE WHEN w.cur_post > 0 AND w.cur_post + c.n_tokens > 192
+                            THEN 1 ELSE 0 END),
+         CASE WHEN (CASE WHEN w.cur_post > 0 AND w.cur_post + c.n_tokens > 192
+                         THEN 0 ELSE w.cur_post END) + c.n_tokens >= 192
+              THEN w.seq_post + (CASE WHEN w.cur_post > 0 AND w.cur_post + c.n_tokens > 192
+                                      THEN 1 ELSE 0 END) + 1
+              ELSE w.seq_post + (CASE WHEN w.cur_post > 0 AND w.cur_post + c.n_tokens > 192
+                                      THEN 1 ELSE 0 END) END,
+         CASE WHEN (CASE WHEN w.cur_post > 0 AND w.cur_post + c.n_tokens > 192
+                         THEN 0 ELSE w.cur_post END) + c.n_tokens >= 192
+              THEN 0
+              ELSE (CASE WHEN w.cur_post > 0 AND w.cur_post + c.n_tokens > 192
+                         THEN 0 ELSE w.cur_post END) + c.n_tokens END
+  FROM walk w JOIN ch c ON c.bucket = w.bucket AND c.rn = w.rn + 1
+)
+SELECT bucket, s AS seq_id, COUNT(*)::INT AS n_chunks, SUM(n_tokens)::INT AS total_tokens,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY rn) AS doc_ids,
+       string_agg(chunk_text, ' ' ORDER BY rn) AS packed_text
+FROM walk GROUP BY bucket, s
+""".replace("{chunk_sql}", _CHUNK_SQL)
+
+
+def _compression_oracle_sql() -> str:
+    """Replay twin for the zlib compression-ratio entry: DuckDB has no zlib,
+    so comp_bytes and the Python-rounded ratio are computed here (same
+    single-process library call a user would trust as reference) and inlined
+    as a VALUES table keyed by doc_id, while raw_bytes is recomputed
+    INDEPENDENTLY by DuckDB as octet_length(encode(text)). The driver's hash
+    then certifies the distributed execution — Arrow struct plumbing,
+    batching, null/empty handling — cell-for-cell. Reads the same SF_DIR the
+    correctness gate queries (driver contract: sf0.01)."""
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, txt in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        if txt is None:
+            rows.append(f"({did}, NULL, NULL)")
+            continue
+        raw = txt.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        ratio = 0.0 if not raw else round(comp / len(raw), 6)
+        rows.append(f"({did}, {comp}, {ratio!r})")
+    values = ",\n".join(rows)
+    return f"""
+WITH expected(doc_id, comp_b, ratio) AS (VALUES {values})
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL
+       ELSE octet_length(encode(d.text))::BIGINT END AS raw_bytes,
+  CAST(e.comp_b AS BIGINT) AS comp_bytes,
+  CAST(e.ratio AS DOUBLE) AS compression_ratio
+FROM documents d JOIN expected e USING (doc_id)
+"""
+
 _EXPECTATIONS_SQL = """
 WITH n AS (SELECT COUNT(*)::DOUBLE AS c FROM documents),
 nulls AS (SELECT round(AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 9) AS o FROM documents),
@@ -2938,6 +3033,8 @@ def oracle_sql() -> dict[str, str]:
         "ks_exact_events": _KS_EXACT_SQL,
         "expectations_documents": _EXPECTATIONS_SQL,
         "chunk_documents": _CHUNK_SQL,
+        "pack_chunks_documents": _PACK_SQL,
+        "compression_ratio_documents": _compression_oracle_sql(),
         "vocab_documents": (
             "WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token "
             "FROM documents) "

@@ -298,6 +298,7 @@ def pack_chunks(
     chunk_col: str = "chunk_id",
     tokens_col: str = "n_tokens",
     text_col: str = "chunk_text",
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: concatenate chunks into training sequences
     of at most ``budget_tokens`` tokens (first-fit in deterministic
@@ -313,7 +314,12 @@ def pack_chunks(
     packing quality degrades only marginally versus a global greedy pass
     while the plan stays one shuffle on the bucket key. Chunks longer than
     the budget become singleton sequences. ``doc_ids`` keeps the input id
-    type (``array<input id type>``)."""
+    type (``array<input id type>``).
+
+    ``bucket_expr`` overrides the default ``xxhash64`` bucketing with any
+    deterministic Column (cast to int) — e.g. ``pmod(doc_id, n)`` when an
+    external oracle must reproduce the bucket assignment (xxhash64 is
+    Spark-specific)."""
     from pyspark.sql import functions as F
 
     id_type = chunks.schema[id_col].dataType.simpleString()
@@ -358,9 +364,9 @@ def pack_chunks(
             columns=["bucket", "seq_id", "n_chunks", "total_tokens", "doc_ids", "packed_text"],
         )
 
-    with_bucket = chunks.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
-    )
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    with_bucket = chunks.withColumn("bucket", bucket_expr.cast("int"))
     return with_bucket.groupBy("bucket").applyInPandas(pack, out_ddl)
 
 
@@ -377,24 +383,38 @@ def compression_ratio(
 
     zlib is not expressible in Column expressions, so this is a declared
     Arrow seam: one vectorized ``pandas_udf`` batch per ~10k docs, no
-    shuffle, embarrassingly parallel (rows-only driver check; determinism
-    pinned by pytest since zlib output is stable for a fixed level)."""
+    shuffle, embarrassingly parallel. Alongside the ratio it emits the exact
+    integer byte counts (``raw_bytes`` utf-8 length, ``comp_bytes``
+    compressed length) so an external oracle can verify the distributed
+    execution cell-for-cell: integers hash exactly across engines, and
+    ``raw_bytes`` is independently recomputable as ``octet_length`` in any
+    SQL dialect. Empty text: ratio 0.0 by definition (comp_bytes still
+    reports zlib's 8-byte empty frame); NULL text: all three NULL."""
 
-    @F.pandas_udf("double")
-    def ratio(s: pd.Series) -> pd.Series:
+    @F.pandas_udf("struct<raw_bytes:bigint,comp_bytes:bigint,compression_ratio:double>")
+    def ratio(s: pd.Series) -> pd.DataFrame:
         import zlib
 
         def one(t):
             if t is None:
-                return None
+                return (None, None, None)
             raw = t.encode("utf-8")
+            comp = len(zlib.compress(raw, level))
             if not raw:
-                return 0.0
-            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+                return (0, comp, 0.0)
+            return (len(raw), comp, round(comp / len(raw), 6))
 
-        return s.map(one)
+        out = pd.DataFrame(
+            [one(t) for t in s],
+            columns=["raw_bytes", "comp_bytes", "compression_ratio"],
+        )
+        out["raw_bytes"] = out["raw_bytes"].astype("Int64")
+        out["comp_bytes"] = out["comp_bytes"].astype("Int64")
+        return out
 
-    return df.select(F.col(id_col), ratio(F.col(text_col)).alias("compression_ratio"))
+    return df.select(F.col(id_col), ratio(F.col(text_col)).alias("_c")).select(
+        id_col, "_c.raw_bytes", "_c.comp_bytes", "_c.compression_ratio"
+    )
 
 
 # PII patterns kept to the regex subset with identical semantics in Java

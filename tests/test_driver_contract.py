@@ -47,11 +47,8 @@ def test_rows_only_queries_are_the_documented_exceptions(entrymod):
         "battery_interleaved",
         "minhash_near_duplicates",
         "ivf_topk_embeddings",
-        # greedy reset-on-overflow packing is not one-shot SQL-expressible;
-        # invariants pytest-asserted (tests/test_tfidf_and_stream_dedup.py)
-        "pack_chunks_documents",
-        # zlib has no SQL twin; determinism pinned in pytest
-        "compression_ratio_documents",
+        # pack_chunks_documents / compression_ratio_documents left this set
+        # in round 4: an exact recursive-CTE twin and a zlib replay twin
     }
     assert rows_only <= documented, (
         f"undocumented rows-only queries (add an oracle or document why not): "

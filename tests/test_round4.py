@@ -225,3 +225,86 @@ def test_minhash_near_duplicates_matches_pre_refactor_semantics(spark):
     }
     assert got == want
     assert got[(1, 4)] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-4 driver-signal upgrades: pack_chunks exact twin, compression replay
+# ---------------------------------------------------------------------------
+
+
+def test_pack_chunks_bucket_expr_override(spark):
+    """bucket_expr must route bucketing (oracle-reproducible pmod) while
+    leaving pack semantics untouched: same doc set per bucket, budget
+    respected, every chunk packed exactly once."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.textops import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(50 + 7 * (i % 5)))) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    packed = pack_chunks(
+        chunks,
+        budget_tokens=40,
+        n_buckets=4,
+        bucket_expr=F.pmod(F.col("doc_id"), F.lit(4)),
+    ).collect()
+    # bucket is doc_id % 4 for every member of every pack
+    for r in packed:
+        assert all(d % 4 == r["bucket"] for d in r["doc_ids"])
+    # partition: every chunk appears exactly once across packs
+    n_packed = sum(r["n_chunks"] for r in packed)
+    assert n_packed == chunks.count()
+    # budget bound (singleton oversize chunks exempt)
+    for r in packed:
+        assert r["total_tokens"] <= 40 or r["n_chunks"] == 1
+
+
+def test_compression_ratio_byte_columns(spark):
+    """raw_bytes is the exact utf-8 length, comp_bytes the zlib-6 length,
+    ratio their Python-rounded quotient; NULL text -> all NULL, empty text
+    -> ratio 0.0 with zlib's 8-byte empty frame reported."""
+    import zlib
+
+    from okay_spark.textops import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "hello hello hello hello"), (2, None), (3, ""), (4, "émoji ✓ bytes")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    t1 = "hello hello hello hello".encode()
+    assert out[1]["raw_bytes"] == len(t1)
+    assert out[1]["comp_bytes"] == len(zlib.compress(t1, 6))
+    assert out[1]["compression_ratio"] == round(len(zlib.compress(t1, 6)) / len(t1), 6)
+    assert out[2]["raw_bytes"] is None and out[2]["comp_bytes"] is None
+    assert out[2]["compression_ratio"] is None
+    assert out[3]["raw_bytes"] == 0 and out[3]["compression_ratio"] == 0.0
+    assert out[3]["comp_bytes"] == len(zlib.compress(b"", 6))
+    t4 = "émoji ✓ bytes".encode()
+    assert out[4]["raw_bytes"] == len(t4)  # multibyte chars counted as bytes
+
+
+def test_pack_oracle_recursive_cte_matches_spark(spark):
+    """The recursive-CTE pack twin must reproduce the greedy packer
+    bit-for-bit on the real sf0.001 documents table (pack membership,
+    ordering, token totals AND the concatenated text)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    sdf = E.queries()["pack_chunks_documents"](spark, sf)
+    srows = {
+        (r["bucket"], r["seq_id"]): (r["n_chunks"], r["total_tokens"], r["doc_ids"], r["packed_text"])
+        for r in sdf.collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    drows = {
+        (b, s): (n, t, d, p)
+        for b, s, n, t, d, p in con.sql(E.oracle_sql()["pack_chunks_documents"]).fetchall()
+    }
+    assert srows == drows
