@@ -1292,6 +1292,65 @@ def q_cross_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_streaming_cross_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded STREAMING decontamination
+    (streaming.stream_cross_dedup): the corpus+planted side of the
+    cross_dedup fixture arrives as a stream (event time derived from doc_id,
+    dropDuplicatesWithinWatermark bounding the pair-dedup state) and is
+    LSH-joined per micro-batch against the pinned static reference buckets.
+    Must hash-match the SAME DuckDB fingerprint-join twin as the batch
+    entry — streaming parity for the shuffled dedup path, not just row-local
+    projections. Cap disabled for the same exact-recall reason as the batch
+    entry; delay far exceeds the fixture's event-time span so AvailableNow
+    batch splits cannot drop late rows."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from okay_spark.streaming import stream_cross_dedup
+    from okay_spark.textops import word_shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    is_ref = _md5_stream(F.col("doc_id"), "xref") % 10 == 0
+    reference = docs.filter(is_ref)
+    corpus = docs.filter(~is_ref)
+    planted = (
+        reference.filter(F.size(word_shingles(F.col("text"), 3)) > 0)
+        .orderBy("doc_id")
+        .limit(1)
+        .withColumn("doc_id", F.lit(-1).cast(docs.schema["doc_id"].dataType))
+    )
+    full = corpus.unionByName(planted).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") + F.lit(2))
+    )
+    src = tempfile.mkdtemp(prefix="okay_stream_xdedup_src_")
+    full.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = stream_cross_dedup(
+        stream,
+        reference,
+        threshold=1.0,
+        num_hashes=16,
+        bands=8,
+        max_bucket_size=None,
+        watermark_col="ts",
+        delay="30 days",
+    )
+    name = "stream_xdedup_" + uuid.uuid4().hex[:8]
+    (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget fill (balance.sample_to_token_budget):
     md5-ordered take-while, two-phase so a hot group never sorts whole.
@@ -1616,88 +1675,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies only the FIRST 50
-    # entries per round. Window layout for round 3 (positions verified
-    # programmatically against this dict — update BOTH together) —
-    #   1-12:  flagship north-rule spans suite (stays certified every round)
-    #   13-29: the 17 entries no driver round has ever sampled (r01+r02 gap)
-    #   30-35: r02 non-green rows, now fixed (exact twins / stringified
-    #          arrays), plus the new exact lsh_knn_planted rank-1 row at 33
-    #   36-38: planted-non-vacuity dedup/ANN entries
-    #   39-44: r01-certified entries due re-certification — 39-43 are the
-    #          float-sum set that was flaky in r01 and fixed in r02 without a
-    #          fresh driver row; 44 (asof) was plain green in r01
-    #   45-50: new round-3 entries, all exact oracles (two-pass quantiles,
-    #          streaming stateful summary, cross-corpus dedup, token budget,
-    #          oversized-bucket report, keeper-policy dedup)
-    # Entries past 50 were driver-certified green in r01 or r02 (pivot/
-    # props/drift_events/battery_json/approx_distinct/battery_interleaved
-    # in r01; the rest in r02); battery_interleaved and approx_distinct are
+    # entries per round. Window layout for round 4 —
+    #   1-7:   entries whose code or oracle changed this round and MUST
+    #          re-certify: the sessions HUGEINT hash fix, the two new exact
+    #          twins (pack recursive-CTE, compression replay), and the four
+    #          dedup entries touched by the bucket-cap single-evaluation
+    #          refactor (cross_dedup also flipped to max_bucket_size=None)
+    #   8-12:  new round-4 operators/entries (inserted here as built)
+    #   13-50: re-certification rotation — the oldest below-boundary
+    #          entries, last driver-certified in r01/r02 on code that the
+    #          r03 dedup.py/checks.py refactors have since touched; the
+    #          judge's r03 spot-check found no rot, this makes the gate say
+    #          so itself
+    # Displaced below the boundary: everything driver-green in r03 (the
+    # flagship spans suite, the 17 first-certified-in-r03 entries, the
+    # r01-recert set, the r03-new operators) — all ≤ 1 round old, eligible
+    # to rotate back in r05. battery_interleaved and approx_distinct are
     # rows-only fixtures whose correctness is carried by exact twins on the
     # same shapes (battery_spans_documents, distinct_counts_events).
     return {
-        "battery_documents": q_battery_documents,
-        "battery_events": q_battery_events,
-        "battery_spans_documents": q_battery_spans_documents,
-        "span_order_documents": q_span_order_documents,
-        "element_rule_documents": q_element_rule_documents,
-        "referential_spans_media": q_referential_spans_media,
-        "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
-        "span_kind_stats": q_span_kind_stats,
-        "drift_spans_offset": q_drift_spans_offset,
-        "partition_summary_spans": q_partition_summary_spans,
-        "streaming_battery_spans": q_streaming_battery_spans,
-        "heavy_media_refs": q_heavy_media_refs,
-        # -- never driver-certified in any round (17) --
-        "corr_value_k_events": q_corr_value_k_events,
-        "user_value_rank_events": q_user_value_rank_events,
-        "repetition_documents": q_repetition_documents,
-        "contamination_documents": q_contamination_documents,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "label_centroids_embeddings": q_label_centroids_embeddings,
-        "quantization_error_embeddings": q_quantization_error_embeddings,
-        "tfidf_documents": q_tfidf_documents,
-        "users_click_and_purchase": q_users_click_and_purchase,
-        "ks_exact_events": q_ks_exact_events,
-        "expectations_documents": q_expectations_documents,
-        "chunk_documents": q_chunk_documents,
-        "vocab_documents": q_vocab_documents,
-        "stratified_sample_documents": q_stratified_sample_documents,
-        "char_entropy_documents": q_char_entropy_documents,
-        "compression_ratio_documents": q_compression_ratio_documents,
-        "streaming_battery_documents": q_streaming_battery_documents,
-        # -- r02 non-green rows, fixed this round --
-        "multimodal_features": q_multimodal_features,
-        "referential_media_catalog": q_referential_media_catalog,
-        "lsh_knn_join_embeddings": q_lsh_knn_join_embeddings,
-        "lsh_knn_planted_embeddings": q_lsh_knn_planted_embeddings,
-        "pack_chunks_documents": q_pack_chunks_documents,
-        "violation_exemplars_documents": q_violation_exemplars_documents,
-        # -- planted-non-vacuity approximate entries --
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "minhash_near_duplicates": q_minhash_near_duplicates,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        # -- r01-only certified, due re-certification --
+        # -- changed this round: must re-certify --
         "sessions_events": q_sessions_events,
-        "session_windows_events": q_session_windows_events,
-        "grouping_sets_events": q_grouping_sets_events,
-        "window_events_hourly": q_window_events_hourly,
-        "range_join_events": q_range_join_events,
-        "asof_purchase_click": q_asof_purchase_click,
-        "quantiles_twopass_lineitem": q_quantiles_twopass_lineitem,
-        "streaming_summary_spans": q_streaming_summary_spans,
-        # -- new round-3 operators (exact oracles) --
+        "pack_chunks_documents": q_pack_chunks_documents,
+        "compression_ratio_documents": q_compression_ratio_documents,
         "cross_dedup_documents": q_cross_dedup_documents,
-        "token_budget_documents": q_token_budget_documents,
         "oversized_buckets_documents": q_oversized_buckets_documents,
-        "dedup_keep_best_documents": q_dedup_keep_best_documents,
-        # ---- window boundary: entries below were driver-green in r02,
-        # r01 (props_json/battery_json/approx_distinct), or both ----
+        "minhash_near_duplicates": q_minhash_near_duplicates,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        # -- new round-4 entries --
+        "streaming_cross_dedup_documents": q_streaming_cross_dedup_documents,
+        # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
         "pivot_events": q_pivot_events,
         "battery_json_documents": q_battery_json_documents,
-        "approx_distinct_events": q_approx_distinct_events,
-        "battery_interleaved": q_battery_interleaved,
         "stats_documents": q_stats_documents,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "uniqueness_salted_events": q_uniqueness_salted_events,
@@ -1732,6 +1743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_lineitem": q_quantiles_lineitem,
         "rollup_documents": q_rollup_documents,
         "sample_documents": q_sample_documents,
+        # ---- window boundary (first 50 certified; keep exactly 50 above
+        # as round-4 entries land at position 8) ---- entries below were
+        # driver-green in r03, r01/r02-certified rotation overflow, or the
+        # documented rows-only fixtures ----
         "split_documents": q_split_documents,
         "top_violating_events": q_top_violating_events,
         "topk_events_per_type": q_topk_events_per_type,
@@ -1743,6 +1758,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts_events": q_distinct_counts_events,
         "cube_documents": q_cube_documents,
         "click_days_no_purchase": q_click_days_no_purchase,
+        "approx_distinct_events": q_approx_distinct_events,
+        "battery_interleaved": q_battery_interleaved,
+        "battery_documents": q_battery_documents,
+        "battery_events": q_battery_events,
+        "battery_spans_documents": q_battery_spans_documents,
+        "span_order_documents": q_span_order_documents,
+        "element_rule_documents": q_element_rule_documents,
+        "referential_spans_media": q_referential_spans_media,
+        "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
+        "span_kind_stats": q_span_kind_stats,
+        "drift_spans_offset": q_drift_spans_offset,
+        "partition_summary_spans": q_partition_summary_spans,
+        "streaming_battery_spans": q_streaming_battery_spans,
+        "heavy_media_refs": q_heavy_media_refs,
+        "corr_value_k_events": q_corr_value_k_events,
+        "user_value_rank_events": q_user_value_rank_events,
+        "repetition_documents": q_repetition_documents,
+        "contamination_documents": q_contamination_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "label_centroids_embeddings": q_label_centroids_embeddings,
+        "quantization_error_embeddings": q_quantization_error_embeddings,
+        "tfidf_documents": q_tfidf_documents,
+        "users_click_and_purchase": q_users_click_and_purchase,
+        "ks_exact_events": q_ks_exact_events,
+        "expectations_documents": q_expectations_documents,
+        "chunk_documents": q_chunk_documents,
+        "vocab_documents": q_vocab_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "char_entropy_documents": q_char_entropy_documents,
+        "streaming_battery_documents": q_streaming_battery_documents,
+        "multimodal_features": q_multimodal_features,
+        "referential_media_catalog": q_referential_media_catalog,
+        "lsh_knn_join_embeddings": q_lsh_knn_join_embeddings,
+        "lsh_knn_planted_embeddings": q_lsh_knn_planted_embeddings,
+        "violation_exemplars_documents": q_violation_exemplars_documents,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "session_windows_events": q_session_windows_events,
+        "grouping_sets_events": q_grouping_sets_events,
+        "window_events_hourly": q_window_events_hourly,
+        "range_join_events": q_range_join_events,
+        "asof_purchase_click": q_asof_purchase_click,
+        "quantiles_twopass_lineitem": q_quantiles_twopass_lineitem,
+        "streaming_summary_spans": q_streaming_summary_spans,
+        "token_budget_documents": q_token_budget_documents,
+        "dedup_keep_best_documents": q_dedup_keep_best_documents,
     }
 
 
@@ -2952,6 +3012,8 @@ def oracle_sql() -> dict[str, str]:
         "referential_media_catalog": _REF_CATALOG_SQL,
         "lsh_knn_planted_embeddings": _LSH_KNN_PLANTED_SQL,
         "cross_dedup_documents": _CROSS_DEDUP_SQL,
+        # the streaming formulation must reproduce the batch result exactly
+        "streaming_cross_dedup_documents": _CROSS_DEDUP_SQL,
         "token_budget_documents": _TOKEN_BUDGET_SQL,
         "oversized_buckets_documents": _OVERSIZED_BUCKETS_SQL,
         "dedup_keep_best_documents": _DEDUP_KEEP_BEST_SQL,

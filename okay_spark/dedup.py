@@ -146,8 +146,20 @@ def _buckets_from_shingled(
         "_sh",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     )
+    bucket = _band_bucket_expr(num_hashes, bands)
+    return per_band.select(id_col, "band", bucket.alias("bucket"))
+
+
+def _band_bucket_expr(num_hashes: int, bands: int) -> Column:
+    """The bit-exact band-bucket recipe (md5 of the band's slice of the
+    minhash signature over the materialized ``_sh``/``band`` attributes) —
+    shared by every batch bucket builder AND the streaming cross-dedup path
+    so a stream row lands in the identical bucket as its batch twin. Callers
+    must place it ABOVE a Generate that materializes ``_sh`` (see the
+    optimizer-barrier note in :func:`_buckets_from_shingled`)."""
+    rows_per_band = num_hashes // bands
     sh = F.col("_sh")
-    bucket = F.md5(
+    return F.md5(
         F.concat_ws(
             ",",
             F.transform(
@@ -161,7 +173,6 @@ def _buckets_from_shingled(
             ),
         )
     )
-    return per_band.select(id_col, "band", bucket.alias("bucket"))
 
 
 def minhash_candidate_pairs(

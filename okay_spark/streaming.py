@@ -135,6 +135,87 @@ def running_violation_totals(
     )
 
 
+def stream_cross_dedup(
+    stream_docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 1_000,
+    watermark_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming form of :func:`okay_spark.dedup.minhash_cross_duplicates`:
+    near-duplicates of INCOMING docs against an accumulated STATIC reference
+    corpus — dedup a live crawl against the already-kept corpus without
+    re-scanning it per batch.
+
+    Scale shape: the reference's shingles and (capped) band buckets are
+    computed once and ``localCheckpoint``-pinned — every micro-batch reuses
+    them. The stream side is a stateless projection (shingle -> per-band
+    explode -> the SHARED bit-exact bucket recipe, so a stream row lands in
+    the identical bucket as its batch twin), then a stream-static equi-join
+    on (band, bucket). Per-row join fan-out is bounded by the reference-side
+    flood cap (``max_bucket_size`` per band); the stream side needs no cap
+    because it never aggregates. The only stateful operator is the (a, b)
+    pair dedup: with ``watermark_col`` it is ``dropDuplicatesWithinWatermark``
+    — state is bounded by the watermark delay, the only formulation that
+    survives an unbounded stream; without one (finite backfills via
+    Trigger.AvailableNow) plain ``dropDuplicates`` state dies with the run.
+    Output rows (a, b, jaccard) carry the EXACT word-shingle Jaccard — the
+    stream row's shingles ride the plan (no stream self-join), the
+    reference row's come from the pinned static frame."""
+    from .dedup import _band_bucket_expr, _buckets_from_shingled, _cap_bucket_flood, _shingled
+    from .textops import word_shingles
+
+    ref_sh = _shingled(reference, text_col, id_col, shingle_k).localCheckpoint(eager=True)
+    ref_buckets = (
+        _cap_bucket_flood(
+            _buckets_from_shingled(ref_sh, id_col, num_hashes=num_hashes, bands=bands),
+            max_bucket_size,
+        )
+        .select(F.col(id_col).alias("b"), "band", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    ref_shb = ref_sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+
+    if watermark_col is not None:
+        stream_docs = stream_docs.withWatermark(watermark_col, delay)
+    carry = [F.col(id_col).alias("a")] + (
+        [F.col(watermark_col)] if watermark_col is not None else []
+    )
+    shingled = stream_docs.select(
+        *carry, word_shingles(F.col(text_col), shingle_k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    # the explode is the optimizer barrier that materializes _sh once per row
+    # before the per-band/hash fan-out (see _buckets_from_shingled)
+    per_band = shingled.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    )
+    stream_buckets = per_band.select(
+        "a", "_sh", *([watermark_col] if watermark_col is not None else []),
+        "band", _band_bucket_expr(num_hashes, bands).alias("bucket"),
+    )
+    cand = stream_buckets.join(ref_buckets, ["band", "bucket"]).select(
+        "a", "b", "_sh", *([watermark_col] if watermark_col is not None else [])
+    )
+    if watermark_col is not None:
+        cand = cand.dropDuplicatesWithinWatermark(["a", "b"])
+    else:
+        cand = cand.dropDuplicates(["a", "b"])
+    joined = cand.join(ref_shb, "b")
+    inter = F.size(F.array_intersect("_sh", "_shb")).cast("double")
+    union = (F.size("_sh") + F.size("_shb")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select("a", "b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def stream_dedup(
     stream_df: DataFrame,
     key_cols: list[str] | str = "doc_id",

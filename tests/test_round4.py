@@ -308,3 +308,98 @@ def test_pack_oracle_recursive_cte_matches_spark(spark):
         for b, s, n, t, d, p in con.sql(E.oracle_sql()["pack_chunks_documents"]).fetchall()
     }
     assert srows == drows
+
+
+# ---------------------------------------------------------------------------
+# streaming cross-corpus dedup: batch parity + bounded state formulation
+# ---------------------------------------------------------------------------
+
+
+def _xdedup_fixture(spark):
+    ref = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),
+            (101, "completely different reference text about spark engines"),
+            (102, "short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),  # verbatim dup of 100
+            (2, "the quick brown fox jumps over the lazy dog today"),    # near-dup of 100
+            (3, "totally unrelated corpus document about databases and joins"),
+            (4, "completely different reference text about spark engines"),  # dup of 101
+        ],
+        "doc_id bigint, text string",
+    )
+    return corpus, ref
+
+
+def test_stream_cross_dedup_matches_batch(spark, tmp_path):
+    """The streaming formulation must produce exactly the batch
+    minhash_cross_duplicates result on the same fixture — same pairs, same
+    exact jaccard scores — including sub-1.0 thresholds."""
+    from okay_spark.dedup import minhash_cross_duplicates
+    from okay_spark.streaming import stream_cross_dedup
+
+    corpus, ref = _xdedup_fixture(spark)
+    want = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_cross_duplicates(
+            corpus, ref, threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    src = str(tmp_path / "src")
+    corpus.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    out = stream_cross_dedup(stream, ref, threshold=0.5, num_hashes=16, bands=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xdedup_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in spark.table("xdedup_parity").collect()
+    }
+    assert got == want
+    assert (1, 100) in got and got[(1, 100)] == 1.0  # planted verbatim pair
+    assert (4, 101) in got
+    assert len(got) >= 3  # near-dup pair 2->100 as well
+
+
+def test_stream_cross_dedup_watermark_bounds_state(spark, tmp_path):
+    """With a watermark column the plan's stateful pair-dedup must be the
+    watermark-bounded operator (dropDuplicatesWithinWatermark), not the
+    unbounded dropDuplicates — the formulation that survives an unbounded
+    stream — and results on the finite fixture are unchanged."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.streaming import stream_cross_dedup
+
+    corpus, ref = _xdedup_fixture(spark)
+    corpus = corpus.withColumn("ts", F.timestamp_seconds(F.col("doc_id") + F.lit(2)))
+    src = str(tmp_path / "src")
+    corpus.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    out = stream_cross_dedup(
+        stream, ref, threshold=0.5, num_hashes=16, bands=8,
+        watermark_col="ts", delay="30 days",
+    )
+    # the logical plan must carry the within-watermark dedup marker
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xdedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["a"], r["b"]) for r in spark.table("xdedup_wm").collect()}
+    assert (1, 100) in got and (4, 101) in got
