@@ -133,6 +133,30 @@ def q_referential_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("o_orderkey", "path", "rule")
 
 
+def q_referential_key_reduce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-reduced referential (okay_spark/checks.py referential_violations
+    ``key_reduce=True``) — the 10^12-row plan: distinct fact keys partial-
+    combine map-side and anti-join the dim at KEY granularity, then the tiny
+    violating-key set broadcasts back over a second fact scan to recover
+    row-level violations; the fact table itself never sorts or shuffles
+    (plan pinned by tests/test_round4.py). Must equal the row-level
+    anti-join bit-for-bit — events->supplier carries ~3.3k real violations
+    at sf0.01, so the check is non-vacuous."""
+    events = _read(spark, sf_dir, "events")
+    supplier = _read(spark, sf_dir, "supplier")
+    from okay_spark.checks import referential_violations
+
+    out = referential_violations(
+        events.select("event_id", "user_id"),
+        "user_id",
+        supplier,
+        "s_suppkey",
+        id_cols=["event_id"],
+        key_reduce=True,
+    )
+    return out.select("event_id", "path", "rule")
+
+
 def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     supplier = _read(spark, sf_dir, "supplier")
@@ -1704,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         # -- new round-4 entries --
         "streaming_cross_dedup_documents": q_streaming_cross_dedup_documents,
+        "referential_key_reduce_events": q_referential_key_reduce_events,
         # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
@@ -1742,11 +1767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inferred_schema_documents": q_inferred_schema_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
         "rollup_documents": q_rollup_documents,
-        "sample_documents": q_sample_documents,
         # ---- window boundary (first 50 certified; keep exactly 50 above
-        # as round-4 entries land at position 8) ---- entries below were
+        # as round-4 entries land at positions 8-9) ---- entries below were
         # driver-green in r03, r01/r02-certified rotation overflow, or the
         # documented rows-only fixtures ----
+        "sample_documents": q_sample_documents,
         "split_documents": q_split_documents,
         "top_violating_events": q_top_violating_events,
         "topk_events_per_type": q_topk_events_per_type,
@@ -3035,6 +3060,10 @@ def oracle_sql() -> dict[str, str]:
         "referential_orders_customer": (
             "SELECT o_orderkey, 'o_custkey' AS path, 'unknown_reference' AS rule FROM orders "
             "WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)"
+        ),
+        "referential_key_reduce_events": (
+            "SELECT event_id, 'user_id' AS path, 'unknown_reference' AS rule FROM events "
+            "WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT s_suppkey FROM supplier)"
         ),
         "referential_events_supplier": (
             "SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL "

@@ -480,6 +480,8 @@ def referential_violations(
     id_cols: list[str] | None = None,
     broadcast: bool = True,
     salt_buckets: int | None = None,
+    key_reduce: bool = False,
+    max_broadcast_keys: int = 5_000_000,
     path: str | None = None,
 ) -> DataFrame:
     """Rows of ``fact`` whose non-null key is absent from ``dim`` — a
@@ -489,12 +491,28 @@ def referential_violations(
     partially-null composite key is a nullability problem for the rule
     battery, not a referential one).
 
-    ``broadcast=True`` (default) hints the dim side — the right choice
-    whenever the catalog fits in executor memory. With ``broadcast=False``
-    and ``salt_buckets`` set, the dim side is replicated per salt and the
-    fact side salted deterministically, so one hot FK value spreads over
-    ``salt_buckets`` sort-merge tasks (AQE skew handling does not apply to
-    anti-joins' build side in all cases; explicit salt is deterministic).
+    Join strategy ladder, by dim size and data health:
+
+    - ``broadcast=True`` (default): hint the dim side — the right choice
+      whenever the catalog fits in executor memory.
+    - ``key_reduce=True`` (takes precedence): the big-dim fast path when
+      violations are RARE (the normal state of a production corpus).
+      Referential violations live at KEY granularity, so the fact table
+      itself never shuffles: distinct fact keys partial-combine map-side
+      (a hot key collapses to one row per map task BEFORE the exchange —
+      skew vanishes with no salting), the key-level anti-join touches
+      ``|distinct fact keys| + |dim|`` rows only, and the violating-key
+      set — counted, and broadcast only while ``<= max_broadcast_keys`` —
+      joins back over a second fact scan to recover row-level violation
+      rows. At 10^12 fact rows this replaces a full-table sort-merge
+      shuffle with two scans plus a distinct-key shuffle.
+    - ``broadcast=False`` + ``salt_buckets``: row-level salted sort-merge,
+      for when violations are too numerous for key reduction AND the dim
+      is too large to broadcast — the dim side is replicated per salt and
+      the fact side salted deterministically, so one hot FK value spreads
+      over ``salt_buckets`` sort-merge tasks (AQE skew handling does not
+      apply to anti-joins' build side in all cases; explicit salt is
+      deterministic).
     """
     fks = [fk_col] if isinstance(fk_col, str) else list(fk_col)
     pks = [pk_col] if isinstance(pk_col, str) else list(pk_col)
@@ -517,7 +535,31 @@ def referential_violations(
             eq = c if eq is None else (eq & c)
         return eq
 
-    if broadcast:
+    if key_reduce:
+        fact_keys = probe.select(
+            *[F.col(f_).alias(f"__bk{i}") for i, f_ in enumerate(fks)]
+        ).dropDuplicates([f"__bk{i}" for i in range(len(fks))])
+        bk_eq = None
+        for i in range(len(fks)):
+            c = fact_keys[f"__bk{i}"] == dim_keys[f"__pk{i}"]
+            bk_eq = c if bk_eq is None else (bk_eq & c)
+        # localCheckpoint: the bad-key set is counted (broadcast decision)
+        # and then joined — one evaluation, and the truncated lineage also
+        # breaks the probe->fact_keys self-join ambiguity
+        bad_keys = fact_keys.join(dim_keys, on=bk_eq, how="left_anti").localCheckpoint(
+            eager=True
+        )
+        n_bad = bad_keys.count()
+        # a pathologically-broken corpus (more violating keys than fit in
+        # executor memory) falls back to a shuffled hash join — fact still
+        # shuffles just once, with no sort; never a silent OOM
+        build = F.broadcast(bad_keys) if n_bad <= max_broadcast_keys else bad_keys
+        semi_eq = None
+        for i, f_ in enumerate(fks):
+            c = probe[f_] == build[f"__bk{i}"]
+            semi_eq = c if semi_eq is None else (semi_eq & c)
+        missing = probe.join(build, on=semi_eq, how="left_semi")
+    elif broadcast:
         missing = probe.join(
             F.broadcast(dim_keys), on=key_eq(probe, dim_keys), how="left_anti"
         )
@@ -577,6 +619,7 @@ def media_ref_violations(
     *,
     broadcast: bool = True,
     salt_buckets: int | None = None,
+    key_reduce: bool = False,
 ) -> DataFrame:
     """North-star referential check: every spans[].media_ref must exist in the
     media catalog. Emits instance paths (``spans[3].media_ref``)."""
@@ -596,6 +639,7 @@ def media_ref_violations(
         id_cols=["doc_id", "_path"],
         broadcast=broadcast,
         salt_buckets=salt_buckets,
+        key_reduce=key_reduce,
     )
     return out.select(
         "doc_id", F.col("_path").alias("path"), "rule", "expected"

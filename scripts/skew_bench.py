@@ -1,18 +1,15 @@
-"""Skew evidence: salted vs unsalted sort-merge referential check on a
-hot-key fact table -> BENCH/SKEW.md.
+"""Skew evidence for the engine's hot-key shuffles -> BENCH/SKEW.md.
 
-Scenario at 10^12-row scale: one media_ref / fk value dominates (a site-wide
-logo, a default avatar). In an unsalted sort-merge join every row with the
-hot key lands on ONE reducer task — the stage runs at the speed of that
-straggler. Salting spreads the hot key over ``salt_buckets`` tasks
-deterministically (``okay_spark.salt``): the dim side is replicated x
-buckets (tiny), the fact side hashes into buckets.
+Two scenarios, both scale-invariant (the metric is the largest reducer's
+share of the stage's work, which bounds stage time on ANY cluster size):
 
-This script builds a fact table where ``skew_frac`` of rows share one fk,
-then times the same referential check unsalted vs salted, with AQE's
-skew-join optimizer ON both times (it does not fire for this left-anti
-shape, which is exactly why the engine salts explicitly). Timings are
-best-of-N separate actions on a warm JVM.
+1. Referential check on a hot-fk fact table: salted vs unsalted sort-merge
+   (the "default avatar" pattern — one fk dominates).
+2. MinHash LSH dedup on a boilerplate-flooded corpus: the (band, bucket)
+   groupBy is the hot shuffle, and pair expansion is QUADRATIC in bucket
+   size, so a flooded bucket concentrates nearly all the stage's work on one
+   reducer. The two-phase cap (count pre-pass + anti-join before the
+   collect) removes that work bound; this measures it capped vs uncapped.
 """
 
 from __future__ import annotations
@@ -26,26 +23,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_FACT = int(os.environ.get("SKEW_FACT_ROWS", "8000000"))
 N_DIM = int(os.environ.get("SKEW_DIM_ROWS", "1000000"))
 SKEW_FRAC = float(os.environ.get("SKEW_FRAC", "0.3"))
+N_CORPUS = int(os.environ.get("SKEW_CORPUS_DOCS", "60000"))
+N_FLOOD = int(os.environ.get("SKEW_FLOOD_DOCS", "3000"))
 REPEATS = 3
+PARTS = 64
 
 
-def main() -> None:
-    from pyspark.sql import SparkSession, functions as F
+def _best_of(fn, repeats=REPEATS):
+    best, out = None, None
+    for _ in range(repeats):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best, out
+
+
+def referential_section(spark) -> str:
+    from pyspark.sql import functions as F
 
     from okay_spark.checks import referential_violations
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-        .config("spark.driver.memory", "6g")
-        .config("spark.ui.enabled", "false")
-        .appName("skew-bench")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    from okay_spark.salt import partition_salt
 
     hot_cut = int(N_FACT * SKEW_FRAC)
     fact = (
@@ -65,14 +63,7 @@ def main() -> None:
         out = referential_violations(
             fact, "fk", dim, "pk", id_cols=["row_id"], broadcast=False, salt_buckets=salt
         )
-        best = None
-        n = None
-        for _ in range(REPEATS):
-            t0 = time.time()
-            n = out.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        return best, n
+        return _best_of(out.count)
 
     t_plain, n_plain = run(None)
     t_salted, n_salted = run(16)
@@ -83,29 +74,27 @@ def main() -> None:
     # (the whole table sorts in seconds), but at 10^12 rows a stage cannot
     # finish faster than its largest reducer — share bounds stage time on
     # ANY cluster size.
-    parts = 64
     share_plain = (
-        fact.groupBy(F.pmod(F.hash("fk"), F.lit(parts)).alias("p"))
+        fact.groupBy(F.pmod(F.hash("fk"), F.lit(PARTS)).alias("p"))
         .count()
         .agg(F.max("count"))
         .first()[0]
         / N_FACT
     )
-    from okay_spark.salt import partition_salt
-
     share_salted = (
         fact.withColumn("_s", partition_salt(16))
-        .groupBy(F.pmod(F.hash("fk", "_s"), F.lit(parts)).alias("p"))
+        .groupBy(F.pmod(F.hash("fk", "_s"), F.lit(PARTS)).alias("p"))
         .count()
         .agg(F.max("count"))
         .first()[0]
         / N_FACT
     )
+    fact.unpersist(), dim.unpersist()
 
-    md = f"""# SKEW — salting evidence for the hot-key referential check
+    return f"""## 1. Referential check — salting the hot fk
 
 Fact: {N_FACT:,} rows, {SKEW_FRAC:.0%} of them sharing ONE fk value (the
-"default avatar" pattern); dim: {N_DIM:,} keys; sort-merge left-anti over 64
+"default avatar" pattern); dim: {N_DIM:,} keys; sort-merge left-anti over {PARTS}
 shuffle partitions (auto-broadcast disabled to model a dim too large to
 broadcast). AQE's skew-join optimizer does NOT rewrite this plan (verified:
 no `skew=true` in the executed join) — runtime skew handling cannot be
@@ -132,19 +121,159 @@ crossover argument is the share bound above, which is what 10^12 rows on
 (`salt_buckets=`), keyed by observed key-frequency stats
 (`okay_spark.checks.column_stats` approx_distinct vs row count), not applied
 blindly.
+"""
 
-Generated by `python scripts/skew_bench.py`
-(env: SKEW_FACT_ROWS, SKEW_DIM_ROWS, SKEW_FRAC).
+
+def minhash_flood_section(spark) -> str:
+    from pyspark.sql import functions as F
+
+    from okay_spark.dedup import minhash_candidate_pairs, minhash_lsh_buckets
+
+    # Boilerplate-flooded corpus: N_FLOOD docs share IDENTICAL text (licence
+    # header / templated page), so every band hashes them to the same bucket;
+    # the rest are unique word sequences derived from md5(doc_id) — tiny
+    # buckets by construction.
+    boiler = " ".join(f"boiler{w}" for w in range(24))
+    docs = (
+        spark.range(0, N_CORPUS, 1, 32)
+        .select(
+            F.concat(F.lit("D"), F.col("id").cast("string")).alias("doc_id"),
+            F.when(F.col("id") < N_FLOOD, F.lit(boiler))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(23)),
+                        lambda j: F.substring(
+                            F.md5(F.concat(F.col("id").cast("string"), F.lit("|"), j.cast("string"))),
+                            1,
+                            8,
+                        ),
+                    ),
+                )
+            )
+            .alias("text"),
+        )
+        .cache()
+    )
+    docs.count()
+
+    buckets = minhash_lsh_buckets(docs).localCheckpoint(eager=True)
+    sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    def work_share(sz_df):
+        """Largest reducer's share of the pair-expansion work (sum of
+        n*(n-1)/2 over the buckets hashed to that reducer) — pair expansion
+        is quadratic, so this, not row count, is what bounds the stage."""
+        w = sz_df.select(
+            F.pmod(F.hash("band", "bucket"), F.lit(PARTS)).alias("p"),
+            (F.col("n") * (F.col("n") - 1) / 2).alias("w"),
+        ).groupBy("p").agg(F.sum("w").alias("w"))
+        tot = w.agg(F.sum("w")).first()[0] or 1.0
+        mx = w.agg(F.max("w")).first()[0] or 0.0
+        return mx / tot
+
+    cap = 1000
+    share_uncapped = work_share(sizes)
+    share_capped = work_share(sizes.filter(F.col("n") <= cap))
+    max_state_uncapped = sizes.agg(F.max("n")).first()[0]
+    max_state_capped = sizes.filter(F.col("n") <= cap).agg(F.max("n")).first()[0]
+
+    t_uncapped, n_uncapped = _best_of(
+        lambda: minhash_candidate_pairs(docs, max_bucket_size=None).count()
+    )
+    t_capped, n_capped = _best_of(
+        lambda: minhash_candidate_pairs(docs, max_bucket_size=cap).count()
+    )
+    n_oversized = (
+        minhash_lsh_buckets(docs)
+        .groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > cap)
+        .count()
+    )
+
+    # Connected-components' per-component min-label aggregate must partial-
+    # combine map-side (a giant component then costs one row per map task at
+    # the reducer, not one per member) — assert it from the executed plan.
+    cc_agg = (
+        buckets.select(F.col("doc_id").alias("node"), F.col("bucket").alias("component"))
+        .groupBy("component")
+        .agg(F.min("node").alias("m"))
+    )
+    cc_agg.collect()
+    cc_plan = cc_agg._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "partial_min" in cc_plan, "component min-label aggregate lost its partial combine"
+    docs.unpersist()
+
+    return f"""## 2. MinHash LSH dedup — the flooded-bucket cap
+
+Corpus: {N_CORPUS:,} docs, {N_FLOOD:,} of them IDENTICAL boilerplate (licence
+header / templated page) — each band's hot bucket holds all {N_FLOOD:,}. The
+hot shuffle is `groupBy(band, bucket)` and the cost it feeds is QUADRATIC:
+a bucket of n docs expands to n(n-1)/2 pairs inside ONE reducer task, and
+the `collect_list` state is O(n). Row-share metrics understate this — the
+right bound is the largest reducer's share of the pair-expansion work:
+
+| plan | max reducer share of pair work | max collect_list state (docs) | candidate pairs | local[8] sec (best of {REPEATS}) |
+| --- | --- | --- | --- | --- |
+| uncapped (`max_bucket_size=None`) | {share_uncapped:.1%} | {max_state_uncapped:,} | {n_uncapped:,} | {t_uncapped:.2f} |
+| capped at {cap:,} (default, two-phase) | {share_capped:.1%} | {max_state_capped:,} | {n_capped:,} | {t_capped:.2f} |
+
+Uncapped, {share_uncapped:.0%} of all pair work lands on one task — at 10^12
+docs a boilerplate cluster of 10M docs would demand 5x10^13 pair expansions
+from a single reducer (and an O(10M) collect_list): the stage never
+finishes, no matter the cluster size. The two-phase cap (scalar count
+pre-pass, anti-join BEFORE the collect — okay_spark/dedup.py
+`_cap_bucket_flood`) removes the flooded bucket's rows before any list or
+pair materializes, bounding per-reducer state at {cap:,} docs and per-bucket
+work at {cap*(cap-1)//2:,} pairs. Truncation is observable, never silent:
+`minhash_oversized_buckets` reports the {n_oversized} dropped buckets
+(= the boilerplate cluster in all 4 bands), which exact fingerprint dedup
+then handles at O(n).
+
+Connected-components note: the label joins key on unique node ids (no key
+skew possible), and the per-component min-label aggregation partial-combines
+map-side (`partial_min` asserted in this script's executed plan), so a giant
+component contributes at most one row per map task to its reducer — both
+CC shuffles are skew-safe by construction.
+"""
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", str(PARTS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.driver.memory", "6g")
+        .config("spark.ui.enabled", "false")
+        .appName("skew-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ref_md = referential_section(spark)
+    mh_md = minhash_flood_section(spark)
+
+    md = f"""# SKEW — max-reducer-share evidence for the hot-key shuffles
+
+{ref_md}
+{mh_md}
+Generated by `python scripts/skew_bench.py` (env: SKEW_FACT_ROWS,
+SKEW_DIM_ROWS, SKEW_FRAC, SKEW_CORPUS_DOCS, SKEW_FLOOD_DOCS).
 """
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "SKEW.md"
     )
     with open(out_path, "w") as fh:
         fh.write(md)
-    print(
-        f"plain {t_plain:.2f}s  salted {t_salted:.2f}s  "
-        f"max-reducer-share {share_plain:.1%} -> {share_salted:.1%} -> {out_path}"
-    )
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":

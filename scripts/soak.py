@@ -3,6 +3,10 @@
 against supra-linear memory/GC behavior that would surface long before
 10^12 rows. Writes BENCH/SOAK.md.
 
+Round 4 adds the dedup/sampling hot paths: capped minhash_candidate_pairs
+and sample_to_token_budget, each run at N/4 and N so linearity is measured
+INTERNALLY (same corpus shape, 4x the rows — docs/sec must hold).
+
 Run: python scripts/soak.py   (env: SOAK_DOCS, SOAK_CPUS)
 """
 
@@ -18,10 +22,40 @@ N = int(os.environ.get("SOAK_DOCS", "20000000"))
 CPUS = int(os.environ.get("SOAK_CPUS", "32"))
 
 
+def _corpus(spark, n: int):
+    """Synthetic text corpus: ~1% identical boilerplate (exercises the
+    bucket cap), the rest unique 14-word texts; 20 language groups."""
+    from pyspark.sql import functions as F
+
+    boiler = " ".join(f"boiler{w}" for w in range(14))
+    return spark.range(0, n, 1, 128).select(
+        F.concat(F.lit("D"), F.col("id").cast("string")).alias("doc_id"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(100)) == 0, F.lit(boiler))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(13)),
+                    lambda j: F.substring(
+                        F.md5(F.concat(F.col("id").cast("string"), F.lit("|"), j.cast("string"))),
+                        1,
+                        6,
+                    ),
+                ),
+            )
+        )
+        .alias("text"),
+        F.concat(F.lit("lang"), F.pmod(F.xxhash64("id", F.lit("g")), F.lit(20)).cast("string")).alias("lang"),
+        (F.lit(8) + F.pmod(F.xxhash64("id", F.lit("t")), F.lit(400))).cast("bigint").alias("tokens"),
+    )
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    from okay_spark.balance import sample_to_token_budget
     from okay_spark.checks import duplicate_keys, partition_summary
+    from okay_spark.dedup import minhash_candidate_pairs
     from okay_spark.engine import validate_dataframe
     from okay_spark.fixtures import document_schema, interleaved_documents
 
@@ -29,7 +63,7 @@ def main() -> None:
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "6g")
+        .config("spark.driver.memory", "8g")
         .appName("okay-soak")
         .getOrCreate()
     )
@@ -50,33 +84,71 @@ def main() -> None:
     validate_dataframe(df, document_schema, id_cols=["doc_id"]).count()
 
     results = {}
-    for name, fn in {
-        "battery": lambda: validate_dataframe(df, document_schema, id_cols=["doc_id"]).count(),
-        "uniqueness": lambda: duplicate_keys(df, "doc_id").count(),
-        "partition_summary": lambda: partition_summary(df, document_schema, "part").count(),
-    }.items():
-        # best-of-3: scheduler/GC jitter at 32 SMT threads swings single runs
-        # by 2x; the minimum measures the operator
+
+    def timed(name, n_docs, fn, repeats=3):
+        # best-of-N: scheduler/GC jitter at 32 SMT threads swings single
+        # runs by 2x; the minimum measures the operator
         best, out = None, None
-        for _ in range(3):
+        for _ in range(repeats):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        results[name] = (best, out)
-        print(f"{name}: {best:.2f}s ({N / best:,.0f} docs/s) result={out}")
+        results[name] = (best, n_docs, out)
+        print(f"{name}: {best:.2f}s ({n_docs / best:,.0f} docs/s) result={out}")
+
+    timed("battery", N, lambda: validate_dataframe(df, document_schema, id_cols=["doc_id"]).count())
+    timed("uniqueness", N, lambda: duplicate_keys(df, "doc_id").count())
+    timed("partition_summary", N, lambda: partition_summary(df, document_schema, "part").count())
+
+    # Dedup/sampling hot paths, measured at N/4 and N on the same corpus
+    # shape — docs/sec holding across the 4x is the linearity evidence.
+    # Parquet-materialized like production (signatures read a stable scan,
+    # not a recomputed range projection).
+    for scale, n_sub in (("quarter", N // 4), ("full", N)):
+        cpath = f"/tmp/okay_spark_bench/corpus_{n_sub}"
+        if not os.path.exists(cpath + "/_SUCCESS"):
+            _corpus(spark, n_sub).write.mode("overwrite").parquet(cpath)
+        corpus = spark.read.parquet(cpath)
+        corpus.count()  # page-cache warm
+        timed(
+            f"minhash_capped_{scale}",
+            n_sub,
+            lambda c=corpus: minhash_candidate_pairs(c, max_bucket_size=1000).count(),
+            repeats=1,  # dominated by 10^9-scale md5 work, jitter-immune
+        )
+        timed(
+            f"token_budget_{scale}",
+            n_sub,
+            lambda c=corpus, n=n_sub: sample_to_token_budget(
+                c, "lang", budget_tokens=n, token_col="tokens"
+            ).count(),
+        )
 
     md = [
         f"# SOAK — {N:,} documents on local[{CPUS}] (vs the {6_000_000:,}-doc bench fixture)",
         "",
         "Same operators, ~3.3x the data: throughput per doc must hold (linear",
-        "scan-bound cost, no memory/GC cliff). Driver memory capped at 6g.",
+        "scan-bound cost, no memory/GC cliff). Driver memory capped at 8g.",
+        "The dedup/sampling rows run at N/4 AND N on the same corpus shape —",
+        "docs/sec holding across the 4x is the linearity evidence (capped",
+        "minhash: two-phase bucket cap, signatures localCheckpoint-ed once;",
+        "token budget: shard-then-global take-while, never a whole-group sort).",
         "",
-        "| check | sec | docs/sec | result |",
-        "| --- | --- | --- | --- |",
+        "| check | docs | sec | docs/sec | result |",
+        "| --- | --- | --- | --- | --- |",
     ]
-    for name, (dt, out) in results.items():
-        md.append(f"| {name} | {dt:.2f} | {N / dt:,.0f} | {out:,} |")
+    for name, (dt, n_docs, out) in results.items():
+        md.append(f"| {name} | {n_docs:,} | {dt:.2f} | {n_docs / dt:,.0f} | {out:,} |")
+    for op in ("minhash_capped", "token_budget"):
+        tq, nq, _ = results[f"{op}_quarter"]
+        tf, nf, _ = results[f"{op}_full"]
+        ratio = (nf / tf) / (nq / tq)
+        md.append("")
+        md.append(
+            f"{op}: {nq:,} -> {nf:,} docs holds {ratio:.0%} of quarter-scale "
+            f"throughput ({nq/tq:,.0f} -> {nf/tf:,.0f} docs/s)."
+        )
     md += [
         "",
         "Generated by `python scripts/soak.py` (env: SOAK_DOCS, SOAK_CPUS).",

@@ -403,3 +403,103 @@ def test_stream_cross_dedup_watermark_bounds_state(spark, tmp_path):
     q.awaitTermination()
     got = {(r["a"], r["b"]) for r in spark.table("xdedup_wm").collect()}
     assert (1, 100) in got and (4, 101) in got
+
+
+# ---------------------------------------------------------------------------
+# key-reduced referential: the big-dim path where the fact table never sorts
+# ---------------------------------------------------------------------------
+
+
+def _ref_fixture(spark):
+    from pyspark.sql import functions as F
+
+    # 40k fact rows over 60 distinct keys, one hot key = 50% of rows and
+    # absent from dim (the "default avatar gone missing" worst case);
+    # dim has 50 keys
+    fact = spark.range(0, 40_000, 1, 8).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 2 == 0, F.lit(999_999))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(59)))
+        .alias("fk"),
+    )
+    dim = spark.range(0, 50).select(F.col("id").alias("pk"))
+    return fact, dim
+
+
+def test_referential_key_reduce_matches_broadcast(spark):
+    from okay_spark.checks import referential_violations
+
+    fact, dim = _ref_fixture(spark)
+    base = referential_violations(fact, "fk", dim, "pk", id_cols=["rid"])
+    kr = referential_violations(
+        fact, "fk", dim, "pk", id_cols=["rid"], key_reduce=True
+    )
+    bset = {(r["rid"], r["expected"]) for r in base.collect()}
+    kset = {(r["rid"], r["expected"]) for r in kr.collect()}
+    assert bset == kset and len(bset) > 20_000  # hot key is violating
+
+
+def test_referential_key_reduce_plan_never_shuffles_fact(spark):
+    """The violations plan after key reduction is scan -> broadcast SEMI
+    join: zero hash exchanges of fact rows (the distinct-key work happened
+    in the checkpointed bad-key subplan, bounded by |distinct keys|)."""
+    from okay_spark.checks import referential_violations
+
+    fact, dim = _ref_fixture(spark)
+    kr = referential_violations(
+        fact, "fk", dim, "pk", id_cols=["rid"], key_reduce=True
+    )
+    kr.collect()
+    plan = kr._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Sort " not in plan, plan
+
+
+def test_referential_key_reduce_fallback_when_keys_exceed_cap(spark):
+    """max_broadcast_keys=0 forces the shuffled-join fallback (a corpus so
+    broken its violating keys can't broadcast) — results must not change."""
+    from okay_spark.checks import referential_violations
+
+    fact, dim = _ref_fixture(spark)
+    base = {r["rid"] for r in referential_violations(
+        fact, "fk", dim, "pk", id_cols=["rid"]
+    ).collect()}
+    fb = {r["rid"] for r in referential_violations(
+        fact, "fk", dim, "pk", id_cols=["rid"],
+        key_reduce=True, max_broadcast_keys=0,
+    ).collect()}
+    assert fb == base
+
+
+def test_referential_key_reduce_composite_and_nulls(spark):
+    from okay_spark.checks import referential_violations
+
+    fact = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 10), (4, None, 10), (5, "a", None)],
+        "rid int, k1 string, k2 int",
+    )
+    dim = spark.createDataFrame([("a", 10), ("b", 10)], "k1 string, k2 int")
+    out = referential_violations(
+        fact, ["k1", "k2"], dim, ["k1", "k2"], id_cols=["rid"], key_reduce=True
+    ).collect()
+    # rows with a partially-null composite key are the battery's problem
+    assert [r["rid"] for r in out] == [2]
+    assert '"k1":"a"' in out[0]["expected"] and '"k2":20' in out[0]["expected"]
+
+
+def test_media_ref_violations_key_reduce_agrees(spark):
+    from okay_spark.checks import media_ref_violations
+    from okay_spark.fixtures import interleaved_documents, media_catalog
+
+    docs = interleaved_documents(spark, 3000)
+    catalog = media_catalog(spark, 100_000)
+    b = {(r["doc_id"], r["path"]) for r in media_ref_violations(
+        docs, catalog, broadcast=True
+    ).collect()}
+    k = {(r["doc_id"], r["path"]) for r in media_ref_violations(
+        docs, catalog, key_reduce=True
+    ).collect()}
+    assert b == k and len(b) > 0
