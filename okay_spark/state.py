@@ -33,8 +33,15 @@ from .schema import CompiledSchema, compile_cached
 LINEAGE_DDL = (
     "part string, run_id string, run_seq bigint, snapshot string, "
     "schema_fp string, "
-    "status string, n_docs bigint, n_violations bigint, n_failed_docs bigint"
+    "status string, n_docs bigint, n_violations bigint, n_failed_docs bigint, "
+    "fp bigint"
 )
+
+# order-independent content digests sum per-row 60-bit md5 values modulo
+# this Mersenne prime (2^61-1): commutative, overflow-free in decimal(38,0)
+# up to ~10^17 rows per partition, and exactly replayable by any engine
+# with md5 + 128-bit integer arithmetic (the DuckDB twin uses HUGEINT)
+_FP_MOD = (1 << 61) - 1
 
 
 def _read_lineage(spark: SparkSession, lineage_target: str) -> DataFrame:
@@ -55,6 +62,11 @@ def _read_lineage(spark: SparkSession, lineage_target: str) -> DataFrame:
         lin = lin.withColumn(
             "run_seq", F.coalesce(F.col("run_seq"), F.lit(-1)).cast("bigint")
         )
+    # pre-fingerprint lineage rows read as fp=null: "content unknown", which
+    # change detection treats as changed (forces one re-validation, never a
+    # false skip)
+    if "fp" not in lin.columns:
+        lin = lin.withColumn("fp", F.lit(None).cast("bigint"))
     return lin
 
 
@@ -102,6 +114,71 @@ def completed_partitions(
     return {r["part"] for r in rows}
 
 
+def partition_fingerprints(
+    df: DataFrame, partition_col: str, content=None
+) -> DataFrame:
+    """(part, n_docs, fp) — an order-independent content digest per
+    partition: sum of per-row 60-bit md5 values modulo 2^61-1. Any engine
+    with md5 replays it exactly (the driver's DuckDB twin does), any row
+    change, insert, or delete flips it with overwhelming probability, and
+    the aggregation partial-combines map-side (O(1) reducer state, no skew).
+
+    This is the changed-partition detector for sources WITHOUT snapshot
+    metadata (plain parquet dirs): an Iceberg table prunes re-validation by
+    snapshot id for free; a parquet lake must read content once — one
+    column-pruned md5 scan — to learn which partitions changed. That scan is
+    far cheaper than re-running the full battery + violations write over
+    unchanged partitions, which is exactly what it saves.
+
+    ``content`` defaults to ``to_json(struct(<all non-partition columns, in
+    schema order>))``; pass an explicit Column to pin the byte recipe when
+    cross-engine replay matters (JSON formatting is engine-specific; the
+    driver twin uses a ``concat_ws`` recipe both engines share).
+    """
+    if content is None:
+        content = F.to_json(
+            F.struct(*[F.col(c) for c in df.columns if c != partition_col])
+        )
+    row_h = F.conv(F.substring(F.md5(content), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.groupBy(F.col(partition_col).cast("string").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.pmod(F.sum(row_h), F.lit(_FP_MOD)).cast("bigint").alias("fp"),
+    )
+
+
+def unchanged_partitions(
+    spark: SparkSession,
+    lineage_target: str,
+    schema_fp: str,
+    current_fps: dict[str, int],
+) -> set[str]:
+    """Partitions whose latest 'done' lineage fingerprint (same compiled
+    schema) equals the current content fingerprint — safe to skip even
+    across snapshots/runs. A lineage row with fp=null (pre-fingerprint
+    format, or a run that didn't fingerprint) never matches: unknown
+    content is treated as changed, so the failure mode is one redundant
+    re-validation, never a false skip."""
+    if not table_exists(spark, lineage_target):
+        return set()
+    lin = _read_lineage(spark, lineage_target).filter(
+        (F.col("status") == "done") & (F.col("schema_fp") == schema_fp)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part").orderBy(F.col("run_seq").desc())
+    latest = (
+        lin.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("part", "fp")
+        .collect()
+    )
+    return {
+        r["part"]
+        for r in latest
+        if r["fp"] is not None and current_fps.get(r["part"]) == r["fp"]
+    }
+
+
 def partition_doc_counts(df: DataFrame, partition_col: str) -> DataFrame:
     """Per-partition row counts, reading ONLY the partition column (Catalyst
     prunes the scan to ``struct<partition_col>``; on a hive/Iceberg-
@@ -120,6 +197,7 @@ def run_resumable_validation(
     lineage_target: str,
     run_id: str,
     snapshot: str = "",
+    fingerprint_content=None,
 ) -> dict:
     """Validate only partitions not yet marked done; append violations and
     lineage. Returns run metrics.
@@ -129,16 +207,41 @@ def run_resumable_validation(
     wholesale (violation sinks should be de-duplicated downstream by
     (run_id, part) if exactly-once matters).
 
+    ``fingerprint_content`` (a Column, or ``True`` for the default
+    ``to_json(struct(*))`` recipe) switches resume from snapshot-identity to
+    CONTENT-identity: each run records an order-independent per-partition
+    content digest in its lineage rows, and later runs skip partitions whose
+    digest is unchanged — even across snapshots or with no snapshot id at
+    all — while a partition that was marked done but whose bytes changed is
+    re-validated instead of silently trusted. This is the incremental mode
+    for plain-parquet lakes; Iceberg sources get the same effect cheaper by
+    passing the snapshot id.
+
     Scan budget (tests/test_pipeline_ops.py asserts it): ONE full-data scan
     per run — the violations write. The per-partition doc counts read only
-    the partition column, and the lineage metrics aggregate the violations
-    already written to the sink instead of re-validating the source.
+    the partition column (or ride the fingerprint aggregate when
+    fingerprinting, which reads content columns once by design), and the
+    lineage metrics aggregate the violations already written to the sink
+    instead of re-validating the source.
     """
     spark = df.sparkSession
     compiled = schema if isinstance(schema, CompiledSchema) else compile_cached(schema)
     fp = schema_fingerprint(compiled)
 
     done = completed_partitions(spark, lineage_target, snapshot, fp)
+    current_fps: dict[str, tuple[int, int]] = {}
+    if fingerprint_content is not None:
+        content = None if fingerprint_content is True else fingerprint_content
+        current_fps = {
+            r["part"]: (r["n_docs"], r["fp"])
+            for r in partition_fingerprints(df, partition_col, content).collect()
+        }
+        # content-identity REPLACES snapshot-identity: unchanged partitions
+        # skip (even across snapshots); a stale 'done' whose bytes changed
+        # falls out of the set and re-validates
+        done = unchanged_partitions(
+            spark, lineage_target, fp, {p: v[1] for p, v in current_fps.items()}
+        )
     if done:
         df = df.filter(~F.col(partition_col).cast("string").isin(*done))
 
@@ -154,9 +257,16 @@ def run_resumable_validation(
     # 3. the lineage metrics derive from the WRITTEN violations (sparse,
     #    already durable) joined driver-side with the doc counts — the source
     #    table is not scanned again.
-    doc_counts = {
-        r["part"]: r["n"] for r in partition_doc_counts(df, partition_col).collect()
-    }
+    if current_fps:
+        # the fingerprint aggregate already counted every partition — no
+        # second scan
+        doc_counts = {
+            p: n for p, (n, _) in current_fps.items() if p not in done
+        }
+    else:
+        doc_counts = {
+            r["part"]: r["n"] for r in partition_doc_counts(df, partition_col).collect()
+        }
     if not doc_counts:
         return {"run_id": run_id, "partitions": 0, "skipped": len(done), "n_docs": 0}
 
@@ -192,6 +302,7 @@ def run_resumable_validation(
             n_docs,
             viol_counts.get(part, (0, 0))[0],
             viol_counts.get(part, (0, 0))[1],
+            current_fps[part][1] if part in current_fps else None,
         )
         for part, n_docs in sorted(doc_counts.items())
     ]

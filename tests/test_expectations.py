@@ -103,14 +103,14 @@ def test_violation_trend_flags_rate_regression(spark, tmp_path):
     out = str(tmp_path / "sinks")
     rows = [
         # run-1: 2 partitions, 1000 docs, 10 violations (rate 0.01)
-        ("p0", "run-1", 0, "s", "fp", "done", 500, 5, 5),
-        ("p1", "run-1", 0, "s", "fp", "done", 500, 5, 5),
+        ("p0", "run-1", 0, "s", "fp", "done", 500, 5, 5, None),
+        ("p1", "run-1", 0, "s", "fp", "done", 500, 5, 5, None),
         # run-2: same docs, 11 violations (rate 0.011 -> +10%, ok at 50%)
-        ("p0", "run-2", 1, "s", "fp", "done", 500, 6, 6),
-        ("p1", "run-2", 1, "s", "fp", "done", 500, 5, 5),
+        ("p0", "run-2", 1, "s", "fp", "done", 500, 6, 6, None),
+        ("p1", "run-2", 1, "s", "fp", "done", 500, 5, 5, None),
         # run-3: 30 violations (rate 0.03 -> +172%, regression)
-        ("p0", "run-3", 2, "s", "fp", "done", 500, 20, 20),
-        ("p1", "run-3", 2, "s", "fp", "done", 500, 10, 10),
+        ("p0", "run-3", 2, "s", "fp", "done", 500, 20, 20, None),
+        ("p1", "run-3", 2, "s", "fp", "done", 500, 10, 10, None),
     ]
     spark.createDataFrame(rows, LINEAGE_DDL).write.parquet(f"{out}/lineage")
     trend = {r["run_id"]: r for r in violation_trend(spark, out).collect()}
@@ -131,8 +131,8 @@ def test_violation_trend_orders_on_run_seq_not_run_id(spark, tmp_path):
         # write order: run-2 (rate 0.01) then run-10 (rate 0.03). A
         # lexicographic sort would make run-2 "follow" run-10 and see a DROP;
         # seq order must flag run-10 as the +200% regression.
-        ("p0", "run-2", 0, "s", "fp", "done", 1000, 10, 10),
-        ("p0", "run-10", 1, "s", "fp", "done", 1000, 30, 30),
+        ("p0", "run-2", 0, "s", "fp", "done", 1000, 10, 10, None),
+        ("p0", "run-10", 1, "s", "fp", "done", 1000, 30, 30, None),
     ]
     spark.createDataFrame(rows, LINEAGE_DDL).write.parquet(f"{out}/lineage")
     trend = {r["run_id"]: r for r in violation_trend(spark, out).collect()}

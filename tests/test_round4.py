@@ -503,3 +503,109 @@ def test_media_ref_violations_key_reduce_agrees(spark):
         docs, catalog, key_reduce=True
     ).collect()}
     assert b == k and len(b) > 0
+
+
+# ---------------------------------------------------------------------------
+# content-identity incremental re-validation (partition fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def test_partition_fingerprints_order_independent_and_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from okay_spark.state import partition_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, f"text-{i}", i % 3) for i in range(60)], "doc_id long, text string, part int"
+    )
+    content = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+    a = {r["part"]: (r["n_docs"], r["fp"]) for r in partition_fingerprints(df, "part", content).collect()}
+    b = {r["part"]: (r["n_docs"], r["fp"]) for r in partition_fingerprints(df.repartition(7), "part", content).collect()}
+    assert a == b and len(a) == 3
+
+    # one changed row flips exactly its partition's fingerprint
+    changed = df.withColumn(
+        "text", F.when(F.col("doc_id") == 4, F.lit("EDITED")).otherwise(F.col("text"))
+    )
+    c = {r["part"]: r["fp"] for r in partition_fingerprints(changed, "part", content).collect()}
+    assert c["1"] != a["1"][1]
+    assert c["0"] == a["0"][1] and c["2"] == a["2"][1]
+
+
+def test_content_identity_incremental_revalidation(spark, tmp_path):
+    """fingerprint_content switches resume to content identity: identical
+    bytes skip even across snapshot ids; a partition whose bytes changed is
+    re-validated even though a 'done' lineage row exists for it."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.fixtures import document_schema, interleaved_documents
+    from okay_spark.state import run_resumable_validation
+
+    src = str(tmp_path / "src_v1")
+    interleaved_documents(spark, 200, parts=4).write.parquet(src)
+    docs = spark.read.parquet(src)
+    kwargs = dict(
+        schema=document_schema,
+        partition_col="part",
+        violations_target=str(tmp_path / "viol"),
+        lineage_target=str(tmp_path / "lineage"),
+        fingerprint_content=True,
+    )
+    first = run_resumable_validation(docs, run_id="r1", snapshot="s1", **kwargs)
+    assert first["partitions"] == 4 and first["skipped"] == 0
+
+    # same bytes, DIFFERENT snapshot id: snapshot-identity would re-run all
+    # four; content-identity skips all four
+    second = run_resumable_validation(docs, run_id="r2", snapshot="s2", **kwargs)
+    assert second["partitions"] == 0 and second["skipped"] == 4
+
+    # mutate one partition's content in place (same snapshot id as r1!):
+    # the stale 'done' row must NOT shield it
+    v3 = docs.withColumn(
+        "doc_id",
+        F.when(F.col("part") == 2, F.concat(F.col("doc_id"), F.lit("!"))).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    third = run_resumable_validation(v3, run_id="r3", snapshot="s1", **kwargs)
+    assert third["partitions"] == 1 and third["skipped"] == 3
+    lin = spark.read.parquet(str(tmp_path / "lineage"))
+    r3_parts = [r["part"] for r in lin.filter(F.col("run_id") == "r3").collect()]
+    assert r3_parts == ["2"]
+    # every lineage row of a fingerprinting run carries the digest
+    assert lin.filter(F.col("run_id").isin("r1", "r3") & F.col("fp").isNull()).count() == 0
+
+
+def test_fingerprint_resume_over_prefingerprint_lineage(spark, tmp_path):
+    """Lineage written WITHOUT the fp column (older engine version) reads as
+    fp=null = content unknown -> everything re-validates once (never a false
+    skip), and the new run's rows backfill digests."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.fixtures import document_schema, interleaved_documents
+    from okay_spark.state import run_resumable_validation
+
+    docs = interleaved_documents(spark, 120, parts=3)
+    lineage = str(tmp_path / "lineage")
+    kwargs = dict(
+        schema=document_schema,
+        partition_col="part",
+        violations_target=str(tmp_path / "viol"),
+        lineage_target=lineage,
+        snapshot="s1",
+    )
+    # old-format run: no fingerprinting, then strip run_seq AND fp to mimic
+    # a table written by the pre-fingerprint engine
+    run_resumable_validation(docs, run_id="old", **kwargs)
+    old = spark.read.parquet(lineage).drop("run_seq", "fp")
+    old.write.mode("overwrite").parquet(str(tmp_path / "lineage_old"))
+    kwargs["lineage_target"] = str(tmp_path / "lineage_old")
+
+    out = run_resumable_validation(
+        docs, run_id="new", fingerprint_content=True, **kwargs
+    )
+    assert out["partitions"] == 3 and out["skipped"] == 0
+    again = run_resumable_validation(
+        docs, run_id="new2", fingerprint_content=True, **kwargs
+    )
+    assert again["partitions"] == 0 and again["skipped"] == 3
