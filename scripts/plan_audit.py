@@ -220,6 +220,35 @@ def main() -> None:
         want=["BroadcastHashJoin"],
         note="explode spans -> broadcast anti-join; only the catalog's keys shuffle (dedup)",
     )
+    audit(
+        "referential key-reduced",
+        referential_violations(
+            events.select("event_id", "user_id"), "user_id",
+            spark.read.parquet(f"{SF_DIR}/supplier.parquet"), "s_suppkey",
+            id_cols=["event_id"], key_reduce=True,
+        ),
+        max_shuffles=0,
+        want=["BroadcastHashJoin", "LeftSemi"],
+        forbid=["Sort "],
+        note="big-dim path: distinct fact keys anti-join the dim in a "
+        "checkpointed side plan; the violating-key set broadcasts back — "
+        "the fact table NEVER shuffles or sorts (0 exchanges here)",
+    )
+
+    from okay_spark.state import partition_fingerprints
+
+    audit(
+        "partition_fingerprints",
+        partition_fingerprints(
+            docs, "lang",
+            F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")),
+        ),
+        max_shuffles=1,
+        want=["partial"],
+        note="order-independent md5-sum digest: partial-combines map-side, "
+        "O(1) reducer state per partition key — the changed-partition "
+        "detector costs one column-pruned scan",
+    )
 
     # 6. drift histogram: partial aggregation of bins
     audit(

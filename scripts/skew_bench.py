@@ -131,14 +131,33 @@ def minhash_flood_section(spark) -> str:
 
     # Boilerplate-flooded corpus: N_FLOOD docs share IDENTICAL text (licence
     # header / templated page), so every band hashes them to the same bucket;
-    # the rest are unique word sequences derived from md5(doc_id) — tiny
-    # buckets by construction.
+    # 3,000 docs form 600 small duplicate clusters of 5 (the legitimate
+    # near-dup signal the cap must NOT destroy); the rest are unique word
+    # sequences derived from md5(doc_id) — tiny buckets by construction.
     boiler = " ".join(f"boiler{w}" for w in range(24))
+    cluster = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.substring(
+                F.md5(
+                    F.concat(
+                        F.pmod(F.col("id"), F.lit(600)).cast("string"),
+                        F.lit("#"),
+                        j.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+        ),
+    )
     docs = (
         spark.range(0, N_CORPUS, 1, 32)
         .select(
             F.concat(F.lit("D"), F.col("id").cast("string")).alias("doc_id"),
             F.when(F.col("id") < N_FLOOD, F.lit(boiler))
+            .when(F.col("id") < N_FLOOD + 3000, cluster)
             .otherwise(
                 F.concat_ws(
                     " ",
@@ -210,9 +229,11 @@ def minhash_flood_section(spark) -> str:
 
     return f"""## 2. MinHash LSH dedup — the flooded-bucket cap
 
-Corpus: {N_CORPUS:,} docs, {N_FLOOD:,} of them IDENTICAL boilerplate (licence
-header / templated page) — each band's hot bucket holds all {N_FLOOD:,}. The
-hot shuffle is `groupBy(band, bucket)` and the cost it feeds is QUADRATIC:
+Corpus: {N_CORPUS:,} docs — {N_FLOOD:,} IDENTICAL boilerplate (licence
+header / templated page, each band's hot bucket holds all {N_FLOOD:,}) plus
+600 small duplicate clusters of 5 (the legitimate near-dup signal the cap
+must not destroy). The hot shuffle is `groupBy(band, bucket)` and the cost
+it feeds is QUADRATIC:
 a bucket of n docs expands to n(n-1)/2 pairs inside ONE reducer task, and
 the `collect_list` state is O(n). Row-share metrics understate this — the
 right bound is the largest reducer's share of the pair-expansion work:
@@ -229,10 +250,11 @@ finishes, no matter the cluster size. The two-phase cap (scalar count
 pre-pass, anti-join BEFORE the collect — okay_spark/dedup.py
 `_cap_bucket_flood`) removes the flooded bucket's rows before any list or
 pair materializes, bounding per-reducer state at {cap:,} docs and per-bucket
-work at {cap*(cap-1)//2:,} pairs. Truncation is observable, never silent:
-`minhash_oversized_buckets` reports the {n_oversized} dropped buckets
-(= the boilerplate cluster in all 4 bands), which exact fingerprint dedup
-then handles at O(n).
+work at {cap*(cap-1)//2:,} pairs — while every pair of the 600 legitimate
+small clusters survives ({n_capped:,} pairs, the capped row). Truncation is
+observable, never silent: `minhash_oversized_buckets` reports the
+{n_oversized} dropped buckets (= the boilerplate cluster in all 4 bands),
+which exact fingerprint dedup then handles at O(n).
 
 Connected-components note: the label joins key on unique node ids (no key
 skew possible), and the per-component min-label aggregation partial-combines
