@@ -81,6 +81,73 @@ def violation_rate_by_window(
     )
 
 
+def stream_drift_psi(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    col: str,
+    *,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Streaming PSI drift monitor against a static reference snapshot —
+    the alarm a 10^12-doc ingest pipeline keeps running BETWEEN full
+    validation runs (batch twin: :func:`okay_spark.checks.drift_metrics`,
+    bit-identical math: reference-extent bin edges, epsilon clamps,
+    round-6 output).
+
+    Scale shape: the reference histogram is aggregated ONCE and folded into
+    the streaming plan as ``bins`` literal fractions (tiny, no stream-static
+    join); the stream maintains ONE global stateful aggregate with O(bins)
+    state — ``count_if`` per bucket partial-combines map-side, so each
+    micro-batch ships ``bins+1`` longs per map task, never rows. PSI folds
+    over the bin columns in the same projection, so every trigger emits one
+    ``(n_docs, psi)`` row in complete mode. Entirely JVM-side: no Python,
+    no per-row state, no watermark needed (the aggregate is a running
+    total over the whole stream)."""
+    if lo is None or hi is None:
+        ext = reference.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).first()
+        lo = lo if lo is not None else ext["lo"]
+        hi = hi if hi is not None else ext["hi"]
+    from .checks import numeric_histogram
+
+    ref_counts = {
+        r["bucket"]: r["cnt"] for r in numeric_histogram(reference, col, lo, hi, bins).collect()
+    }
+    n_ref = sum(ref_counts.values())
+    q = [max((ref_counts.get(b, 0) / n_ref) if n_ref else 0.0, epsilon) for b in range(bins)]
+
+    width = (hi - lo) / bins if hi > lo else 1.0
+    c = F.col(col).cast("double")
+    bucket = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(0)), F.lit(bins - 1)
+    ).cast("int")
+    hist = (
+        stream_df.filter(c.isNotNull() & ~F.isnan(c))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.count_if(bucket == b).alias(f"_b{b}") for b in range(bins)],
+        )
+    )
+    n = F.col("n_docs")
+    psi = None
+    for b in range(bins):
+        # sequential fold (term0 + term1 + ...) so the addition order matches
+        # the batch twin's Python loop and the oracle's ORDER BY b sum
+        pe = F.greatest(F.col(f"_b{b}") / n, F.lit(epsilon))
+        term = (pe - F.lit(q[b])) * F.log(pe / F.lit(q[b]))
+        psi = term if psi is None else (psi + term)
+    return hist.select(
+        n.alias("n_docs"),
+        F.when(n > 0, F.round(psi, 6)).alias("psi"),
+    )
+
+
 def running_violation_totals(
     stream_df: DataFrame,
     schema,

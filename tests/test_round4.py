@@ -609,3 +609,46 @@ def test_fingerprint_resume_over_prefingerprint_lineage(spark, tmp_path):
         docs, run_id="new2", fingerprint_content=True, **kwargs
     )
     assert again["partitions"] == 0 and again["skipped"] == 3
+
+
+# ---------------------------------------------------------------------------
+# streaming PSI drift monitor: batch parity
+# ---------------------------------------------------------------------------
+
+
+def test_stream_drift_psi_matches_batch(spark, tmp_path):
+    """stream_drift_psi's complete-mode aggregate must reproduce the batch
+    drift_metrics PSI bit-for-bit at round-6 (same bin edges, epsilon
+    clamps, sequential term fold), including n_docs."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import drift_metrics
+    from okay_spark.streaming import stream_drift_psi
+
+    ev = spark.createDataFrame(
+        [(float(i % 37) + (3.0 if i % 5 == 0 else 0.0), "cur" if i % 3 else "ref")
+         for i in range(2000)] + [(None, "cur")],
+        "value double, side string",
+    )
+    cur = ev.filter(F.col("side") == "cur").select("value")
+    ref = ev.filter(F.col("side") == "ref")
+    m = drift_metrics(cur, ref, "value", bins=20)
+
+    src = str(tmp_path / "cur")
+    cur.write.parquet(src)
+    stream = spark.readStream.schema(cur.schema).parquet(src)
+    q = (
+        stream_drift_psi(stream, ref, "value", bins=20)
+        .writeStream.format("memory")
+        .queryName("sdrift_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("sdrift_t").first()
+    assert row["n_docs"] == m["n_current"]  # null value excluded on both sides
+    assert row["psi"] == round(m["psi"], 6)
+    # the plan is one stateful aggregate, no Python nodes
+    plan = spark.table("sdrift_t")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
