@@ -213,6 +213,73 @@ def q_partition_fingerprints_documents(spark: SparkSession, sf_dir: str) -> Data
     return partition_fingerprints(docs, "lang", content)
 
 
+def q_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (okay_spark/dedup.py drop_duplicate_lines,
+    CCNet/Dolma-style): any 8-word line shared verbatim by >= 2 documents is
+    struck from every document. Lines are derived deterministically from the
+    fixture text (a newline after every 8th word via one regexp_replace the
+    DuckDB twin replays), so the duplicated-line set — and the rebuilt
+    text — is exactly computable on both engines. Two-phase
+    count_distinct(doc_id) per line, anti-join strike, lazy-localCheckpoint
+    so the split/explode evaluates once (the `_cap_bucket_flood` lesson
+    applied from the start)."""
+    from okay_spark.dedup import drop_duplicate_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    return drop_duplicate_lines(lined, min_doc_freq=2)
+
+
+def q_rare_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-token quality signal (okay_spark/textops.py
+    rare_token_stats): corpus document-frequency per token via pre-aggregated
+    (doc, token) counts (never a posting list), rare = df < 380 on this
+    fixture's 31-word vocabulary so the ratio varies across docs. rare_ratio
+    is a single integer/integer IEEE division — bit-identical in DuckDB."""
+    from okay_spark.textops import rare_token_stats
+
+    return rare_token_stats(_read(spark, sf_dir, "documents"), min_df=380)
+
+
+def q_interleave_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleave-pattern rule on the north-rule shape: two media spans must
+    never be adjacent (okay_spark/checks.py adjacent_pair_violations — the
+    every-pair analog of span_order_violations; zip-with-tail + posexplode,
+    shuffle-free, zero Python). The reference can only express adjacency via
+    a custom callable over the whole list (index.py:11-51 fans elements out
+    independently). Exact DuckDB twin via the md5-replayable spans CTE
+    self-joined on (sid, j+1)."""
+    from okay_spark.checks import adjacent_pair_violations
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    docs = oracle_interleaved_documents(_read(spark, sf_dir, "documents"))
+    return adjacent_pair_violations(
+        docs,
+        "spans",
+        id_cols=["doc_id"],
+        pred=lambda a, b: (a["kind"] == F.lit("media")) & (b["kind"] == F.lit("media")),
+        rule="adjacent_media",
+        field="kind",
+    )
+
+
+def q_quarantine_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-side battery split (okay_spark/engine.py quarantine): the
+    quarantined half of the documents table with a canonical sorted
+    'path:rule' reasons digest per row. Same shuffle-free violations
+    projection as the battery; the DuckDB twin recomputes the digest
+    row-locally (no grouping), so it is exact even under null or duplicate
+    doc_ids."""
+    from okay_spark.engine import quarantine
+
+    docs = _read(spark, sf_dir, "documents")
+    _clean, quarantined = quarantine(docs, _documents_schema, id_cols=["doc_id"])
+    return quarantined
+
+
 def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     supplier = _read(spark, sf_dir, "supplier")
@@ -1761,8 +1828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          twins (pack recursive-CTE, compression replay), and the four
     #          dedup entries touched by the bucket-cap single-evaluation
     #          refactor (cross_dedup also flipped to max_bucket_size=None)
-    #   8-12:  new round-4 operators/entries (inserted here as built)
-    #   13-50: re-certification rotation — the oldest below-boundary
+    #   8-15:  new round-4 operators/entries (streaming cross-dedup,
+    #          key-reduced referential, partition fingerprints, streaming
+    #          PSI, corpus line-dedup, rare-token stats, interleave rule,
+    #          quarantine split)
+    #   16-50: re-certification rotation — the oldest below-boundary
     #          entries, last driver-certified in r01/r02 on code that the
     #          r03 dedup.py/checks.py refactors have since touched; the
     #          judge's r03 spot-check found no rot, this makes the gate say
@@ -1787,6 +1857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_key_reduce_events": q_referential_key_reduce_events,
         "partition_fingerprints_documents": q_partition_fingerprints_documents,
         "streaming_drift_events": q_streaming_drift_events,
+        "line_dedup_documents": q_line_dedup_documents,
+        "rare_tokens_documents": q_rare_tokens_documents,
+        "interleave_spans_documents": q_interleave_spans_documents,
+        "quarantine_documents": q_quarantine_documents,
         # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
@@ -3078,6 +3152,102 @@ FROM rowm GROUP BY label
 """
 
 
+# Corpus line-dedup twin: replay the same line derivation (newline after
+# every 8th word — RE2 '\1' backref where Spark uses '$1'), the same
+# df >= 2 duplicated-line set, and the same in-order reconstruction.
+# totals is GROUPed by doc_id (not one-row-per-doc) so the twin stays exact
+# even under duplicate doc_ids, mirroring Spark's groupBy.
+_LINE_DEDUP_SQL = r"""
+WITH lined AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g'),
+             chr(10)),
+           x -> x <> '') AS arr
+  FROM documents
+), l AS (
+  SELECT doc_id, j, arr[CAST(j + 1 AS INT)] AS line
+  FROM lined, UNNEST(range(0, coalesce(len(arr), 0))) AS t(j)
+), dup AS (
+  SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, j, line FROM l WHERE line NOT IN (SELECT line FROM dup)
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept, string_agg(line, chr(10) ORDER BY j) AS text_dedup
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(sum(coalesce(len(arr), 0)) AS BIGINT) AS n_lines
+  FROM lined GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+# Rare-token twin: df per token over pre-aggregated (doc, token) counts;
+# rare_ratio is one int/int IEEE division (bit-identical across engines).
+_RARE_TOKENS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), dt AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok
+), vocab AS (
+  SELECT tok, count(*) AS df FROM dt GROUP BY tok
+), per AS (
+  SELECT dt.doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN df < 380 THEN cnt ELSE 0 END) AS BIGINT) AS n_rare,
+         CAST(min(df) AS BIGINT) AS min_token_df
+  FROM dt JOIN vocab USING (tok) GROUP BY dt.doc_id
+), ids AS (SELECT doc_id FROM documents GROUP BY doc_id)
+SELECT ids.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(n_rare, 0) AS n_rare,
+       min_token_df,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS rare_ratio
+FROM ids LEFT JOIN per USING (doc_id)
+"""
+
+# Interleave twin: adjacent media pairs from the md5-replayable spans CTE;
+# the path indexes the LATER element of the pair, matching
+# adjacent_pair_violations.
+_INTERLEAVE_SPANS_SQL = _SPANS_CTE + r"""
+SELECT a.sid AS doc_id, printf('spans[%d].kind', b.j) AS path, 'adjacent_media' AS rule
+FROM sp a JOIN sp b ON a.sid = b.sid AND b.j = a.j + 1
+WHERE a.kind = 'media' AND b.kind = 'media'
+"""
+
+# Quarantine twin: the same battery predicates as _BATTERY_DOCUMENTS_SQL,
+# but computed ROW-LOCALLY into a sorted reasons digest — no grouping, so it
+# stays exact even under null or duplicate doc_ids.
+_QUARANTINE_SQL = """
+WITH r AS (
+  SELECT doc_id,
+    list_filter([
+      CASE WHEN doc_id IS NULL THEN 'doc_id:null_value' END,
+      CASE WHEN doc_id IS NOT NULL AND doc_id < 0 THEN 'doc_id:number_too_small' END,
+      CASE WHEN text IS NULL THEN 'text:null_value' END,
+      CASE WHEN text IS NOT NULL AND length(text) < 20 THEN 'text:string_too_short' END,
+      CASE WHEN lang IS NULL THEN 'lang:null_value' END,
+      CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','fr','de') THEN 'lang:invalid_string_option' END,
+      CASE WHEN source IS NULL THEN 'source:null_value' END,
+      CASE WHEN source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-5]') THEN 'source:no_match' END,
+      CASE WHEN n_chars IS NULL THEN 'n_chars:null_value' END,
+      CASE WHEN n_chars IS NOT NULL AND n_chars < 1 THEN 'n_chars:number_too_small' END,
+      CASE WHEN n_chars IS NOT NULL AND n_chars > 500 THEN 'n_chars:number_too_large' END
+    ], x -> x IS NOT NULL) AS rs
+  FROM documents
+)
+SELECT doc_id, CAST(len(rs) AS BIGINT) AS n_violations,
+       array_to_string(list_sort(list_distinct(rs)), ';') AS reasons
+FROM r WHERE len(rs) > 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
@@ -3135,6 +3305,10 @@ def oracle_sql() -> dict[str, str]:
             ")), 1, 15)) AS BIGINT)) AS HUGEINT) % 2305843009213693951 AS BIGINT) AS fp "
             "FROM documents GROUP BY 1"
         ),
+        "line_dedup_documents": _LINE_DEDUP_SQL,
+        "rare_tokens_documents": _RARE_TOKENS_SQL,
+        "interleave_spans_documents": _INTERLEAVE_SPANS_SQL,
+        "quarantine_documents": _QUARANTINE_SQL,
         "referential_events_supplier": (
             "SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL "
             "AND user_id NOT IN (SELECT s_suppkey FROM supplier)"

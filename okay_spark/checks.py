@@ -1147,3 +1147,49 @@ def span_order_violations(
             F.lit(rule).alias("rule"),
         )
     )
+
+def adjacent_pair_violations(
+    df: DataFrame,
+    array_col: str,
+    *,
+    id_cols: list[str],
+    pred,
+    rule: str,
+    field: str | None = None,
+) -> DataFrame:
+    """Generic adjacency rule over a struct array: emit one violation for
+    EVERY adjacent pair ``(arr[i], arr[i+1])`` where ``pred(prev, next)``
+    holds. The interleave-pattern analog of :func:`span_order_violations`
+    (which reports only the first ordering break per document): pass
+    ``pred=lambda a, b: (a['kind'] == 'media') & (b['kind'] == 'media')``
+    to forbid two media spans in a row on the north-rule shape — a
+    constraint the reference can only express as a ``custom`` callable over
+    the whole list (the Python slow path; its element fan-out at
+    /root/reference/src/okay/index.py:11-51 validates elements
+    independently and cannot see neighbours).
+
+    Paths point at the LATER element of the offending pair:
+    ``{array_col}[i+1]`` (or ``{array_col}[i+1].{field}`` when ``field`` is
+    given). A null predicate result (null fields involved) is skipped — the
+    rule battery already reports those as ``null_value``.
+
+    Scale shape: ``zip_with`` the array with its own tail, then ONE
+    ``posexplode`` over the boolean zip — shuffle-free, zero Python, whole-
+    stage codegen in the same scan pipeline as the battery, linear in total
+    element count regardless of per-doc skew."""
+    arr = F.col(array_col)
+    tail = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    bad = F.zip_with(arr, tail, lambda a, b: pred(a, b))
+    suffix = f".{field}" if field else ""
+    return (
+        df.filter(F.size(arr) > 1)
+        .select(*[F.col(c) for c in id_cols], F.posexplode(bad).alias("_i", "_bad"))
+        .filter(F.col("_bad"))
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.format_string(f"{array_col}[%d]{suffix}", (F.col("_i") + 1).cast("int")).alias(
+                "path"
+            ),
+            F.lit(rule).alias("rule"),
+        )
+    )

@@ -980,3 +980,79 @@ def strip_duplicate_spans(
             F.coalesce(F.col("_text"), F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication (CCNet / Dolma-style paragraph
+    dedup): a line that occurs verbatim in ``min_doc_freq`` or more distinct
+    documents is removed from EVERY document. Complements
+    :func:`strip_duplicate_spans` (token n-grams, boilerplate inside a line)
+    — this is the coarse-granularity pass real pretraining pipelines run
+    first because it is an order of magnitude cheaper: one gram per line
+    instead of one per token. The reference validator has no corpus-level
+    operator at all (validation there is per-document,
+    /root/reference/src/okay/validator.py).
+
+    Output: ``(doc_id, n_lines, n_kept, text_dedup)`` — one row per input
+    document. Blank lines (empty after the split) are neither counted nor
+    dedup keys; they are dropped from the rebuilt text, so ``text_dedup`` is
+    the surviving lines joined by ``sep``. Documents whose every line is
+    corpus-duplicated come back as ``""`` with ``n_kept = 0``, not dropped.
+
+    Scale shape (all Column expressions — zero Python eval):
+
+    - lines come from one ``split`` + ``posexplode`` — O(total lines), and
+      total lines << total tokens.
+    - duplicate detection is ``count_distinct(doc_id)`` per line, which
+      Spark expands into a two-phase plan keyed on ``(line, doc_id)`` first:
+      a boilerplate line present in 10M docs spreads across reducers by
+      doc_id instead of pinning one (same discipline as
+      strip_duplicate_spans — nothing ever collects a posting list).
+    - the strike is a left-anti join of the per-doc line table against the
+      duplicated-line keys; reconstruction is one hash aggregate per doc
+      with state bounded by document length.
+    - ``base`` is localCheckpoint-ed (lazy) so the split/explode lineage is
+      evaluated once across the count pre-pass and the anti-join probe —
+      the `_cap_bucket_flood` lesson applied from the start.
+    """
+    # sep is a Java-regex pattern (default: a literal newline)
+    lines_arr = F.filter(F.split(F.col(text_col), sep, -1), lambda x: x != "")
+    base = (
+        _spread(df)
+        .select(F.col(id_col), F.posexplode_outer(lines_arr).alias("pos", "line"))
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        base.filter(F.col("line").isNotNull())
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("line")
+    )
+    kept = base.filter(F.col("line").isNotNull()).join(dup, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("_text"),
+    )
+    totals = base.groupBy(id_col).agg(
+        F.count(F.col("line")).alias("n_lines")
+    )
+    return totals.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        "n_lines",
+        F.coalesce(F.col("_n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("_text"), F.lit("")).alias("text_dedup"),
+    )

@@ -421,3 +421,54 @@ def validate_dataframe(
         for k, v in message_values.items():
             out = out.withColumn(k, F.lit(v))
     return out
+
+
+def quarantine(
+    df: DataFrame,
+    schema,
+    *,
+    id_cols: Iterable[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Sink-side split of a table into (clean, quarantined) by the rule
+    battery — the pipeline counterpart of :func:`validate_dataframe`, which
+    reports violations but keeps the table whole. The reference stops at
+    returning a message list per document (validator.py:30-47); routing
+    documents on the outcome is left to the caller there, and at cluster
+    scale it must be part of the plan to avoid a second validation pass.
+
+    Returns two DataFrames computed from the SAME shuffle-free violations
+    projection:
+
+    - ``clean``: the input rows (original columns) with zero violations;
+    - ``quarantined``: ``(*id_cols, n_violations, reasons)`` where
+      ``reasons`` is the document's distinct ``path:rule`` strings,
+      lexicographically sorted and ';'-joined — a canonical, engine-portable
+      digest of WHY the row was quarantined (stable under any partitioning,
+      so an exact SQL oracle can replay it).
+
+    Scale shape: the battery is a projection (``violations_array``), so each
+    branch is scan -> filter with zero exchanges and zero Python. Writing
+    both outputs costs two scans of the source; to pay one scan instead,
+    write ``df.withColumn('_status', ...)`` with
+    ``partitionBy('_status')`` — the two-frame form exists because most
+    callers keep only ``clean`` and route ``quarantined`` to a side sink.
+    """
+    compiled = schema if isinstance(schema, CompiledSchema) else compile_cached(schema)
+    if id_cols is None:
+        id_cols = [c for c in df.columns if c == "doc_id"]
+    id_cols = list(id_cols)
+    va = violations_array(df.schema, compiled)
+    clean = df.filter(F.size(va) == 0)
+    quarantined = df.select(
+        *[F.col(c) for c in id_cols],
+        F.size(va).cast("bigint").alias("n_violations"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(va, lambda v: F.concat(v["path"], F.lit(":"), v["rule"]))
+                )
+            ),
+            ";",
+        ).alias("reasons"),
+    ).filter(F.col("n_violations") > 0)
+    return clean, quarantined

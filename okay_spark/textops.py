@@ -490,3 +490,72 @@ def char_entropy(text: Column | str) -> Column:
         probs, F.lit(0.0), lambda acc, p: acc - p * F.log2(p)
     )
     return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
+def rare_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document rare-token (OOV-ish) quality signal: how much of each
+    document is made of tokens that are rare across the whole corpus. Rare
+    tokens correlate with typos, codes, and boilerplate IDs — pretraining
+    pipelines (e.g. Gopher's quality rules, CCNet's LM filtering) threshold
+    on exactly this family of signals. The reference validator has no
+    corpus-level statistics at all (per-document validation only,
+    /root/reference/src/okay/validator.py).
+
+    A token is *rare* when its corpus document frequency (number of distinct
+    documents containing it) is strictly below ``min_df``. Output, one row
+    per document: ``(doc_id, n_tokens, n_rare, min_token_df, rare_ratio)``
+    where ``rare_ratio = n_rare / n_tokens`` as an IEEE double (a single
+    correctly-rounded division of two integers — bit-identical on any
+    engine, unlike a float sum). Documents with zero tokens keep a row with
+    ``n_tokens = 0`` and null ``min_token_df`` / ``rare_ratio``.
+
+    Scale shape (all Column expressions — zero Python eval):
+
+    - per-(doc, token) occurrence counts first (one hash aggregate with
+      map-side combine) — this is also what bounds the vocabulary pass:
+      corpus df per token is ``count(*)`` over the already-unique
+      (doc, token) pairs, never a posting list.
+    - the df join back is an equi-join on token. The build side has ONE row
+      per token, so AQE's skew-join split handles a stopword present in 10M
+      docs by splitting the probe partition and replicating the single
+      build row — no salting needed (salting exists for skewed *build*
+      sides; see BENCH/SKEW.md for where that discipline applies).
+    - the final per-document rollup is one hash aggregate keyed by doc_id
+      with constant per-group state.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), F.explode_outer(toks).alias("tok"))
+    dt = base.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        dt.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    joined = dt.join(vocab, "tok", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum(F.when(F.col("tok").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sum(
+            F.when(F.col("df") < min_df, F.col("cnt")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_rare"),
+        F.min("df").cast("bigint").alias("min_token_df"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_rare",
+        "min_token_df",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_rare").cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("rare_ratio"),
+    )

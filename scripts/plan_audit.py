@@ -545,6 +545,81 @@ def main() -> None:
         "surviving anchor (single component downstream, pytest-pinned)",
     )
 
+    from okay_spark.dedup import drop_duplicate_lines
+
+    audit(
+        "drop_duplicate_lines",
+        drop_duplicate_lines(
+            docs.filter(F.col("doc_id").isNotNull()).select(
+                "doc_id",
+                F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n").alias("text"),
+            ),
+            min_doc_freq=2,
+        ),
+        max_shuffles=5,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="corpus line-dedup: split/posexplode evaluated ONCE (lazy "
+        "localCheckpoint) across the count pre-pass and the anti-join; "
+        "duplicate detection is count_distinct(doc_id) per line — Spark's "
+        "two-phase expansion keys (line, doc_id) first so a 10M-doc "
+        "boilerplate line spreads across reducers; rebuild is one hash "
+        "aggregate per doc with state bounded by doc length",
+    )
+
+    from okay_spark.textops import rare_token_stats
+
+    audit(
+        "rare_token_stats",
+        rare_token_stats(docs, min_df=380),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="rare-token quality signal: vocabulary df comes from the "
+        "pre-aggregated (doc, token) pairs (map-side combine; never a "
+        "posting list); the df join back has ONE build row per token so "
+        "AQE skew-split replicates it under a hot stopword; final rollup "
+        "is one hash aggregate keyed by doc_id",
+    )
+
+    from okay_spark.checks import adjacent_pair_violations
+    from okay_spark.fixtures import oracle_interleaved_documents
+
+    audit(
+        "adjacent_pair_violations (interleave rule)",
+        adjacent_pair_violations(
+            oracle_interleaved_documents(docs),
+            "spans",
+            id_cols=["doc_id"],
+            pred=lambda a, b: (a["kind"] == F.lit("media")) & (b["kind"] == F.lit("media")),
+            rule="adjacent_media",
+            field="kind",
+        ),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="adjacency rule: zip-with-tail + one posexplode, entirely "
+        "inside the scan pipeline — shuffle-free at any scale, like the "
+        "battery itself",
+    )
+
+    from okay_spark.engine import quarantine as _quarantine
+
+    _clean_q, _quar_q = _quarantine(docs, doc_schema, id_cols=["doc_id"])
+    audit(
+        "quarantine (clean branch)",
+        _clean_q,
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="sink split, clean side: scan -> codegen'd violations "
+        "projection -> filter; zero exchanges",
+    )
+    audit(
+        "quarantine (quarantined branch)",
+        _quar_q,
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="sink split, quarantined side: same projection, reasons digest "
+        "is array_sort/array_join over the violations array — row-local",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")

@@ -652,3 +652,144 @@ def test_stream_drift_psi_matches_batch(spark, tmp_path):
     # the plan is one stateful aggregate, no Python nodes
     plan = spark.table("sdrift_t")._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4 new operators: line dedup, rare tokens, interleave rule, quarantine
+# ---------------------------------------------------------------------------
+
+
+def test_drop_duplicate_lines_semantics(spark):
+    """A line shared by >=2 docs is struck from EVERY doc; unique lines and
+    within-doc repeats survive; blank lines vanish from the rebuilt text; a
+    doc made entirely of corpus-duplicated lines comes back empty, not
+    dropped; line order is preserved."""
+    from okay_spark.dedup import drop_duplicate_lines
+
+    rows = [
+        ("a", "dup one\nunique a\ndup two"),
+        ("b", "dup one\n\nunique b\ndup two"),
+        ("c", "dup one\ndup two"),  # all boilerplate -> empty
+        ("d", "solo d\nsolo d"),  # within-doc repeat: df=1, kept
+        ("e", ""),  # no lines
+        ("f", None),  # null text
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in drop_duplicate_lines(
+            spark.createDataFrame(rows, "doc_id string, text string")
+        ).collect()
+    }
+    assert out["a"]["text_dedup"] == "unique a" and out["a"]["n_kept"] == 1
+    assert out["a"]["n_lines"] == 3
+    assert out["b"]["text_dedup"] == "unique b" and out["b"]["n_lines"] == 3
+    assert out["c"]["text_dedup"] == "" and out["c"]["n_kept"] == 0
+    assert out["d"]["text_dedup"] == "solo d\nsolo d" and out["d"]["n_kept"] == 2
+    assert out["e"]["n_lines"] == 0 and out["e"]["text_dedup"] == ""
+    assert out["f"]["n_lines"] == 0 and out["f"]["text_dedup"] == ""
+    assert len(out) == 6
+
+
+def test_drop_duplicate_lines_partition_invariant(spark):
+    """Same answer at 1 and 7 partitions (the count/anti-join/rebuild chain
+    must not depend on physical layout)."""
+    from okay_spark.dedup import drop_duplicate_lines
+
+    rows = [(f"d{i}", f"common line\nword{i} tail{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted(map(tuple, drop_duplicate_lines(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, drop_duplicate_lines(df.repartition(7)).collect()))
+    assert a == b
+    assert all(t[3] != "" and "common line" not in t[3] for t in a)
+
+
+def test_rare_token_stats_hand_computed(spark):
+    from okay_spark.textops import rare_token_stats
+
+    rows = [
+        ("a", "x x y"),  # x in 2 docs, y in 1 doc
+        ("b", "x z"),  # z in 1 doc
+        ("c", ""),  # zero tokens
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in rare_token_stats(
+            spark.createDataFrame(rows, "doc_id string, text string"), min_df=2
+        ).collect()
+    }
+    assert out["a"]["n_tokens"] == 3 and out["a"]["n_rare"] == 1  # y rare
+    assert out["a"]["min_token_df"] == 1
+    assert out["a"]["rare_ratio"] == 1.0 / 3.0
+    assert out["b"]["n_tokens"] == 2 and out["b"]["n_rare"] == 1  # z rare
+    assert out["c"]["n_tokens"] == 0 and out["c"]["rare_ratio"] is None
+    assert out["c"]["min_token_df"] is None
+
+
+def test_adjacent_pair_violations_all_pairs_and_nulls(spark):
+    """Every offending adjacent pair is reported (not just the first), the
+    path indexes the LATER element, and null fields are skipped."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import adjacent_pair_violations
+
+    df = spark.createDataFrame(
+        [
+            ("a", [("media",), ("media",), ("media",), ("text",)]),  # pairs at 1,2
+            ("b", [("media",), (None,), ("media",)]),  # null in the middle: none
+            ("c", [("text",), ("media",)]),  # none
+            ("d", [("media",)]),  # single element: none
+        ],
+        "doc_id string, spans array<struct<kind:string>>",
+    )
+    out = adjacent_pair_violations(
+        df,
+        "spans",
+        id_cols=["doc_id"],
+        pred=lambda a, b: (a["kind"] == F.lit("media")) & (b["kind"] == F.lit("media")),
+        rule="adjacent_media",
+        field="kind",
+    ).collect()
+    got = sorted((r["doc_id"], r["path"], r["rule"]) for r in out)
+    assert got == [
+        ("a", "spans[1].kind", "adjacent_media"),
+        ("a", "spans[2].kind", "adjacent_media"),
+    ]
+
+
+def test_quarantine_partitions_input_and_digests_reasons(spark):
+    from okay_spark import required
+    from okay_spark.engine import quarantine
+
+    def schema():
+        required("doc_id", type="int", min=0)
+        required("text", type="string", min=3)
+
+    df = spark.createDataFrame(
+        [(1, "long enough"), (-1, "x"), (2, "ok!"), (None, None)],
+        "doc_id bigint, text string",
+    )
+    clean, quar = quarantine(df, schema, id_cols=["doc_id"])
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    got = {r["doc_id"]: r for r in quar.collect()}
+    assert got[-1]["reasons"] == "doc_id:number_too_small;text:string_too_short"
+    assert got[-1]["n_violations"] == 2
+    assert got[None]["reasons"] == "doc_id:null_value;text:null_value"
+    # the split is a partition of the input
+    assert clean.count() + quar.count() == df.count()
+
+
+def test_quarantine_is_shuffle_free(spark):
+    """Both branches must stay scan -> filter/project: zero exchanges."""
+    from okay_spark import required
+    from okay_spark.engine import quarantine
+
+    def schema():
+        required("doc_id", type="int", min=0)
+        required("text", type="string", min=3)
+
+    df = spark.createDataFrame([(1, "long enough")], "doc_id bigint, text string")
+    clean, quar = quarantine(df, schema, id_cols=["doc_id"])
+    for frame in (clean, quar):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan
