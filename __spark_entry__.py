@@ -280,6 +280,38 @@ def q_quarantine_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quarantined
 
 
+def q_hll_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog registers over events.user_id
+    (okay_spark/checks.py hll_sketch): the md5-derived 60-bit hash, bucket
+    split, and leading-zero ranks are all integer Column expressions, so —
+    unlike approx_count_distinct's opaque JVM hash — the distributed sketch
+    STATE is exactly certifiable by the DuckDB twin. The scalar estimate is
+    a driver-side fold over <= 2^p rows (error + merge-equality
+    pytest-pinned)."""
+    from okay_spark.checks import hll_sketch
+
+    return hll_sketch(_read(spark, sf_dir, "events"), "user_id", p=6)
+
+
+def q_aggregate_consistency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table aggregate consistency (okay_spark/checks.py
+    aggregate_consistency): orders.o_totalprice vs the decimal-exact sum of
+    l_extendedprice*(1-l_discount)*(1+l_tax) over each order's lineitems,
+    plus orders with no lineitems at all. Referential checks membership;
+    this checks the NUMBERS. The per-row decimal(38,12) pre-cast makes the
+    fact-side total bit-identical on any partitioning and engine."""
+    from okay_spark.checks import aggregate_consistency
+
+    li = _read(spark, sf_dir, "lineitem")
+    od = _read(spark, sf_dir, "orders")
+    measure = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return aggregate_consistency(
+        li, od, "l_orderkey", "o_orderkey", measure, "o_totalprice", tolerance=0.01
+    )
+
+
 def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     supplier = _read(spark, sf_dir, "supplier")
@@ -1828,11 +1860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          twins (pack recursive-CTE, compression replay), and the four
     #          dedup entries touched by the bucket-cap single-evaluation
     #          refactor (cross_dedup also flipped to max_bucket_size=None)
-    #   8-15:  new round-4 operators/entries (streaming cross-dedup,
+    #   8-17:  new round-4 operators/entries (streaming cross-dedup,
     #          key-reduced referential, partition fingerprints, streaming
     #          PSI, corpus line-dedup, rare-token stats, interleave rule,
-    #          quarantine split)
-    #   16-50: re-certification rotation — the oldest below-boundary
+    #          quarantine split, deterministic-HLL sketch, cross-table
+    #          aggregate consistency)
+    #   18-50: re-certification rotation — the oldest below-boundary
     #          entries, last driver-certified in r01/r02 on code that the
     #          r03 dedup.py/checks.py refactors have since touched; the
     #          judge's r03 spot-check found no rot, this makes the gate say
@@ -1861,6 +1894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_tokens_documents": q_rare_tokens_documents,
         "interleave_spans_documents": q_interleave_spans_documents,
         "quarantine_documents": q_quarantine_documents,
+        "hll_sketch_events": q_hll_sketch_events,
+        "aggregate_consistency_orders": q_aggregate_consistency_orders,
         # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
@@ -1883,8 +1918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "categorical_drift_events": q_categorical_drift_events,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "bpe_token_count_documents": q_bpe_token_count_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "strip_duplicate_spans_documents": q_strip_duplicate_spans,
         "cap_per_source_documents": q_cap_per_source_documents,
@@ -1901,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as round-4 entries land at positions 8-11) ---- entries below were
         # driver-green in r03, r01/r02-certified rotation overflow, or the
         # documented rows-only fixtures ----
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "bpe_token_count_documents": q_bpe_token_count_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
         "rollup_documents": q_rollup_documents,
         "sample_documents": q_sample_documents,
@@ -3248,6 +3283,56 @@ FROM r WHERE len(rs) > 0
 """
 
 
+# HLL twin: the same 60-bit md5 stream, bucket split, and leading-zero rank
+# as integer expressions — bitlen via the minimal binary string (bin() in
+# DuckDB, conv(x,10,2) in Spark), never a float log.
+_HLL_SKETCH_SQL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT h % 64 AS bucket,
+       CAST(max(CASE WHEN (h >> 6) = 0 THEN 55
+                     ELSE 54 - length(bin(h >> 6)) + 1 END) AS BIGINT) AS max_rho
+FROM h GROUP BY 1
+"""
+
+# Aggregate-consistency twin: identical double measure -> per-row
+# decimal(38,12) cast -> exact decimal sum; stored passes through as the
+# raw double (no decimal round-trip on the output columns).
+# double->decimal goes THROUGH VARCHAR: Spark's cast uses Java's shortest
+# round-trip string (BigDecimal.valueOf), DuckDB's direct cast expands the
+# full binary value — they differ in the 11th decimal on 17-digit
+# mantissas (e.g. 55930.15791999999 -> ...990 vs ...992). CAST(CAST(x AS
+# VARCHAR) AS DECIMAL) replays Spark's semantics exactly. The older
+# decimal twins cast raw parquet doubles (short reps, both paths agree);
+# this one casts a 3-double product, where only the varchar path matches.
+# The OUTPUT decimal->double casts also route through VARCHAR: DuckDB's
+# direct decimal->double is 1 ulp off Java's correctly-rounded
+# BigDecimal.doubleValue; exact digits -> strtod is correctly rounded.
+_AGG_CONSISTENCY_SQL = """
+WITH agg AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS VARCHAR) AS DECIMAL(38,12))) AS computed_dec
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderkey, o.o_totalprice,
+         CAST(CAST(o.o_totalprice AS VARCHAR) AS DECIMAL(38,12)) AS stored_dec, computed_dec
+  FROM orders o LEFT JOIN agg USING (o_orderkey)
+), v AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS stored,
+         CAST(CAST(computed_dec AS VARCHAR) AS DOUBLE) AS computed,
+         CAST(CAST(stored_dec - computed_dec AS VARCHAR) AS DOUBLE) AS diff,
+         CASE WHEN computed_dec IS NULL THEN 'missing_fact_rows'
+              WHEN abs(stored_dec - computed_dec) > CAST(0.01 AS DECIMAL(38,12))
+              THEN 'total_mismatch' END AS rule
+  FROM j
+)
+SELECT * FROM v WHERE rule IS NOT NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
@@ -3309,6 +3394,8 @@ def oracle_sql() -> dict[str, str]:
         "rare_tokens_documents": _RARE_TOKENS_SQL,
         "interleave_spans_documents": _INTERLEAVE_SPANS_SQL,
         "quarantine_documents": _QUARANTINE_SQL,
+        "hll_sketch_events": _HLL_SKETCH_SQL,
+        "aggregate_consistency_orders": _AGG_CONSISTENCY_SQL,
         "referential_events_supplier": (
             "SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL "
             "AND user_id NOT IN (SELECT s_suppkey FROM supplier)"

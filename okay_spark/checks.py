@@ -1193,3 +1193,132 @@ def adjacent_pair_violations(
             F.lit(rule).alias("rule"),
         )
     )
+
+def hll_sketch(df: DataFrame, col: str, *, p: int = 6) -> DataFrame:
+    """Deterministic HyperLogLog sketch state: one row per non-empty
+    register, ``(bucket, max_rho)``. Unlike ``approx_count_distinct``
+    (whose JVM-internal hash cannot be replayed outside Spark), every step
+    here is an md5-derived integer expression a SQL oracle reproduces
+    bit-for-bit — so the distributed sketch STATE is exactly certifiable,
+    while the scalar estimate stays a driver-side fold over at most 2^p
+    rows (:func:`hll_estimate`). The reference has no approximate
+    operators at all (per-document validation only,
+    /root/reference/src/okay/validator.py).
+
+    Construction (Flajolet et al. 2007, HyperLogLog):
+
+    - 60-bit hash ``h`` from the md5 hex prefix (15 nibbles — the same
+      cross-engine stream every fixture twin uses);
+    - register index ``bucket = h mod 2^p``; remainder ``rest = h div 2^p``
+      has ``K = 60 - p`` usable bits;
+    - ``rho = K - bitlen(rest) + 1`` (leading-zero count + 1), where
+      ``bitlen`` is the length of the minimal binary string — an exact
+      integer identity for ``floor(log2)+1``, never a float log;
+    - per-register state is ``max(rho)``: a tiny hash aggregate with
+      partial (map-side) max combine and at most 2^p result rows.
+
+    Mergeability — THE property that makes sketches work on a cluster —
+    is literal here: the sketch of a union is the row-wise max of the
+    sketches (pytest-pinned). Nulls are skipped, matching count_distinct.
+    """
+    m = 1 << p
+    k = 60 - p
+    c = F.col(col).cast("string")
+    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+    bucket = F.pmod(h, F.lit(m))
+    # h >> p, NOT h / m: bigint '/' goes through double and a 60-bit value
+    # loses its low bits past 2^53
+    rest = F.shiftright(h, p)
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rho = F.when(rest == 0, F.lit(k + 1)).otherwise(F.lit(k) - bitlen + 1)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.cast("bigint").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, *, p: int = 6) -> float:
+    """Fold a :func:`hll_sketch` frame into the HLL cardinality estimate.
+
+    Driver-side over at most 2^p rows (the one bounded collect). Standard
+    bias-corrected form: ``E = alpha_m * m^2 / sum(2^-M_j)`` with the
+    small-range correction ``m * ln(m / V)`` when ``E <= 2.5m`` and ``V``
+    registers are empty. The float math lives HERE, after the exact
+    distributed state — the driver entry certifies the state, pytest
+    bounds the estimate's relative error and pins merge-equality."""
+    import math
+
+    m = 1 << p
+    rows = sketch.collect()
+    regs = {int(r["bucket"]): int(r["max_rho"]) for r in rows}
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def aggregate_consistency(
+    fact: DataFrame,
+    parent: DataFrame,
+    fact_key: str,
+    parent_key: str,
+    measure: Column,
+    stored_col: str,
+    *,
+    tolerance: float = 0.0,
+) -> DataFrame:
+    """Cross-table AGGREGATE consistency: flag parent rows whose stored
+    total disagrees with the fact-side aggregate (orders.o_totalprice vs
+    the sum over its lineitems), plus parents with no fact rows at all.
+    Referential integrity checks membership; this checks the NUMBERS — the
+    other half of cross-table validation, and nothing the per-document
+    reference can express (validator.py sees one document at a time).
+
+    Output: one row per violating parent —
+    ``(parent_key, stored, computed, diff, rule)`` with rule
+    ``total_mismatch`` (|stored - computed| > tolerance) or
+    ``missing_fact_rows`` (no fact rows; computed/diff null).
+
+    Exactness discipline: ``measure`` is evaluated in double (IEEE ops are
+    deterministic), then CAST per-row to decimal(38,12) BEFORE the sum —
+    decimal addition is associative, so the total is bit-identical on any
+    partitioning and any engine (the numeric_outliers / pairwise_corr
+    moment rule). Outputs are cast back to double for materialization
+    stability.
+
+    Scale shape: the fact side partial-aggregates map-side, so only one
+    pre-aggregated row per key reaches the shuffle; the parent join is an
+    equi-join on the key (broadcast when the aggregate is small, AQE
+    otherwise). Two designed shuffles, bounded reducer state.
+    """
+    dec = "decimal(38,12)"
+    # Subtracting two decimal(38,12) operands needs precision 39, so Spark
+    # drops the result to scale 11 (half-up) while other engines keep scale
+    # 12 — the diff column would diverge in its 12th decimal. Subtract at
+    # decimal(37,12) instead: max(25,25)+12+1 = 38 fits, full scale kept.
+    dsub = "decimal(37,12)"
+    agg = fact.groupBy(F.col(fact_key).alias(parent_key)).agg(
+        F.sum(measure.cast(dec)).alias("_computed")
+    )
+    stored_dec = F.col(stored_col).cast(dec)
+    joined = parent.join(agg, on=parent_key, how="left")
+    diff = stored_dec.cast(dsub) - F.col("_computed").cast(dsub)
+    return (
+        joined.select(
+            F.col(parent_key),
+            F.col(stored_col).cast("double").alias("stored"),
+            F.col("_computed").cast("double").alias("computed"),
+            diff.cast("double").alias("diff"),
+            F.when(F.col("_computed").isNull(), F.lit("missing_fact_rows"))
+            .when(
+                F.abs(diff) > F.lit(tolerance).cast(dec), F.lit("total_mismatch")
+            )
+            .alias("rule"),
+        )
+        .filter(F.col("rule").isNotNull())
+    )

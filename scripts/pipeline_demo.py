@@ -3,11 +3,13 @@
 One command composes the full surface a reference-okay user gains by
 switching: schema validation plus the corpus operators okay never had.
 
-    ingest (JSONL w/ reject capture)  ->  validate (rule battery)
+    ingest (JSONL w/ reject capture)  ->  validate + quarantine split
+    (clean docs continue; quarantined docs sink with a reasons digest)
     ->  quality gate (expectation suite)  ->  exact + near dedup
     (SimHash -> connected components -> canonical keep)
+    ->  corpus line-dedup (cross-doc boilerplate lines removed in place)
     ->  duplicated-span strip (cross-doc token n-grams removed in place)
-    ->  quality / repetition filters  ->  benchmark decontamination
+    ->  quality / repetition / rare-token filters  ->  benchmark decontamination
     (n-gram overlap + whole-document cross-corpus minhash)
     ->  per-domain cap  ->  PII scan + redact  ->  chunk -> pack (sequence
     token budget)  ->  resample to target language mix -> per-language
@@ -62,9 +64,18 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
 
     violations = validate_dataframe(docs, doc_schema, id_cols=["doc_id"])
     violations.write.mode("overwrite").parquet(f"{out}/violations")
-    bad_ids = violations.select("doc_id").distinct()
-    clean = docs.join(bad_ids, on="doc_id", how="left_anti")
+    from okay_spark.engine import quarantine
+
+    clean, quarantined = quarantine(docs, doc_schema, id_cols=["doc_id"])
+    quarantined.write.mode("overwrite").parquet(f"{out}/quarantined")
     stats["validated"] = clean.count()
+
+    # corpus-cardinality sanity: the deterministic HLL estimate must agree
+    # with the exact count within sketch error (p=9 ~ 4.6% standard error)
+    from okay_spark.checks import hll_estimate, hll_sketch
+
+    est = hll_estimate(hll_sketch(clean, "doc_id", p=9), p=9)
+    stats["hll_doc_id_estimate"] = int(est)
 
     # 2. table-level quality gate (fails loudly if the corpus is off)
     report = (
@@ -90,6 +101,27 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     deduped = clean.join(keep, on="doc_id", how="left_semi")
     stats["after_dedup"] = deduped.count()
 
+    # 3a'. corpus line-dedup: lines (8-word chunks here) shared verbatim by
+    #      >= 2 docs are struck from every doc — the cheap coarse pass before
+    #      the token-n-gram strip below (one gram per LINE, not per token)
+    from okay_spark.dedup import drop_duplicate_lines
+
+    lined = deduped.drop("text").join(
+        drop_duplicate_lines(
+            deduped.select(
+                "doc_id",
+                F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n").alias("text"),
+            ),
+            min_doc_freq=2,
+        )
+        .filter(F.col("n_kept") >= 5)
+        .select("doc_id", F.regexp_replace("text_dedup", r"\n", " ").alias("text")),
+        on="doc_id",
+        how="inner",
+    ).select(*deduped.columns)
+    stats["after_line_dedup"] = lined.count()
+    deduped = lined
+
     # 3b. duplicated-span strip: cross-document boilerplate n-grams are
     #     removed IN PLACE (near-dedup above drops whole documents; this
     #     keeps the document, minus the shared span); docs reduced below a
@@ -110,11 +142,16 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     )
     stats["after_span_strip"] = deduped.count()
 
-    # 4. document quality + repetition filters (Gopher-style)
+    # 4. document quality + repetition + rare-token filters (Gopher-style)
+    from okay_spark.textops import rare_token_stats
+
     rep = repetition_stats(deduped, k=2).select("doc_id", "dup_gram_ratio")
-    scored = quality_score(deduped).join(rep, on="doc_id")
+    rare = rare_token_stats(deduped, min_df=2).select("doc_id", "rare_ratio")
+    scored = quality_score(deduped).join(rep, on="doc_id").join(rare, on="doc_id")
     filtered = scored.filter(
-        (F.col("quality") >= 0.3) & (F.col("dup_gram_ratio") <= 0.5)
+        (F.col("quality") >= 0.3)
+        & (F.col("dup_gram_ratio") <= 0.5)
+        & (F.coalesce(F.col("rare_ratio"), F.lit(0.0)) <= 0.9)
     ).select(*deduped.columns)
     stats["after_quality"] = filtered.count()
 

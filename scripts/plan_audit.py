@@ -620,6 +620,37 @@ def main() -> None:
         "is array_sort/array_join over the violations array — row-local",
     )
 
+    from okay_spark.checks import aggregate_consistency, hll_sketch
+
+    audit(
+        "hll_sketch",
+        hll_sketch(events, "user_id", p=6),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="deterministic HLL registers: md5/shift/bitlen integer "
+        "expressions + ONE hash aggregate with map-side max combine — at "
+        "most 2^p rows ever shuffle; the estimate folds those rows "
+        "driver-side (bounded collect)",
+    )
+    audit(
+        "aggregate_consistency",
+        aggregate_consistency(
+            lineitem,
+            orders,
+            "l_orderkey",
+            "o_orderkey",
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            "o_totalprice",
+            tolerance=0.01,
+        ),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="stored-total vs fact-sum: the fact side partial-aggregates "
+        "map-side (one decimal row per key reaches the shuffle); parent "
+        "join is an equi-join on the key (broadcast/AQE); decimal(38,12) "
+        "pre-cast keeps the total partition- and engine-invariant",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")

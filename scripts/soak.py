@@ -61,9 +61,9 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.shuffle.partitions", "128")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "16g")
         .appName("okay-soak")
         .getOrCreate()
     )
@@ -129,7 +129,9 @@ def main() -> None:
         f"# SOAK — {N:,} documents on local[{CPUS}] (vs the {6_000_000:,}-doc bench fixture)",
         "",
         "Same operators, ~3.3x the data: throughput per doc must hold (linear",
-        "scan-bound cost, no memory/GC cliff). Driver memory capped at 8g.",
+        "scan-bound cost, no memory/GC cliff). Driver heap 16g, 128 shuffle",
+        "partitions (the 80M-row localCheckpoint of the capped minhash buckets",
+        "needs execution headroom an 8g heap lacks at this scale).",
         "The dedup/sampling rows run at N/4 AND N on the same corpus shape —",
         "docs/sec holding across the 4x is the linearity evidence (capped",
         "minhash: two-phase bucket cap, signatures localCheckpoint-ed once;",

@@ -17,7 +17,13 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     stats = run_pipeline(spark, "/root/testdata/sf0.001", out)
     # monotone funnel: each stage can only drop documents
     assert stats["ingested"] >= stats["validated"] >= stats["after_dedup"]
-    assert stats["after_dedup"] >= stats["after_span_strip"] >= stats["after_quality"]
+    assert stats["after_dedup"] >= stats["after_line_dedup"]
+    assert stats["after_line_dedup"] >= stats["after_span_strip"] >= stats["after_quality"]
+    # the deterministic HLL estimate agrees with the exact count within
+    # sketch error (p=9, ~4.6% standard error; allow 3 sigma)
+    assert abs(stats["hll_doc_id_estimate"] - stats["validated"]) <= max(
+        0.15 * stats["validated"], 5
+    )
     assert stats["after_quality"] >= stats["after_decontamination"]
     assert stats["after_decontamination"] >= stats["after_doc_decontamination"]
     assert stats["after_doc_decontamination"] >= stats["after_domain_cap"]
@@ -33,6 +39,10 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     # sinks exist and are readable with the expected shapes
     v = spark.read.parquet(f"{out}/violations")
     assert {"doc_id", "path", "rule"} <= set(v.columns)
+    q = spark.read.parquet(f"{out}/quarantined")
+    assert {"doc_id", "n_violations", "reasons"} <= set(q.columns)
+    # quarantine + clean partition the input exactly
+    assert q.count() + stats["validated"] == stats["ingested"]
     seqs = spark.read.parquet(f"{out}/sequences")
     assert seqs.count() == stats["sequences"]
     corpus = spark.read.parquet(f"{out}/corpus")

@@ -793,3 +793,104 @@ def test_quarantine_is_shuffle_free(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]
         assert "Exchange" not in plan
+
+
+def test_hll_sketch_matches_reference_construction(spark):
+    """Registers equal a from-scratch Python HLL over the same md5 stream
+    (the exactness claim), and merging = row-wise max (the property that
+    makes the sketch distributable)."""
+    import hashlib
+
+    from okay_spark.checks import hll_sketch
+
+    vals_a = [f"u{i}" for i in range(300)]
+    vals_b = [f"v{i}" for i in range(200)] + vals_a[:50]
+    p, m, k = 6, 64, 54
+
+    def py_regs(vals):
+        regs = {}
+        for v in set(vals):
+            h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+            b, rest = h % m, h >> p
+            rho = (k + 1) if rest == 0 else k - rest.bit_length() + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    dfa = spark.createDataFrame([(v,) for v in vals_a], "x string")
+    dfb = spark.createDataFrame([(v,) for v in vals_b], "x string")
+    sa = {r["bucket"]: r["max_rho"] for r in hll_sketch(dfa, "x", p=p).collect()}
+    sb = {r["bucket"]: r["max_rho"] for r in hll_sketch(dfb, "x", p=p).collect()}
+    assert sa == py_regs(vals_a)
+    assert sb == py_regs(vals_b)
+    su = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_sketch(dfa.union(dfb), "x", p=p).collect()
+    }
+    merged = {b: max(sa.get(b, 0), sb.get(b, 0)) for b in set(sa) | set(sb)}
+    assert su == merged
+
+
+def test_hll_estimate_error_bound(spark):
+    """p=9 (512 registers): standard error ~1.04/sqrt(512) ~= 4.6%; assert
+    a loose 3-sigma bound on a 5000-distinct column."""
+    from okay_spark.checks import hll_estimate, hll_sketch
+
+    df = spark.range(5000).selectExpr("concat('id', id) AS x")
+    est = hll_estimate(hll_sketch(df, "x", p=9), p=9)
+    assert abs(est - 5000) / 5000 < 0.15
+
+
+def test_aggregate_consistency_rules(spark):
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import aggregate_consistency
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (1, 5.5), (2, 3.25)], "k bigint, amt double"
+    )
+    parents = spark.createDataFrame(
+        [(1, 15.5), (2, 99.0), (3, 7.0)], "pk bigint, total double"
+    )
+    out = {
+        r["pk"]: r
+        for r in aggregate_consistency(
+            facts, parents, "k", "pk", F.col("amt"), "total"
+        ).collect()
+    }
+    assert 1 not in out  # stored == computed: consistent
+    assert out[2]["rule"] == "total_mismatch" and out[2]["diff"] == 99.0 - 3.25
+    assert out[3]["rule"] == "missing_fact_rows" and out[3]["computed"] is None
+    # tolerance swallows the mismatch
+    tol = aggregate_consistency(
+        facts, parents, "k", "pk", F.col("amt"), "total", tolerance=100.0
+    ).collect()
+    assert {r["rule"] for r in tol} == {"missing_fact_rows"}
+
+
+def test_aggregate_consistency_partition_invariant(spark):
+    """The decimal(38,12) pre-cast makes the computed total independent of
+    partitioning (a raw double sum would not be)."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import aggregate_consistency
+
+    rows = [(i % 7, 0.1 + (i % 13) * 0.017) for i in range(2000)]
+    facts = spark.createDataFrame(rows, "k bigint, amt double")
+    parents = spark.createDataFrame([(i, 1.0) for i in range(7)], "pk bigint, total double")
+    a = sorted(
+        map(
+            tuple,
+            aggregate_consistency(
+                facts.coalesce(1), parents, "k", "pk", F.col("amt"), "total"
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            aggregate_consistency(
+                facts.repartition(11), parents, "k", "pk", F.col("amt"), "total"
+            ).collect(),
+        )
+    )
+    assert a == b
