@@ -312,6 +312,43 @@ def q_aggregate_consistency_orders(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_bloom_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter state over events.user_id
+    (okay_spark/checks.py bloom_sketch): md5-derived probe positions,
+    63-bit words (bit 63 is the BIGINT sign bit), bit_or aggregation — so
+    unlike Spark's built-in bloom_filter_agg the distributed filter STATE
+    is exactly certifiable by the DuckDB twin. Mergeability (sketch of a
+    union == row-wise OR) and no-false-negatives are pytest-pinned."""
+    from okay_spark.checks import bloom_sketch
+
+    return bloom_sketch(_read(spark, sf_dir, "events"), "user_id", m_bits=4096, k=5)
+
+
+def q_referential_bloom_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned referential (okay_spark/checks.py
+    referential_violations_bloom), exact by construction: definite misses
+    (no false negatives) reach the output with zero joins; only
+    bloom-positive keys anti-join the dim. m_bits=256 over supplier's ~100
+    keys SATURATES the filter on purpose — roughly half the ~3.3k violating
+    events at sf0.01 exit through each branch, so the scan-only split AND
+    the exact confirmation are both non-vacuously certified against the
+    same NOT IN oracle as the key-reduced strategy."""
+    events = _read(spark, sf_dir, "events")
+    supplier = _read(spark, sf_dir, "supplier")
+    from okay_spark.checks import referential_violations_bloom
+
+    out = referential_violations_bloom(
+        events.select("event_id", "user_id"),
+        "user_id",
+        supplier,
+        "s_suppkey",
+        m_bits=256,
+        k=5,
+        id_cols=["event_id"],
+    )
+    return out.select("event_id", "path", "rule")
+
+
 def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     supplier = _read(spark, sf_dir, "supplier")
@@ -1860,12 +1897,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          twins (pack recursive-CTE, compression replay), and the four
     #          dedup entries touched by the bucket-cap single-evaluation
     #          refactor (cross_dedup also flipped to max_bucket_size=None)
-    #   8-17:  new round-4 operators/entries (streaming cross-dedup,
+    #   8-19:  new round-4 operators/entries (streaming cross-dedup,
     #          key-reduced referential, partition fingerprints, streaming
     #          PSI, corpus line-dedup, rare-token stats, interleave rule,
     #          quarantine split, deterministic-HLL sketch, cross-table
-    #          aggregate consistency)
-    #   18-50: re-certification rotation — the oldest below-boundary
+    #          aggregate consistency, deterministic Bloom sketch,
+    #          bloom-pruned referential)
+    #   20-50: re-certification rotation — the oldest below-boundary
     #          entries, last driver-certified in r01/r02 on code that the
     #          r03 dedup.py/checks.py refactors have since touched; the
     #          judge's r03 spot-check found no rot, this makes the gate say
@@ -1896,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_documents": q_quarantine_documents,
         "hll_sketch_events": q_hll_sketch_events,
         "aggregate_consistency_orders": q_aggregate_consistency_orders,
+        "bloom_sketch_events": q_bloom_sketch_events,
+        "referential_bloom_events": q_referential_bloom_events,
         # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
@@ -1928,12 +1968,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_composite_lineitem": q_referential_composite_lineitem,
         "grouped_outliers_events": q_grouped_outliers_events,
         "volume_anomaly_events": q_volume_anomaly_events,
-        "pii_scan_documents": q_pii_scan_documents,
-        "inferred_schema_documents": q_inferred_schema_documents,
         # ---- window boundary (first 50 certified; keep exactly 50 above
         # as round-4 entries land at positions 8-11) ---- entries below were
         # driver-green in r03, r01/r02-certified rotation overflow, or the
-        # documented rows-only fixtures ----
+        # documented rows-only fixtures. pii_scan/inferred_schema displaced
+        # by the bloom entries: both r02-green (2 rounds old), r05 rotation
+        # candidates ----
+        "pii_scan_documents": q_pii_scan_documents,
+        "inferred_schema_documents": q_inferred_schema_documents,
         "edit_distance_pairs": q_edit_distance_pairs,
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -3333,6 +3375,21 @@ SELECT * FROM v WHERE rule IS NOT NULL
 """
 
 
+# Bloom-sketch twin: same md5 probe stream as the Spark side, 63-bit words
+# (bit 63 is the sign bit; 1<<63 overflows checked BIGINT), bit_or per word.
+_BLOOM_SKETCH_SQL = """
+WITH probes AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 4096 AS pos
+  FROM events, range(5) t(i)
+  WHERE user_id IS NOT NULL
+)
+SELECT CAST(pos // 63 AS INT) AS word_idx,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS BIGINT) AS word
+FROM probes
+GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
@@ -3375,6 +3432,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)"
         ),
         "referential_key_reduce_events": (
+            "SELECT event_id, 'user_id' AS path, 'unknown_reference' AS rule FROM events "
+            "WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT s_suppkey FROM supplier)"
+        ),
+        "bloom_sketch_events": _BLOOM_SKETCH_SQL,
+        # the bloom-pruned strategy must reproduce the plain anti-join
+        "referential_bloom_events": (
             "SELECT event_id, 'user_id' AS path, 'unknown_reference' AS rule FROM events "
             "WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT s_suppkey FROM supplier)"
         ),

@@ -651,6 +651,53 @@ def main() -> None:
         "pre-cast keeps the total partition- and engine-invariant",
     )
 
+    from okay_spark.checks import (
+        bloom_contains,
+        bloom_sketch,
+        bloom_words,
+        referential_violations_bloom,
+    )
+
+    audit(
+        "bloom_sketch",
+        bloom_sketch(events, "user_id", m_bits=4096, k=5),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="deterministic Bloom state: md5 probe positions + ONE bit_or "
+        "hash aggregate with map-side partial combine — at most "
+        "ceil(m_bits/63) word rows ever shuffle, whatever the key "
+        "cardinality",
+    )
+    _bw = bloom_words(bloom_sketch(events, "user_id", m_bits=4096, k=5), m_bits=4096)
+    audit(
+        "bloom probe (definite-miss branch)",
+        events.filter(~bloom_contains(F.col("user_id"), _bw, m_bits=4096, k=5)),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="row-local membership test against the broadcast word array: "
+        "pure codegen scan, zero joins — definite referential violations "
+        "exit here without the fact table ever shuffling",
+    )
+    audit(
+        "referential_violations_bloom (exact composition)",
+        referential_violations_bloom(
+            events.select("event_id", "user_id"),
+            "user_id",
+            spark.read.parquet(f"{SF_DIR}/supplier.parquet"),
+            "s_suppkey",
+            m_bits=256,
+            k=5,
+            id_cols=["event_id"],
+        ),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="bloom-pruned referential: the dim aggregates into bounded "
+        "filter state once; only bloom-POSITIVE distinct keys anti-join "
+        "the dim (the checkpointed bad-key subplan carries those "
+        "exchanges); the surviving-key set broadcasts back, so the fact "
+        "side is two scans and zero sorts",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")

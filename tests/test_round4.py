@@ -894,3 +894,118 @@ def test_aggregate_consistency_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# deterministic Bloom filter: mergeable state, no false negatives, exact
+# bloom-pruned referential
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_sketch_mergeable_and_bounded(spark):
+    """The sketch of a union is the row-wise OR of the sketches — THE
+    property that lets filter state build distributed — and the state never
+    exceeds ceil(m_bits/63) rows no matter the key cardinality."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import bloom_sketch
+
+    m = 1 << 10
+    a = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    b = spark.range(5_000, 10_000).select(F.col("id").alias("k"))
+    sa = {r["word_idx"]: r["word"] for r in bloom_sketch(a, "k", m_bits=m).collect()}
+    sb = {r["word_idx"]: r["word"] for r in bloom_sketch(b, "k", m_bits=m).collect()}
+    su = {
+        r["word_idx"]: r["word"]
+        for r in bloom_sketch(a.unionByName(b), "k", m_bits=m).collect()
+    }
+    merged = {i: sa.get(i, 0) | sb.get(i, 0) for i in set(sa) | set(sb)}
+    assert su == {i: w for i, w in merged.items() if w}
+    assert len(su) <= (m + 62) // 63
+    # bits live in [0, 62]: no word is negative (bit 63 is the sign bit)
+    assert all(w > 0 for w in su.values())
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must pass bloom_contains, even on a saturated
+    filter — the soundness property the definite-miss branch relies on."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import bloom_contains, bloom_sketch, bloom_words
+
+    keys = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    for m in (64, 1 << 14):  # saturated and roomy
+        words = bloom_words(bloom_sketch(keys, "k", m_bits=m), m_bits=m)
+        misses = (
+            keys.select(bloom_contains(F.col("k"), words, m_bits=m).alias("h"))
+            .filter(~F.col("h"))
+            .count()
+        )
+        assert misses == 0, f"false negative at m_bits={m}"
+
+
+def test_referential_bloom_matches_plain(spark):
+    """The bloom-pruned strategy equals the plain anti-join row-for-row —
+    on a roomy filter AND on a deliberately saturated one where most
+    violators collide into the confirmation branch."""
+    from okay_spark.checks import referential_violations, referential_violations_bloom
+
+    fact, dim = _ref_fixture(spark)
+    base = {
+        (r["rid"], r["expected"])
+        for r in referential_violations(fact, "fk", dim, "pk", id_cols=["rid"]).collect()
+    }
+    for m in (1 << 14, 64):
+        got = {
+            (r["rid"], r["expected"])
+            for r in referential_violations_bloom(
+                fact, "fk", dim, "pk", m_bits=m, id_cols=["rid"]
+            ).collect()
+        }
+        assert got == base and len(base) > 20_000, f"mismatch at m_bits={m}"
+
+
+def test_referential_bloom_both_branches_nonvacuous(spark):
+    """On the saturated driver-entry shape, definite misses AND confirmed
+    false positives both carry rows — the certification exercises the
+    scan-only split and the exact confirmation, not just one path."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import bloom_contains, bloom_sketch, bloom_words
+
+    fact, dim = _ref_fixture(spark)
+    # m=128: ~250 insertions over 128 bits partially saturates — small
+    # enough for false positives, big enough that misses survive (m=64 is
+    # FULLY saturated: every bit set, no definite misses at all)
+    m = 128
+    words = bloom_words(bloom_sketch(dim, "pk", m_bits=m), m_bits=m)
+    flagged = fact.withColumn(
+        "_hit", bloom_contains(F.col("fk"), words, m_bits=m)
+    ).join(dim, fact["fk"] == dim["pk"], "left_anti")
+    split = {
+        r["_hit"]: r["n"]
+        for r in flagged.groupBy("_hit").agg(F.count("*").alias("n")).collect()
+    }
+    assert split.get(False, 0) > 0, "no definite misses"
+    assert split.get(True, 0) > 0, "no bloom-positive violators (confirmation idle)"
+
+
+def test_bloom_probe_branch_is_scan_only(spark):
+    """The definite-miss branch is a pure codegen scan: the literal word
+    array is probed row-locally, so the plan has no Exchange, no join, and
+    no Python."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import bloom_contains, bloom_sketch, bloom_words
+
+    fact, dim = _ref_fixture(spark)
+    m = 1 << 10
+    words = bloom_words(bloom_sketch(dim, "pk", m_bits=m), m_bits=m)
+    definite = fact.filter(~bloom_contains(F.col("fk"), words, m_bits=m))
+    definite.collect()
+    plan = definite._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
