@@ -349,6 +349,34 @@ def q_referential_bloom_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "path", "rule")
 
 
+def q_cms_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic count-min sketch state over events.user_id
+    (okay_spark/checks.py cms_sketch): md5-derived bucket per hash row,
+    plain count aggregate — at most depth*width cells regardless of key
+    cardinality, and every cell exactly certifiable by the DuckDB twin.
+    width=256 over ~150 distinct keys forces real collisions, so the
+    state being certified is a genuinely lossy sketch, not a disguised
+    exact count. Completes the sketch trio (HLL cardinality, Bloom
+    membership, CMS frequency)."""
+    from okay_spark.checks import cms_sketch
+
+    return cms_sketch(_read(spark, sf_dir, "events"), "user_id", depth=4, width=256)
+
+
+def q_cms_frequency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point queries (okay_spark/checks.py cms_frequency): every
+    distinct user_id probed against the width=256 sketch — the broadcast
+    join + min-over-rows fold, est >= true always (the one-sided heavy-
+    hitter guarantee, pytest-pinned). The DuckDB twin replays the
+    collisions bit-for-bit."""
+    from okay_spark.checks import cms_frequency, cms_sketch
+
+    ev = _read(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", depth=4, width=256)
+    probes = ev.select("user_id").dropDuplicates()
+    return cms_frequency(sk, probes, "user_id", depth=4, width=256)
+
+
 def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     supplier = _read(spark, sf_dir, "supplier")
@@ -1897,13 +1925,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          twins (pack recursive-CTE, compression replay), and the four
     #          dedup entries touched by the bucket-cap single-evaluation
     #          refactor (cross_dedup also flipped to max_bucket_size=None)
-    #   8-19:  new round-4 operators/entries (streaming cross-dedup,
+    #   8-21:  new round-4 operators/entries (streaming cross-dedup,
     #          key-reduced referential, partition fingerprints, streaming
     #          PSI, corpus line-dedup, rare-token stats, interleave rule,
     #          quarantine split, deterministic-HLL sketch, cross-table
     #          aggregate consistency, deterministic Bloom sketch,
-    #          bloom-pruned referential)
-    #   20-50: re-certification rotation — the oldest below-boundary
+    #          bloom-pruned referential, count-min sketch + point queries)
+    #   22-50: re-certification rotation — the oldest below-boundary
     #          entries, last driver-certified in r01/r02 on code that the
     #          r03 dedup.py/checks.py refactors have since touched; the
     #          judge's r03 spot-check found no rot, this makes the gate say
@@ -1936,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_consistency_orders": q_aggregate_consistency_orders,
         "bloom_sketch_events": q_bloom_sketch_events,
         "referential_bloom_events": q_referential_bloom_events,
+        "cms_sketch_events": q_cms_sketch_events,
+        "cms_frequency_events": q_cms_frequency_events,
         # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
@@ -1966,14 +1996,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_field_events": q_cross_field_events,
         "quantile_drift_events": q_quantile_drift_events,
         "referential_composite_lineitem": q_referential_composite_lineitem,
+        # ---- window boundary (first 50 certified; keep exactly 50 above
+        # as round-4 entries land at positions 8-21) ---- entries below were
+        # driver-green in r03, r01/r02-certified rotation overflow, or the
+        # documented rows-only fixtures. pii_scan/inferred_schema/
+        # grouped_outliers/volume_anomaly displaced by the bloom and CMS
+        # entries: all four r02-green (2 rounds old), r05 rotation
+        # candidates ----
         "grouped_outliers_events": q_grouped_outliers_events,
         "volume_anomaly_events": q_volume_anomaly_events,
-        # ---- window boundary (first 50 certified; keep exactly 50 above
-        # as round-4 entries land at positions 8-11) ---- entries below were
-        # driver-green in r03, r01/r02-certified rotation overflow, or the
-        # documented rows-only fixtures. pii_scan/inferred_schema displaced
-        # by the bloom entries: both r02-green (2 rounds old), r05 rotation
-        # candidates ----
         "pii_scan_documents": q_pii_scan_documents,
         "inferred_schema_documents": q_inferred_schema_documents,
         "edit_distance_pairs": q_edit_distance_pairs,
@@ -3390,6 +3421,31 @@ GROUP BY 1
 """
 
 
+# Count-min twin: same md5 bucket stream, plain count per (row, bucket)
+# cell. "row" is quoted — a DuckDB keyword, a plain name on the Spark side.
+_CMS_SKETCH_SQL = """
+WITH fan AS (
+  SELECT CAST(i AS INT) AS "row",
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 256 AS INT) AS bucket
+  FROM events, range(4) t(i)
+  WHERE user_id IS NOT NULL
+)
+SELECT "row", bucket, CAST(count(*) AS BIGINT) AS cnt FROM fan GROUP BY 1, 2
+"""
+
+_CMS_FREQ_SQL = f"""
+WITH sk AS ({_CMS_SKETCH_SQL}),
+probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS value FROM events WHERE user_id IS NOT NULL),
+fan2 AS (
+  SELECT value, CAST(i AS INT) AS "row",
+         CAST(('0x' || substr(md5(value || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 256 AS INT) AS bucket
+  FROM probes, range(4) t(i)
+)
+SELECT value, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est
+FROM fan2 LEFT JOIN sk USING ("row", bucket) GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
@@ -3441,6 +3497,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, 'user_id' AS path, 'unknown_reference' AS rule FROM events "
             "WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT s_suppkey FROM supplier)"
         ),
+        "cms_sketch_events": _CMS_SKETCH_SQL,
+        "cms_frequency_events": _CMS_FREQ_SQL,
         "streaming_drift_events": _DRIFT_SQL.replace(
             "SELECT round(SUM(term), 6) AS psi, round(MAX(ABS(cp - cq)), 6) AS ks,\n"
             "  (SELECT nc FROM tot) AS n_current, (SELECT nr FROM tot) AS n_reference",

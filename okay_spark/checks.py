@@ -1409,6 +1409,77 @@ def bloom_contains(col: Column, words: list[int], *, m_bits: int, k: int = 5) ->
     return F.forall(F.sequence(F.lit(0), F.lit(k - 1)), bit_set)
 
 
+def cms_sketch(df: DataFrame, col: str, *, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Deterministic count-min sketch over ``df[col]``: one row per
+    non-empty counter, ``(row, bucket, cnt)``. Completes the sketch trio
+    — :func:`hll_sketch` (cardinality), :func:`bloom_sketch` (membership),
+    this (frequency) — and like the other two, every hash is an
+    md5-derived integer Column expression, so the distributed sketch
+    STATE is exactly certifiable by a SQL oracle.
+
+    Construction (Cormode & Muthukrishnan 2005): each value increments
+    one counter per hash row, ``bucket = md5(value|row) mod width``; the
+    aggregate is a plain count with map-side partial combine and at most
+    ``depth * width`` result rows — frequency monitoring whose state is
+    bounded by parameters, not key cardinality. Mergeability is literal:
+    the sketch of a union is the cell-wise SUM of the sketches
+    (pytest-pinned). Nulls are skipped.
+    """
+    rows = df.filter(F.col(col).isNotNull()).select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        F.col(col).cast("string").alias("_v"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("_v"), F.col("row").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
+    )
+    return (
+        rows.select(F.col("row").cast("int").alias("row"), bucket.cast("int").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_frequency(
+    sketch: DataFrame, probes: DataFrame, col: str, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query a :func:`cms_sketch`: for every probe key, the
+    estimated frequency ``est = min over hash rows of the counter it
+    lands in``. The count-min guarantee — ``est >= true count`` always,
+    ``est <= true + eps * N`` with high probability — is one-sided, so a
+    threshold alert on ``est`` can over-fire but never miss a heavy
+    hitter (pytest pins the lower bound exactly).
+
+    Plan shape: probes fan out ``depth`` rows each, equi-join the sketch
+    (broadcast — the sketch is at most ``depth * width`` rows by
+    construction), then one hash aggregate keyed by probe value. Nothing
+    scales with the sketched table's size; missing cells mean a count of
+    zero (the key never hashed there).
+    """
+    fan = probes.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("value"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("value"), F.col("row").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
+    )
+    keyed = fan.select("value", F.col("row").cast("int").alias("row"), bucket.cast("int").alias("bucket"))
+    joined = keyed.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+    return (
+        joined.groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
 def referential_violations_bloom(
     fact: DataFrame,
     fk_col: str,

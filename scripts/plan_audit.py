@@ -698,6 +698,30 @@ def main() -> None:
         "side is two scans and zero sorts",
     )
 
+    from okay_spark.checks import cms_frequency, cms_sketch
+
+    _cms = cms_sketch(events, "user_id", depth=4, width=256)
+    audit(
+        "cms_sketch",
+        _cms,
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="count-min state: md5 bucket per hash row + ONE count "
+        "aggregate with map-side partial combine — at most depth*width "
+        "cells ever shuffle, whatever the key cardinality",
+    )
+    audit(
+        "cms_frequency (point queries)",
+        cms_frequency(
+            _cms, events.select("user_id").dropDuplicates(), "user_id", depth=4, width=256
+        ),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="probes fan out depth rows, BROADCAST-join the bounded sketch "
+        "(never a shuffle of the sketched table), then one hash aggregate "
+        "keyed by probe value — cost scales with the probe set only",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")

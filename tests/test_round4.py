@@ -1009,3 +1009,69 @@ def test_bloom_probe_branch_is_scan_only(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: mergeable state, one-sided frequency guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_cms_sketch_mergeable_and_bounded(spark):
+    """The sketch of a union is the cell-wise SUM of the sketches, and the
+    state never exceeds depth*width cells no matter the key cardinality."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import cms_sketch
+
+    d, w = 3, 64
+    a = spark.range(0, 3_000).select(F.pmod(F.col("id"), F.lit(37)).alias("k"))
+    b = spark.range(0, 2_000).select(F.pmod(F.col("id"), F.lit(11)).alias("k"))
+    sa = {(r["row"], r["bucket"]): r["cnt"] for r in cms_sketch(a, "k", depth=d, width=w).collect()}
+    sb = {(r["row"], r["bucket"]): r["cnt"] for r in cms_sketch(b, "k", depth=d, width=w).collect()}
+    su = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(a.unionByName(b), "k", depth=d, width=w).collect()
+    }
+    merged = {c: sa.get(c, 0) + sb.get(c, 0) for c in set(sa) | set(sb)}
+    assert su == merged
+    assert len(su) <= d * w
+
+
+def test_cms_frequency_one_sided_and_exact_when_roomy(spark):
+    """est >= true count for EVERY key (the guarantee threshold alerts rely
+    on), with collisions present at width=32; at width=4096 over 37 keys no
+    row collides, so est == true exactly."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import cms_frequency, cms_sketch
+
+    df = spark.range(0, 5_000).select(F.pmod(F.xxhash64("id"), F.lit(37)).alias("k"))
+    truth = {str(r["k"]): r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    probes = df.dropDuplicates(["k"])
+    for w, must_be_exact in ((32, False), (4096, True)):
+        est = {
+            r["value"]: r["est"]
+            for r in cms_frequency(
+                cms_sketch(df, "k", depth=4, width=w), probes, "k", depth=4, width=w
+            ).collect()
+        }
+        assert set(est) == set(truth)
+        assert all(est[v] >= truth[v] for v in truth), f"undercount at width={w}"
+        if must_be_exact:
+            assert est == truth
+        else:
+            assert any(est[v] > truth[v] for v in truth), "width=32 should collide"
+
+
+def test_cms_unknown_key_estimates_from_collisions_only(spark):
+    """A key never inserted still gets a well-defined estimate (the min of
+    whatever collided into its cells) — and zero when a cell is empty."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import cms_frequency, cms_sketch
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    sk = cms_sketch(df, "k", depth=4, width=4096)
+    ghost = spark.createDataFrame([(999_999,)], "k bigint")
+    est = cms_frequency(sk, ghost, "k", depth=4, width=4096).collect()
+    assert est[0]["est"] == 0
