@@ -377,6 +377,27 @@ def q_cms_frequency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_frequency(sk, probes, "user_id", depth=4, width=256)
 
 
+def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance (okay_spark/streaming.py
+    stream_stateful_parity): the deterministic HLL registers built as a
+    Structured Streaming STATEFUL aggregate over a streamed events source
+    (complete mode, Trigger.AvailableNow, memory sink). The sketch's
+    bounded state (2^p rows) and associative max-merge make it the
+    textbook streaming aggregate; bloom_sketch (bit_or) and cms_sketch
+    (sum) ride the identical code path. Must hash-match the SAME DuckDB
+    twin as the batch hll_sketch_events entry."""
+    from okay_spark.checks import hll_sketch
+    from okay_spark.streaming import stream_stateful_parity
+
+    events = _read(spark, sf_dir, "events")
+    return stream_stateful_parity(
+        spark,
+        events.select("user_id"),
+        lambda s: hll_sketch(s, "user_id", p=6),
+        name_prefix="stream_hll",
+    )
+
+
 def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     supplier = _read(spark, sf_dir, "supplier")
@@ -1930,8 +1951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          PSI, corpus line-dedup, rare-token stats, interleave rule,
     #          quarantine split, deterministic-HLL sketch, cross-table
     #          aggregate consistency, deterministic Bloom sketch,
-    #          bloom-pruned referential, count-min sketch + point queries)
-    #   22-50: re-certification rotation — the oldest below-boundary
+    #          bloom-pruned referential, count-min sketch + point queries,
+    #          streaming HLL maintenance)
+    #   23-50: re-certification rotation — the oldest below-boundary
     #          entries, last driver-certified in r01/r02 on code that the
     #          r03 dedup.py/checks.py refactors have since touched; the
     #          judge's r03 spot-check found no rot, this makes the gate say
@@ -1966,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_bloom_events": q_referential_bloom_events,
         "cms_sketch_events": q_cms_sketch_events,
         "cms_frequency_events": q_cms_frequency_events,
+        "streaming_hll_events": q_streaming_hll_events,
         # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
@@ -1993,16 +2016,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_documents": q_cap_per_source_documents,
         "resample_lang_documents": q_resample_lang_documents,
         "outliers_events_value": q_outliers_events_value,
-        "cross_field_events": q_cross_field_events,
         "quantile_drift_events": q_quantile_drift_events,
         "referential_composite_lineitem": q_referential_composite_lineitem,
         # ---- window boundary (first 50 certified; keep exactly 50 above
         # as round-4 entries land at positions 8-21) ---- entries below were
         # driver-green in r03, r01/r02-certified rotation overflow, or the
         # documented rows-only fixtures. pii_scan/inferred_schema/
-        # grouped_outliers/volume_anomaly displaced by the bloom and CMS
-        # entries: all four r02-green (2 rounds old), r05 rotation
-        # candidates ----
+        # grouped_outliers/volume_anomaly/cross_field displaced by the
+        # bloom/CMS/streaming-HLL entries: all five r02-green (2 rounds
+        # old), r05 rotation candidates ----
+        "cross_field_events": q_cross_field_events,
         "grouped_outliers_events": q_grouped_outliers_events,
         "volume_anomaly_events": q_volume_anomaly_events,
         "pii_scan_documents": q_pii_scan_documents,
@@ -3499,6 +3522,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_sketch_events": _CMS_SKETCH_SQL,
         "cms_frequency_events": _CMS_FREQ_SQL,
+        # streaming sketch maintenance must equal the batch sketch exactly
+        "streaming_hll_events": _HLL_SKETCH_SQL,
         "streaming_drift_events": _DRIFT_SQL.replace(
             "SELECT round(SUM(term), 6) AS psi, round(MAX(ABS(cp - cq)), 6) AS ks,\n"
             "  (SELECT nc FROM tot) AS n_current, (SELECT nr FROM tot) AS n_reference",

@@ -302,3 +302,52 @@ def stream_dedup(
     if watermark_col is not None:
         return stream_df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
     return stream_df.dropDuplicates(keys)
+
+
+def stream_stateful_parity(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    transform,
+    *,
+    name_prefix: str = "stream_parity",
+) -> DataFrame:
+    """Run a bounded-state aggregate builder (``transform: DataFrame ->
+    DataFrame``) over a STREAMED materialization of ``batch_df`` and return
+    the final result — the harness behind streaming-vs-batch parity
+    entries, and the deployment shape for streaming sketch maintenance.
+
+    Because the deterministic sketches (:func:`okay_spark.checks.hll_sketch`,
+    ``bloom_sketch``, ``cms_sketch``) are single hash aggregates whose state
+    is bounded by construction (2^p registers / m_bits/63 words /
+    depth*width cells), they run unchanged as Structured Streaming stateful
+    aggregates: complete output mode re-emits the whole (tiny) state each
+    micro-batch, and the associative merge (max / bit_or / sum) is exactly
+    the streaming state-update operation. The result must equal the batch
+    sketch bit-for-bit — same SQL twin certifies both.
+
+    Mechanics: batch_df materializes to a temp parquet dir (a stream needs
+    a file source), the transformed stream runs with Trigger.AvailableNow
+    into a memory sink, the temp dir is removed, and the sink table is
+    returned.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix=f"okay_{name_prefix}_src_")
+    try:
+        batch_df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        out = transform(stream)
+        name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.table(name)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

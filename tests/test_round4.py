@@ -1075,3 +1075,33 @@ def test_cms_unknown_key_estimates_from_collisions_only(spark):
     ghost = spark.createDataFrame([(999_999,)], "k bigint")
     est = cms_frequency(sk, ghost, "k", depth=4, width=4096).collect()
     assert est[0]["est"] == 0
+
+
+def test_streaming_sketch_parity_all_three(spark, tmp_path):
+    """All three deterministic sketches run unchanged as Structured
+    Streaming stateful aggregates (their bounded state + associative merge
+    IS the streaming state update) and must equal the batch sketch
+    exactly — the driver certifies HLL against the shared twin; this pins
+    bloom and cms on the same code path."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.checks import bloom_sketch, cms_sketch, hll_sketch
+    from okay_spark.streaming import stream_stateful_parity
+
+    df = spark.range(0, 4_000, 1, 8).select(F.pmod(F.xxhash64("id"), F.lit(211)).alias("k"))
+    cases = [
+        ("hll", lambda d: hll_sketch(d, "k", p=5)),
+        ("bloom", lambda d: bloom_sketch(d, "k", m_bits=512, k=3)),
+        ("cms", lambda d: cms_sketch(d, "k", depth=3, width=128)),
+    ]
+    for name, build in cases:
+        batch = sorted(map(tuple, build(df).collect()))
+        streamed = sorted(
+            map(
+                tuple,
+                stream_stateful_parity(
+                    spark, df, build, name_prefix=f"t_{name}"
+                ).collect(),
+            )
+        )
+        assert streamed == batch, f"{name} stream != batch"
