@@ -398,6 +398,21 @@ def q_streaming_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler (okay_spark/salt.py key_skew_stats): the
+    top-20 heaviest events.user_id keys with exact counts, table share
+    (one int/int IEEE division), and the integer salt factor that would
+    spread each back to target_rows_per_task rows — the measurement that
+    decides when the salted uniqueness/referential strategies engage.
+    Profiling skew never suffers it: the count partial-combines map-side,
+    so a hot key collapses to one row per task before the exchange."""
+    from okay_spark.salt import key_skew_stats
+
+    return key_skew_stats(
+        _read(spark, sf_dir, "events"), "user_id", target_rows_per_task=200, top_n=20
+    )
+
+
 def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     supplier = _read(spark, sf_dir, "supplier")
@@ -1952,8 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          quarantine split, deterministic-HLL sketch, cross-table
     #          aggregate consistency, deterministic Bloom sketch,
     #          bloom-pruned referential, count-min sketch + point queries,
-    #          streaming HLL maintenance)
-    #   23-50: re-certification rotation — the oldest below-boundary
+    #          streaming HLL maintenance, key-skew profiler)
+    #   24-50: re-certification rotation — the oldest below-boundary
     #          entries, last driver-certified in r01/r02 on code that the
     #          r03 dedup.py/checks.py refactors have since touched; the
     #          judge's r03 spot-check found no rot, this makes the gate say
@@ -1989,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_sketch_events": q_cms_sketch_events,
         "cms_frequency_events": q_cms_frequency_events,
         "streaming_hll_events": q_streaming_hll_events,
+        "key_skew_events": q_key_skew_events,
         # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
@@ -2016,15 +2032,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_documents": q_cap_per_source_documents,
         "resample_lang_documents": q_resample_lang_documents,
         "outliers_events_value": q_outliers_events_value,
-        "quantile_drift_events": q_quantile_drift_events,
         "referential_composite_lineitem": q_referential_composite_lineitem,
         # ---- window boundary (first 50 certified; keep exactly 50 above
         # as round-4 entries land at positions 8-21) ---- entries below were
         # driver-green in r03, r01/r02-certified rotation overflow, or the
         # documented rows-only fixtures. pii_scan/inferred_schema/
-        # grouped_outliers/volume_anomaly/cross_field displaced by the
-        # bloom/CMS/streaming-HLL entries: all five r02-green (2 rounds
-        # old), r05 rotation candidates ----
+        # grouped_outliers/volume_anomaly/cross_field/quantile_drift
+        # displaced by the bloom/CMS/streaming-HLL/key-skew entries: all
+        # six r02-green (2 rounds old), r05 rotation candidates ----
+        "quantile_drift_events": q_quantile_drift_events,
         "cross_field_events": q_cross_field_events,
         "grouped_outliers_events": q_grouped_outliers_events,
         "volume_anomaly_events": q_volume_anomaly_events,
@@ -3524,6 +3540,13 @@ def oracle_sql() -> dict[str, str]:
         "cms_frequency_events": _CMS_FREQ_SQL,
         # streaming sketch maintenance must equal the batch sketch exactly
         "streaming_hll_events": _HLL_SKETCH_SQL,
+        "key_skew_events": (
+            "WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),\n"
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)\n"
+            "SELECT user_id, cnt, cnt / n AS share,\n"
+            "       CAST((cnt + 199) // 200 AS INT) AS suggested_salt\n"
+            "FROM c, t ORDER BY cnt DESC, user_id ASC NULLS FIRST LIMIT 20"
+        ),
         "streaming_drift_events": _DRIFT_SQL.replace(
             "SELECT round(SUM(term), 6) AS psi, round(MAX(ABS(cp - cq)), 6) AS ks,\n"
             "  (SELECT nc FROM tot) AS n_current, (SELECT nr FROM tot) AS n_reference",

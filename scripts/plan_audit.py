@@ -722,6 +722,19 @@ def main() -> None:
         "keyed by probe value — cost scales with the probe set only",
     )
 
+    from okay_spark.salt import key_skew_stats
+
+    audit(
+        "key_skew_stats (skew profiler)",
+        key_skew_stats(events, "user_id", target_rows_per_task=200, top_n=20),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="skew profiling never suffers the skew it measures: the count "
+        "partial-combines map-side (a hot key collapses to one row per "
+        "task before the exchange), then a top-N over the key-count "
+        "frame — the data-driven trigger for the salted strategies",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")

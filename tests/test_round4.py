@@ -1105,3 +1105,42 @@ def test_streaming_sketch_parity_all_three(spark, tmp_path):
             )
         )
         assert streamed == batch, f"{name} stream != batch"
+
+
+def test_key_skew_stats_detects_hot_key_and_nulls(spark):
+    """The profiler ranks the hot key first with an exact count, counts a
+    null FK as a key (the wild's most common hot key), computes share as
+    one int/int division, and sizes the salt by integer ceil."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.salt import key_skew_stats
+
+    fact = spark.range(0, 10_000, 1, 8).select(
+        F.when(F.col("id") % 2 == 0, F.lit(999))        # hot: 5000 rows
+        .when(F.col("id") % 5 == 0, F.lit(None))        # null: 1000 rows
+        .otherwise(F.pmod(F.col("id"), F.lit(97)))      # long tail < 97
+        .alias("fk")
+    )
+    out = key_skew_stats(fact, "fk", target_rows_per_task=300, top_n=3).collect()
+    assert [r["fk"] for r in out][:2] == [999, None]
+    hot = out[0]
+    assert hot["cnt"] == 5_000
+    assert hot["share"] == 5_000 / 10_000
+    assert hot["suggested_salt"] == (5_000 + 299) // 300
+    nul = out[1]
+    assert nul["cnt"] == 1_000 and nul["suggested_salt"] == 4
+
+
+def test_key_skew_stats_partition_invariant(spark):
+    """Exact counts + deterministic tie order: the frame is identical on
+    any input partitioning (ties at the top-N cut break by key)."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.salt import key_skew_stats
+
+    fact = spark.range(0, 6_000).select(F.pmod(F.col("id"), F.lit(40)).alias("fk"))
+    a = [tuple(r) for r in key_skew_stats(fact.coalesce(1), "fk", top_n=10).collect()]
+    b = [tuple(r) for r in key_skew_stats(fact.repartition(13), "fk", top_n=10).collect()]
+    assert a == b and len(a) == 10
+    # all 40 keys tie at 150 rows: the cut must be the 10 smallest key ids
+    assert [r[0] for r in a] == list(range(10))
