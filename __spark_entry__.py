@@ -1478,11 +1478,15 @@ def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH near-dup detection with a PLANTED duplicate: doc -1 is a
     verbatim copy of the smallest non-null doc, so the pair (-1, that doc)
     has Jaccard 1.0, shares every band bucket, and MUST appear in the output
-    — the rows-only driver row is non-vacuous by construction (r02 ran the
-    natural corpus only, where an empty result would have passed silently).
-    The source doc is the smallest SHINGLE-BEARING doc (a < shingle_k-word
-    doc never buckets, which would silently void the plant). The planted
-    pair's presence is pytest-asserted (tests/test_round3.py)."""
+    (the r02 natural-corpus run could have passed silently on an empty
+    result). The source doc is the smallest SHINGLE-BEARING doc (a
+    < shingle_k-word doc never buckets, which would silently void the
+    plant). The planted pair's presence is pytest-asserted
+    (tests/test_round3.py). Since round 4 this entry has a FULL exact
+    DuckDB twin (_MINHASH_NEARDUP_SQL): the md5 hash family replays
+    engine-portably through signature -> banding -> pairs -> exact
+    Jaccard. max_bucket_size=None so the cap cannot silently drop pairs
+    the twin still reports (the cross_dedup precedent)."""
     from okay_spark.dedup import minhash_near_duplicates
     from okay_spark.textops import word_shingles
 
@@ -1496,7 +1500,11 @@ def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.lit(-1).cast(docs.schema["doc_id"].dataType))
     )
     return minhash_near_duplicates(
-        docs.unionByName(planted), threshold=0.5, num_hashes=16, bands=8
+        docs.unionByName(planted),
+        threshold=0.5,
+        num_hashes=16,
+        bands=8,
+        max_bucket_size=None,
     )
 
 
@@ -1520,9 +1528,13 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Many-query approximate k-NN join (rows-only: LSH recall is probabilistic
-    by design; fixed-seed recall vs brute force is asserted in
-    tests/test_new_ops.py). Ten query vectors against the full corpus."""
+    """Many-query approximate k-NN join, ten query vectors against the full
+    corpus. Exact-oracle since round 4: LSH recall is probabilistic with a
+    random hash family, but THIS family is md5-derived (dedup.py
+    _hyperplane) and every dot/norm is a sequential IEEE fold, so the
+    DuckDB twin replays the identical approximate answer — buckets,
+    multiprobe, cosine ranks and all (fixed-seed recall vs brute force is
+    separately asserted in tests/test_new_ops.py)."""
     from okay_spark.similarity import lsh_knn_join
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1987,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup_documents": q_cross_dedup_documents,
         "oversized_buckets_documents": q_oversized_buckets_documents,
         "minhash_near_duplicates": q_minhash_near_duplicates,
+        "lsh_knn_join_embeddings": q_lsh_knn_join_embeddings,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         # -- new round-4 entries --
         "streaming_cross_dedup_documents": q_streaming_cross_dedup_documents,
@@ -2031,15 +2044,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_duplicate_spans_documents": q_strip_duplicate_spans,
         "cap_per_source_documents": q_cap_per_source_documents,
         "resample_lang_documents": q_resample_lang_documents,
-        "outliers_events_value": q_outliers_events_value,
         "referential_composite_lineitem": q_referential_composite_lineitem,
         # ---- window boundary (first 50 certified; keep exactly 50 above
         # as round-4 entries land at positions 8-21) ---- entries below were
         # driver-green in r03, r01/r02-certified rotation overflow, or the
         # documented rows-only fixtures. pii_scan/inferred_schema/
-        # grouped_outliers/volume_anomaly/cross_field/quantile_drift
-        # displaced by the bloom/CMS/streaming-HLL/key-skew entries: all
-        # six r02-green (2 rounds old), r05 rotation candidates ----
+        # grouped_outliers/volume_anomaly/cross_field/quantile_drift/
+        # outliers_events displaced by the bloom/CMS/streaming-HLL/
+        # key-skew/lsh-knn-twin entries: all seven r02-green (2 rounds
+        # old), r05 rotation candidates ----
+        "outliers_events_value": q_outliers_events_value,
         "quantile_drift_events": q_quantile_drift_events,
         "cross_field_events": q_cross_field_events,
         "grouped_outliers_events": q_grouped_outliers_events,
@@ -2094,7 +2108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_battery_documents": q_streaming_battery_documents,
         "multimodal_features": q_multimodal_features,
         "referential_media_catalog": q_referential_media_catalog,
-        "lsh_knn_join_embeddings": q_lsh_knn_join_embeddings,
+        # lsh_knn_join_embeddings moved above the boundary: its oracle
+        # changed from rows-only to an exact twin this round
         "lsh_knn_planted_embeddings": q_lsh_knn_planted_embeddings,
         "violation_exemplars_documents": q_violation_exemplars_documents,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -3460,6 +3475,96 @@ GROUP BY 1
 """
 
 
+# Full minhash near-dup twin: the md5 hash family is engine-portable, so
+# the ENTIRE pipeline — shingles -> 16-hash signature -> 8 band buckets ->
+# candidate pairs -> exact Jaccard >= 0.5 — replays in DuckDB list
+# comprehensions, planted doc -1 included. a < b matches Spark's
+# sort_array+slice pair construction; jaccard is the same
+# double(int)/int division on both engines.
+_MINHASH_NEARDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), planted AS (
+  SELECT CAST(-1 AS BIGINT) AS doc_id, text FROM (
+    SELECT doc_id AS orig, text FROM base
+    WHERE len(list_filter(string_split(text, ' '), x -> x != '')) >= 3
+    ORDER BY orig LIMIT 1
+  )
+), alldocs AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+), t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w FROM alldocs
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles
+  FROM t WHERE len(w) >= 3
+), sig AS (
+  SELECT doc_id, [list_min([md5(CAST(h AS VARCHAR) || '|' || s) FOR s IN shingles]) FOR h IN range(0, 16)] AS mh
+  FROM sh
+), bk AS (
+  SELECT doc_id, b AS band, md5(array_to_string(mh[b*2+1 : b*2+2], ',')) AS bucket
+  FROM sig, range(0, 8) t(b)
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+), scored AS (
+  SELECT a, b,
+    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+  FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+)
+SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+# Full LSH k-NN join twin: hyperplanes are md5-derived (dedup.py
+# _hyperplane), buckets are sign-bit sums, and every dot/norm is a
+# SEQUENTIAL left fold (list_reduce == Spark's F.aggregate: 0.0 + x0 ==
+# x0 exactly, so starting from the first element matches the zero-seeded
+# fold) — the whole approximate pipeline replays IEEE-bit-for-bit.
+# Multiprobe masks [0, 1<<0..1<<7] mirror the Spark probe array.
+_LSH_KNN_JOIN_SQL = """
+WITH pj AS (
+  SELECT p, j,
+    ('0x' || substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT / 2147483648.0 - 1.0 AS v
+  FROM range(0, 8) tp(p),
+       (SELECT unnest(generate_series(0, len(embedding) - 1)) AS j
+        FROM (SELECT embedding FROM embeddings LIMIT 1))
+),
+pl AS (SELECT p, list(v ORDER BY j) AS vs FROM pj GROUP BY p),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+bkt AS (
+  SELECT vec_id, ev,
+    CAST(sum(CASE WHEN list_reduce([ev[i] * vs[i] FOR i IN range(1, len(ev) + 1)], (a, b) -> a + b) >= 0
+             THEN (1 << p) ELSE 0 END) AS INT) AS b
+  FROM e, pl GROUP BY vec_id, ev
+),
+qprobe AS (
+  SELECT vec_id AS query_id, ev AS qv, xor(b, CAST(m AS INT)) AS probe
+  FROM bkt, unnest([0,1,2,4,8,16,32,64,128]) t(m)
+  WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, q.qv, c.ev AS cv
+  FROM qprobe q JOIN bkt c ON q.probe = c.b
+  WHERE q.query_id != c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(list_reduce([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
+            * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)) > 0
+         THEN list_reduce([qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)
+              / (sqrt(list_reduce([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
+               * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)))
+         ELSE 0.0 END AS score
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 4) AS score, rank FROM ranked WHERE rank <= 5
+"""
+
 # Count-min twin: same md5 bucket stream, plain count per (row, bucket)
 # cell. "row" is quoted — a DuckDB keyword, a plain name on the Spark side.
 _CMS_SKETCH_SQL = """
@@ -3538,6 +3643,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_sketch_events": _CMS_SKETCH_SQL,
         "cms_frequency_events": _CMS_FREQ_SQL,
+        "minhash_near_duplicates": _MINHASH_NEARDUP_SQL,
+        "lsh_knn_join_embeddings": _LSH_KNN_JOIN_SQL,
         # streaming sketch maintenance must equal the batch sketch exactly
         "streaming_hll_events": _HLL_SKETCH_SQL,
         "key_skew_events": (

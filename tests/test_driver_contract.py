@@ -42,13 +42,15 @@ def test_rows_only_queries_are_the_documented_exceptions(entrymod):
     documented = {
         # multimodal_features / referential_media_catalog left this set in
         # round 3: exact parquet-derived md5/sha256 DuckDB twins
-        "lsh_knn_join_embeddings",
         "approx_distinct_events",
         "battery_interleaved",
-        "minhash_near_duplicates",
         "ivf_topk_embeddings",
         # pack_chunks_documents / compression_ratio_documents left this set
-        # in round 4: an exact recursive-CTE twin and a zlib replay twin
+        # in round 4: an exact recursive-CTE twin and a zlib replay twin.
+        # minhash_near_duplicates and lsh_knn_join_embeddings also left in
+        # round 4: md5-derived hashes/hyperplanes are engine-portable and
+        # every dot/norm is a sequential IEEE fold, so both approximate
+        # pipelines replay bit-for-bit in DuckDB list comprehensions
     }
     assert rows_only <= documented, (
         f"undocumented rows-only queries (add an oracle or document why not): "
