@@ -179,6 +179,33 @@ def bench_queries(spark) -> dict[str, dict]:
         query = [float(x) for x in emb.first()["embedding"]]
         return brute_force_topk(emb, query, k=10).count()
 
+    # round-4 additions, appended so earlier per-query comparisons across
+    # rounds stay aligned
+    def agg_consistency():
+        from okay_spark.checks import aggregate_consistency
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        m = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        return aggregate_consistency(
+            li, od, "l_orderkey", "o_orderkey", m, "o_totalprice", tolerance=0.01
+        ).count()
+
+    def referential_bloom():
+        from okay_spark.checks import referential_violations_bloom
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        pt = spark.read.parquet(f"{SF_DIR}/part.parquet")
+        return referential_violations_bloom(
+            li.select("l_orderkey", "l_partkey"),
+            "l_partkey",
+            pt,
+            "p_partkey",
+            m_bits=1 << 18,
+            k=5,
+            id_cols=["l_orderkey", "l_partkey"],
+        ).count()
+
     suite = {
         "battery_interleaved": (battery_interleaved, BATTERY_DOCS),
         "summary_interleaved": (summary_interleaved, BATTERY_DOCS),
@@ -191,6 +218,8 @@ def bench_queries(spark) -> dict[str, dict]:
         "drift_events": (drift, None),
         "minhash_documents": (minhash, None),
         "ann_topk_embeddings": (ann, None),
+        "aggregate_consistency_orders": (agg_consistency, None),
+        "referential_bloom_lineitem": (referential_bloom, None),
     }
     if "--battery-only" in sys.argv:
         suite = {k: suite[k] for k in ("battery_interleaved",)}

@@ -124,33 +124,54 @@ def ivf_assignments(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic IVF coarse quantizer: k-means with hash-seeded init.
 
-    Initial centroids are per-bucket means under ``pmod(xxhash64(id), k)``
-    (deterministic, no RNG — resumable runs re-derive identical lists), then
-    ``iters`` Lloyd rounds. Every round is one broadcast of k x dim floats to
-    executors and one hash aggregate (partial means map-side) — no shuffle of
-    the vectors themselves, so the build cost at 10^12 rows is iters scans.
+    Initial centroids are per-bucket means under an md5-derived bucket of
+    the id (deterministic, no RNG — resumable runs re-derive identical
+    lists; md5 rather than xxhash64 because the md5 stream is
+    ENGINE-PORTABLE, which is what lets the driver's DuckDB twin replay
+    the whole k-means, round 4). Then ``iters`` Lloyd rounds. Every round
+    is one broadcast of k x dim floats to executors and one hash aggregate
+    (partial means map-side) — no shuffle of the vectors themselves, so
+    the build cost at 10^12 rows is iters scans.
     Returns (assignments DataFrame (id, list_id), centroids).
+
+    Exactness discipline: per-dimension means sum in decimal(38,12) (the
+    moment rule) so centroids — and therefore every downstream assignment,
+    probe ranking, and top-k — are bit-identical on any partitioning and
+    any engine. A raw double avg would float with shuffle order.
     """
     v = F.col(vec_col).cast("array<double>")
     work = df.select(F.col(id_col).alias("_id"), v.alias("_v")).filter(F.col("_v").isNotNull())
-    assign = work.withColumn("_list", F.pmod(F.xxhash64("_id"), F.lit(n_lists)).cast("int"))
+    init = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_lists),
+    ).cast("int")
+    assign = work.withColumn("_list", init)
 
     def _centroids(assigned: DataFrame) -> list[list[float]]:
         # per-dimension mean via posexplode: the (list, pos) hash aggregate
         # partial-combines map-side (sum/count scalars), unlike a
         # collect_list-of-vectors reduce which would materialize every vector
-        # of a group on one reducer; driver receives only k x dim rows
+        # of a group on one reducer; driver receives only k x dim rows.
+        # decimal sum -> exact; ONE double division per (list, pos)
         rows = (
             assigned.select("_list", F.posexplode("_v").alias("_pos", "_val"))
             .groupBy("_list", "_pos")
-            .agg(F.avg("_val").alias("_m"))
+            .agg(
+                (
+                    F.sum(F.col("_val").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
             .collect()
         )
         by_list: dict[int, dict[int, float]] = {}
         for r in rows:
             by_list.setdefault(r["_list"], {})[r["_pos"]] = r["_m"]
         dim = max(max(d) for d in by_list.values()) + 1
-        present = [[d[i] for i in range(dim)] for d in by_list.values()]
+        # present centroids in ASCENDING list order: the fallback below is a
+        # sequential float sum, so its fold order must not depend on collect
+        # row order (dict insertion order was a latent nondeterminism)
+        present = [[by_list[i][j] for j in range(dim)] for i in sorted(by_list)]
         # empty lists inherit the global mean of present centroids
         fallback = [sum(c[i] for c in present) / len(present) for i in range(dim)]
         return [

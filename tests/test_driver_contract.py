@@ -44,13 +44,17 @@ def test_rows_only_queries_are_the_documented_exceptions(entrymod):
         # round 3: exact parquet-derived md5/sha256 DuckDB twins
         "approx_distinct_events",
         "battery_interleaved",
-        "ivf_topk_embeddings",
         # pack_chunks_documents / compression_ratio_documents left this set
         # in round 4: an exact recursive-CTE twin and a zlib replay twin.
-        # minhash_near_duplicates and lsh_knn_join_embeddings also left in
-        # round 4: md5-derived hashes/hyperplanes are engine-portable and
-        # every dot/norm is a sequential IEEE fold, so both approximate
-        # pipelines replay bit-for-bit in DuckDB list comprehensions
+        # minhash_near_duplicates, lsh_knn_join_embeddings, and
+        # ivf_topk_embeddings also left in round 4: md5-derived hashes/
+        # hyperplanes/k-means seeds are engine-portable, centroid means are
+        # decimal-exact, and every dot/norm is a sequential IEEE fold, so
+        # all three approximate pipelines replay bit-for-bit in DuckDB.
+        # The two remaining: approx_distinct wraps Spark's opaque JVM HLL
+        # BY DESIGN (hll_sketch is the exact counterpart); battery_
+        # interleaved is a fixture-input entry twin-carried by
+        # battery_spans_documents on the same shape.
     }
     assert rows_only <= documented, (
         f"undocumented rows-only queries (add an oracle or document why not): "

@@ -1144,3 +1144,30 @@ def test_key_skew_stats_partition_invariant(spark):
     assert a == b and len(a) == 10
     # all 40 keys tie at 150 rows: the cut must be the 10 smallest key ids
     assert [r[0] for r in a] == list(range(10))
+
+
+def test_ivf_centroids_partition_invariant(spark):
+    """The round-4 exactness work on IVF: md5-seeded init and
+    decimal(38,12)-summed centroid means make assignments AND returned
+    centroids bit-identical on any input partitioning (a raw double avg
+    floats with shuffle order — the class of bug the moment discipline
+    exists to kill)."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.similarity import ivf_assignments
+
+    emb = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j, F.lit("v")), F.lit(1000)) / 500.0 - 1.0
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+    a1, c1 = ivf_assignments(emb.coalesce(1), n_lists=8, iters=2)
+    a2, c2 = ivf_assignments(emb.repartition(11), n_lists=8, iters=2)
+    assert c1 == c2  # exact float equality, not approx
+    r1 = sorted(map(tuple, a1.collect()))
+    r2 = sorted(map(tuple, a2.collect()))
+    assert r1 == r2
