@@ -329,10 +329,11 @@ def q_referential_bloom_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     referential_violations_bloom), exact by construction: definite misses
     (no false negatives) reach the output with zero joins; only
     bloom-positive keys anti-join the dim. m_bits=256 over supplier's ~100
-    keys SATURATES the filter on purpose — roughly half the ~3.3k violating
-    events at sf0.01 exit through each branch, so the scan-only split AND
-    the exact confirmation are both non-vacuously certified against the
-    same NOT IN oracle as the key-reduced strategy."""
+    keys SATURATES the filter on purpose — of the ~3.3k violating events
+    at sf0.01, ~1.1k exit as definite misses and ~2.2k as confirmed false
+    positives, so the scan-only split AND the exact confirmation are both
+    non-vacuously certified against the same NOT IN oracle as the
+    key-reduced strategy."""
     events = _read(spark, sf_dir, "events")
     supplier = _read(spark, sf_dir, "supplier")
     from okay_spark.checks import referential_violations_bloom
@@ -3464,13 +3465,18 @@ SELECT * FROM v WHERE rule IS NOT NULL
 """
 
 
-# Bloom-sketch twin: same md5 probe stream as the Spark side, 63-bit words
-# (bit 63 is the sign bit; 1<<63 overflows checked BIGINT), bit_or per word.
+# Bloom-sketch twin: ONE 60-bit md5 hash per key, k positions by
+# Kirsch-Mitzenmacher double hashing (h1 = low 30 bits, h2 = high 30 bits
+# forced odd, pos_i = (h1 + i*h2) mod m) — integer-for-integer the Spark
+# stream. 63-bit words (bit 63 is the sign bit; 1<<63 overflows checked
+# BIGINT), bit_or per word.
 _BLOOM_SKETCH_SQL = """
-WITH probes AS (
-  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 4096 AS pos
-  FROM events, range(5) t(i)
-  WHERE user_id IS NOT NULL
+WITH hashed AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), probes AS (
+  SELECT ((h % 1073741824) + i * ((h // 1073741824) | 1)) % 4096 AS pos
+  FROM hashed, range(5) t(i)
 )
 SELECT CAST(pos // 63 AS INT) AS word_idx,
        CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS BIGINT) AS word

