@@ -414,6 +414,32 @@ def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fps_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/MOSS document fingerprints (okay_spark/dedup.py
+    winnow_fingerprints, k=5 tokens, window=4): per-window minimum of md5
+    gram hashes — any shared token run >= k+window-1 shares a fingerprint,
+    the substring-granularity layer between whole-doc minhash and verbatim
+    line dedup. Entirely row-local (zero shuffles); the hex string IS the
+    fingerprint (lexicographic min == 128-bit min), so the DuckDB twin
+    replays it exactly, short-doc edges included."""
+    from okay_spark.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"), k=5, window=4)
+
+
+def q_winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidate pairs (okay_spark/dedup.py
+    winnow_shared_pairs): docs sharing >= 2 winnowing fingerprints with
+    exact shared counts, by the df-capped inverted-index pattern
+    (max_doc_freq=None here so the exact-twin claim cannot be undermined
+    by the cap — the cross_dedup precedent)."""
+    from okay_spark.dedup import winnow_shared_pairs
+
+    return winnow_shared_pairs(
+        _read(spark, sf_dir, "documents"), k=5, window=4, min_shared=2, max_doc_freq=None
+    )
+
+
 def q_referential_events_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     supplier = _read(spark, sf_dir, "supplier")
@@ -2022,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequency_events": q_cms_frequency_events,
         "streaming_hll_events": q_streaming_hll_events,
         "key_skew_events": q_key_skew_events,
+        "winnow_fps_documents": q_winnow_fps_documents,
+        "winnow_pairs_documents": q_winnow_pairs_documents,
         # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
@@ -2045,17 +2073,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "categorical_drift_events": q_categorical_drift_events,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
-        "strip_duplicate_spans_documents": q_strip_duplicate_spans,
-        "cap_per_source_documents": q_cap_per_source_documents,
         "referential_composite_lineitem": q_referential_composite_lineitem,
         # ---- window boundary (first 50 certified; keep exactly 50 above
         # as round-4 entries land at positions 8-21) ---- entries below were
         # driver-green in r03, r01/r02-certified rotation overflow, or the
         # documented rows-only fixtures. pii_scan/inferred_schema/
         # grouped_outliers/volume_anomaly/cross_field/quantile_drift/
-        # outliers_events/resample_lang displaced by the bloom/CMS/
-        # streaming-HLL/key-skew/lsh-knn-twin/ivf-twin entries: all eight
-        # r02-green (2 rounds old), r05 rotation candidates ----
+        # outliers_events/resample_lang/strip_duplicate_spans/
+        # cap_per_source displaced by the bloom/CMS/streaming-HLL/key-skew/
+        # lsh-knn-twin/ivf-twin/winnowing entries: all ten r02-green
+        # (2 rounds old), r05 rotation candidates ----
+        "strip_duplicate_spans_documents": q_strip_duplicate_spans,
+        "cap_per_source_documents": q_cap_per_source_documents,
         "resample_lang_documents": q_resample_lang_documents,
         "outliers_events_value": q_outliers_events_value,
         "quantile_drift_events": q_quantile_drift_events,
@@ -3701,6 +3730,37 @@ SELECT vec_id, round(score, 4) AS score
 FROM scored ORDER BY score DESC, vec_id LIMIT 10
 """
 
+# Winnowing twins: gram hashes are md5 hex; the window minimum is the
+# LEXICOGRAPHIC min of fixed-width lowercase hex == the 128-bit value min
+# on every engine, so no integer conversion is needed anywhere. Short-doc
+# edges (no grams / fewer grams than the window) replay the operator's
+# documented behavior.
+_WINNOW_FPS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 5 THEN [md5(array_to_string(w[i:i+4], ' ')) FOR i IN range(1, len(w) - 3)]
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+), f AS (
+  SELECT doc_id,
+    CASE WHEN len(grams) >= 4 THEN list_distinct([list_min(grams[j:j+3]) FOR j IN range(1, len(grams) - 2)])
+         WHEN len(grams) > 0 THEN [list_min(grams)]
+         ELSE CAST([] AS VARCHAR[]) END AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM f
+"""
+
+_WINNOW_PAIRS_SQL = f"""
+WITH fps AS ({_WINNOW_FPS_SQL})
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
 # Count-min twin: same md5 bucket stream, plain count per (row, bucket)
 # cell. "row" is quoted — a DuckDB keyword, a plain name on the Spark side.
 _CMS_SKETCH_SQL = """
@@ -3779,6 +3839,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_sketch_events": _CMS_SKETCH_SQL,
         "cms_frequency_events": _CMS_FREQ_SQL,
+        "winnow_fps_documents": _WINNOW_FPS_SQL,
+        "winnow_pairs_documents": _WINNOW_PAIRS_SQL,
         "minhash_near_duplicates": _MINHASH_NEARDUP_SQL,
         "lsh_knn_join_embeddings": _LSH_KNN_JOIN_SQL,
         "ivf_topk_embeddings": _IVF_TOPK_SQL,

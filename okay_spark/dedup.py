@@ -336,6 +336,111 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-token gram, slide a ``window`` over
+    the gram-hash sequence, keep each window's minimum — one row per
+    distinct ``(doc_id, fp)``. The winnowing GUARANTEE: any shared token
+    run of length >= k + window - 1 between two documents shares at least
+    one fingerprint, so this catches PARTIAL overlap at substring
+    granularity — the detection layer between whole-document minhash and
+    verbatim line-dedup. Density is ~2/(window+1) fingerprints per token:
+    state per doc is bounded and tunable.
+
+    Short-document edges (replayed exactly by the SQL twin): fewer than
+    ``k`` tokens -> no grams, no fingerprints; fewer grams than
+    ``window`` -> one fingerprint, the global gram minimum. Gram hashes
+    are md5 hex strings and the window minimum is the LEXICOGRAPHIC min —
+    fixed-width lowercase hex, so string order == 128-bit value order on
+    every engine (no conv needed: the hex string IS the fingerprint).
+
+    Plan shape: entirely row-local Column expressions (split -> gram
+    md5s -> window mins -> distinct -> explode) — zero shuffles, the
+    battery property. Cost is one md5 per token, same order as shingling.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col), grams.alias("_g"))
+    )
+    ng = F.size(F.col("_g"))
+    fps = (
+        F.when(
+            ng >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), ng - window),
+                    lambda j: F.array_min(F.slice(F.col("_g"), j + 1, window)),
+                )
+            ),
+        )
+        .when(ng > 0, F.array(F.array_min(F.col("_g"))))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    substring-overlap candidates with exact shared counts, via the same
+    df-capped inverted-index formulation as :func:`ngram_jaccard_pairs`:
+    posting list per fingerprint (bounded by ``max_doc_freq``, the
+    boilerplate-fingerprint guard — dropped postings are the observable
+    analog of the LSH bucket cap), in-posting pair expansion, pair-count
+    aggregate. Returns ``(a, b, shared)``, ``a < b``.
+
+    By the winnowing guarantee, a pair sharing a token run of length
+    >= k + window - 1 + (min_shared - 1) appears here (each extra
+    fingerprint needs at most one more window step on the shared run).
+    Two shuffles total; expansion bounded at df^2 per fingerprint.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    posting = fps.groupBy("fp").agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+    if max_doc_freq is not None:
+        posting = posting.filter(F.size("_ids") <= max_doc_freq)
+    posting = posting.filter(F.size("_ids") > 1)
+    ids = F.col("_ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    return (
+        posting.select(F.explode(pair_arr).alias("_p"))
+        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

@@ -722,6 +722,27 @@ def main() -> None:
         "keyed by probe value — cost scales with the probe set only",
     )
 
+    from okay_spark.dedup import winnow_fingerprints, winnow_shared_pairs
+
+    audit(
+        "winnow_fingerprints",
+        winnow_fingerprints(docs),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        note="MOSS fingerprints: split -> gram md5s -> window mins ->"
+        " distinct -> explode, all row-local — shuffle-free at any scale,"
+        " like the battery",
+    )
+    audit(
+        "winnow_shared_pairs",
+        winnow_shared_pairs(docs, min_shared=2),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="substring-overlap pairs: df-capped posting lists (boilerplate"
+        " fingerprints dropped observably), in-posting expansion bounded at"
+        " df^2, pair-count aggregate — the ngram_jaccard_pairs shape",
+    )
+
     from okay_spark.salt import key_skew_stats
 
     audit(

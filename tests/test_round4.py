@@ -1171,3 +1171,73 @@ def test_ivf_centroids_partition_invariant(spark):
     r1 = sorted(map(tuple, a1.collect()))
     r2 = sorted(map(tuple, a2.collect()))
     assert r1 == r2
+
+
+def test_winnow_guarantee_and_short_doc_edges(spark):
+    """The winnowing guarantee: any shared token run >= k + window - 1
+    shares a fingerprint. Short docs: < k tokens emit nothing; >= k but
+    fewer grams than the window emit exactly one (the global gram min)."""
+    from okay_spark.dedup import winnow_fingerprints, winnow_shared_pairs
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y z a b c d e f g h i j q r s"),   # shares the 10-token run
+        (3, "p q"),                               # < k
+        (4, "m n o p q"),                         # exactly k -> 1 gram
+        (5, "totally unrelated words that appear nowhere else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in winnow_fingerprints(df, k=5, window=4)
+        .groupBy("doc_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert 3 not in per_doc and per_doc[4] == 1
+    pairs = {
+        (r["a"], r["b"]): r["shared"]
+        for r in winnow_shared_pairs(
+            df, k=5, window=4, min_shared=1, max_doc_freq=None
+        ).collect()
+    }
+    assert (1, 2) in pairs and len(pairs) == 1  # run of 10 >= 5+4-1
+
+
+def test_winnow_fingerprints_shuffle_free(spark):
+    """Fingerprinting is row-local — the plan is scan -> codegen'd
+    projection -> generate, like the battery: no Exchange, no Python."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.dedup import winnow_fingerprints
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array(*[F.md5(F.concat(F.col("id").cast("string"), F.lit(str(j)))) for j in range(12)])).alias("text"),
+    )
+    out = winnow_fingerprints(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_winnow_pairs_df_cap_is_observable_drop(spark):
+    """A fingerprint appearing in more docs than max_doc_freq is dropped
+    from the posting join (the boilerplate guard); pairs supported only by
+    it disappear, everything else is unaffected."""
+    from pyspark.sql import functions as F
+
+    from okay_spark.dedup import winnow_shared_pairs
+
+    boiler = " ".join(f"w{j}" for j in range(10))
+    rows = [(i, boiler) for i in range(6)] + [
+        (10, "q r s t u v w x y z"),
+        (11, "m n q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = {
+        (r["a"], r["b"])
+        for r in winnow_shared_pairs(df, min_shared=1, max_doc_freq=5).collect()
+    }
+    assert capped == {(10, 11)}  # boiler fps hit 6 docs > cap; real pair kept
