@@ -3558,7 +3558,11 @@ SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
 # _hyperplane), buckets are sign-bit sums, and every dot/norm is a
 # SEQUENTIAL left fold (list_reduce == Spark's F.aggregate: 0.0 + x0 ==
 # x0 exactly, so starting from the first element matches the zero-seeded
-# fold) — the whole approximate pipeline replays IEEE-bit-for-bit.
+# fold) — the whole approximate pipeline replays IEEE-bit-for-bit. Every
+# comprehension fold is seeded with a literal [0.0] + ... element:
+# DuckDB's list_reduce ERRORS on an empty list while Spark's F.aggregate
+# returns its 0.0 seed, so the seed element makes the twin degrade
+# identically on zero-length embeddings instead of crashing the oracle.
 # Multiprobe masks [0, 1<<0..1<<7] mirror the Spark probe array.
 _LSH_KNN_JOIN_SQL = """
 WITH pj AS (
@@ -3572,7 +3576,7 @@ pl AS (SELECT p, list(v ORDER BY j) AS vs FROM pj GROUP BY p),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
 bkt AS (
   SELECT vec_id, ev,
-    CAST(sum(CASE WHEN list_reduce([ev[i] * vs[i] FOR i IN range(1, len(ev) + 1)], (a, b) -> a + b) >= 0
+    CAST(sum(CASE WHEN list_reduce([0.0] + [ev[i] * vs[i] FOR i IN range(1, len(ev) + 1)], (a, b) -> a + b) >= 0
              THEN (1 << p) ELSE 0 END) AS INT) AS b
   FROM e, pl GROUP BY vec_id, ev
 ),
@@ -3588,11 +3592,11 @@ cand AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id,
-    CASE WHEN sqrt(list_reduce([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
-            * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)) > 0
-         THEN list_reduce([qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)
-              / (sqrt(list_reduce([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
-               * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)))
+    CASE WHEN sqrt(list_reduce([0.0] + [qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
+            * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)) > 0
+         THEN list_reduce([0.0] + [qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)
+              / (sqrt(list_reduce([0.0] + [qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
+               * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)))
          ELSE 0.0 END AS score
   FROM cand
 ),
@@ -3651,11 +3655,11 @@ cents0 AS (
 -- (ties -> smallest list id, matching array_position-of-array_max)
 s1 AS (
   SELECT vec_id, ev, c.l,
-    CASE WHEN sqrt(list_reduce([ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
-            * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)) > 0
-         THEN list_reduce([ev[i] * cv[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b)
-              / (sqrt(list_reduce([ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
-               * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)))
+    CASE WHEN sqrt(list_reduce([0.0] + [ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
+            * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)) > 0
+         THEN list_reduce([0.0] + [ev[i] * cv[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b)
+              / (sqrt(list_reduce([0.0] + [ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
+               * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)))
          ELSE 0.0 END AS cos
   FROM a0, cents0 c
 ),
@@ -3686,11 +3690,11 @@ cents1 AS (
 -- probe ranking: query vs cents1, 4 nearest lists (stable sort = ties by l)
 qc AS (
   SELECT c.l,
-    CASE WHEN sqrt(list_reduce([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
-            * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)) > 0
-         THEN list_reduce([qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)
-              / (sqrt(list_reduce([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
-               * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)))
+    CASE WHEN sqrt(list_reduce([0.0] + [qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
+            * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)) > 0
+         THEN list_reduce([0.0] + [qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)
+              / (sqrt(list_reduce([0.0] + [qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b))
+               * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)))
          ELSE 0.0 END AS cos
   FROM cents1 c, q
 ),
@@ -3700,11 +3704,11 @@ probe AS (
 -- candidates: vectors whose cents1-argmax list is probed; exact re-rank
 s2 AS (
   SELECT a.vec_id, a.ev, c.l,
-    CASE WHEN sqrt(list_reduce([a.ev[i] * a.ev[i] FOR i IN range(1, len(a.ev) + 1)], (x,y) -> x + y))
-            * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (x,y) -> x + y)) > 0
-         THEN list_reduce([a.ev[i] * cv[i] FOR i IN range(1, len(a.ev) + 1)], (x,y) -> x + y)
-              / (sqrt(list_reduce([a.ev[i] * a.ev[i] FOR i IN range(1, len(a.ev) + 1)], (x,y) -> x + y))
-               * sqrt(list_reduce([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (x,y) -> x + y)))
+    CASE WHEN sqrt(list_reduce([0.0] + [a.ev[i] * a.ev[i] FOR i IN range(1, len(a.ev) + 1)], (x,y) -> x + y))
+            * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (x,y) -> x + y)) > 0
+         THEN list_reduce([0.0] + [a.ev[i] * cv[i] FOR i IN range(1, len(a.ev) + 1)], (x,y) -> x + y)
+              / (sqrt(list_reduce([0.0] + [a.ev[i] * a.ev[i] FOR i IN range(1, len(a.ev) + 1)], (x,y) -> x + y))
+               * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (x,y) -> x + y)))
          ELSE 0.0 END AS cos
   FROM e a, cents1 c
 ),
@@ -3717,17 +3721,17 @@ a2 AS (
 ),
 scored AS (
   SELECT a2.vec_id,
-    CASE WHEN sqrt(list_reduce([ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
-            * sqrt(list_reduce([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)) > 0
-         THEN list_reduce([ev[i] * qv[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b)
-              / (sqrt(list_reduce([ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
-               * sqrt(list_reduce([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)))
+    CASE WHEN sqrt(list_reduce([0.0] + [ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
+            * sqrt(list_reduce([0.0] + [qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)) > 0
+         THEN list_reduce([0.0] + [ev[i] * qv[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b)
+              / (sqrt(list_reduce([0.0] + [ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
+               * sqrt(list_reduce([0.0] + [qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)))
          ELSE 0.0 END AS score
   FROM a2, q
   WHERE a2.l IN (SELECT l FROM probe)
 )
-SELECT vec_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, vec_id LIMIT 10
+SELECT vec_id, round(scored.score, 4) AS score
+FROM scored ORDER BY scored.score DESC, vec_id LIMIT 10
 """
 
 # Winnowing twins: gram hashes are md5 hex; the window minimum is the

@@ -1291,6 +1291,15 @@ def aggregate_consistency(
     moment rule). Outputs are cast back to double for materialization
     stability.
 
+    Domain bound: the diff is computed at decimal(37,12) (see below), so
+    stored/computed magnitudes must stay below 10^25 — with ANSI mode on
+    (this engine's config) a larger total raises a cast-overflow error at
+    runtime rather than emitting a row. That is 10 orders of magnitude
+    above any currency/quantity total that fits a double's 2^53 integer
+    range exactly, so the bound is theoretical for the operator's intended
+    inputs; for data that can legitimately exceed it, pre-scale the
+    measure (e.g. sum in millions) before calling.
+
     Scale shape: the fact side partial-aggregates map-side, so only one
     pre-aggregated row per key reaches the shuffle; the parent join is an
     equi-join on the key (broadcast when the aggregate is small, AQE

@@ -269,6 +269,35 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", 
     )
 
 
+def _cap_posting_flood(rows: DataFrame, key: str, max_doc_freq: int | None) -> DataFrame:
+    """Two-phase posting-list cap shared by the inverted-index pair
+    generators (:func:`ngram_jaccard_pairs`, :func:`winnow_shared_pairs`) —
+    the :func:`_cap_bucket_flood` pattern generalized to a shingle /
+    fingerprint key: scalar ``count`` per key, anti-join the over-cap keys
+    out BEFORE the ``collect_list``, so one boilerplate shingle shared by
+    10M documents never materializes (or sorts) its full posting list on a
+    single reducer. ``rows`` must carry one row per distinct (doc, key) —
+    both callers guarantee that (``word_shingles`` / winnowing fingerprints
+    are per-doc distinct), so ``count(1)`` per key IS the doc frequency and
+    the anti-join is value-identical to the old post-collect size filter.
+
+    The rows frame feeds both the count pre-pass and the anti-join probe
+    side; Spark cannot reuse the subplan across that diamond, so without
+    materialization the tokenize/shingle/md5 pipeline would execute twice —
+    ``localCheckpoint`` pins it to one evaluation, the same discipline as
+    :func:`_cap_bucket_flood`."""
+    if max_doc_freq is None:
+        return rows
+    rows = rows.localCheckpoint(eager=True)
+    over = (
+        rows.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_doc_freq)
+        .select(key)
+    )
+    return rows.join(over, [key], "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -292,22 +321,24 @@ def ngram_jaccard_pairs(
     documents than the cap — the standard stopword-n-gram guard. Without it,
     ONE ubiquitous shingle at corpus scale means one reducer holding the full
     posting list and an O(df^2) in-bucket pair expansion (round 1 defaulted
-    to unguarded and was flagged as the scale-killer). The cap bounds both
-    the ``collect_list`` state and the expansion at df^2 per shingle. Pairs
-    supported ONLY by dropped shingles score approximately low; pass
-    ``max_doc_freq=None`` for strict exactness on corpora known to lack
-    degenerate shingles.
+    to unguarded and was flagged as the scale-killer). The cap is TWO-PHASE
+    (:func:`_cap_posting_flood`): a scalar count pre-pass anti-joins
+    over-cap shingles out BEFORE the ``collect_list``, so both the reducer
+    state and the df^2 expansion are bounded at max_doc_freq per shingle —
+    a post-collect size filter would bound only the expansion while still
+    materializing the flooded list. Pairs supported ONLY by dropped shingles
+    score approximately low; pass ``max_doc_freq=None`` for strict exactness
+    on corpora known to lack degenerate shingles.
     """
     sh = _spread(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_k).alias("_sh"),
     )
     sized = sh.select("_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("shingle"))
+    sized = _cap_posting_flood(sized, "shingle", max_doc_freq)
     posting = sized.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("_id", "_sz"))).alias("_ids")
     )
-    if max_doc_freq is not None:
-        posting = posting.filter(F.size("_ids") <= max_doc_freq)
     posting = posting.filter(F.size("_ids") > 1)
     ids = F.col("_ids")
     pair_arr = F.flatten(
@@ -408,20 +439,21 @@ def winnow_shared_pairs(
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
     substring-overlap candidates with exact shared counts, via the same
     df-capped inverted-index formulation as :func:`ngram_jaccard_pairs`:
-    posting list per fingerprint (bounded by ``max_doc_freq``, the
-    boilerplate-fingerprint guard — dropped postings are the observable
-    analog of the LSH bucket cap), in-posting pair expansion, pair-count
-    aggregate. Returns ``(a, b, shared)``, ``a < b``.
+    posting list per fingerprint (two-phase bounded by ``max_doc_freq`` via
+    :func:`_cap_posting_flood` — count pre-pass + anti-join BEFORE the
+    ``collect_list``, the boilerplate-fingerprint guard; dropped postings
+    are the observable analog of the LSH bucket cap), in-posting pair
+    expansion, pair-count aggregate. Returns ``(a, b, shared)``, ``a < b``.
 
     By the winnowing guarantee, a pair sharing a token run of length
     >= k + window - 1 + (min_shared - 1) appears here (each extra
     fingerprint needs at most one more window step on the shared run).
-    Two shuffles total; expansion bounded at df^2 per fingerprint.
+    Two shuffles total; reducer state and expansion bounded at
+    max_doc_freq (df^2 for the expansion) per fingerprint.
     """
     fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    fps = _cap_posting_flood(fps, "fp", max_doc_freq)
     posting = fps.groupBy("fp").agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-    if max_doc_freq is not None:
-        posting = posting.filter(F.size("_ids") <= max_doc_freq)
     posting = posting.filter(F.size("_ids") > 1)
     ids = F.col("_ids")
     pair_arr = F.flatten(

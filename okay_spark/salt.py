@@ -61,17 +61,25 @@ def key_skew_stats(
 
     Scale shape: one count aggregate with map-side partial combine (a hot
     key collapses to one row per map task BEFORE the exchange — profiling
-    skew never suffers it), then a top-N over the key-count frame. Null
-    keys count too: an all-null FK column is the most common hot key in
-    the wild.
+    skew never suffers it), then a top-N over the key-count frame. The
+    share denominator is ``sum(cnt)`` over that SAME aggregated frame
+    (broadcast back as a 1-row cross join), not a separate ``df.count()``
+    — one scan feeds both numerator and denominator, so the input is read
+    once (the aggregate exchange is reused across the diamond) and a
+    nondeterministic upstream frame cannot make the shares disagree with
+    the counts they describe. Null keys count too: an all-null FK column
+    is the most common hot key in the wild.
 
     Exactness: counts are exact integers; ``share`` is a single int/int
     IEEE division (the rare_token_stats rule), so the frame is
     bit-identical on any engine and partitioning.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    total = df.count()
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    # sum(cnt) == df.count() exactly (the groupBy covers every row, null
+    # keys included) — derived from the aggregated frame so both sides of
+    # the diamond reuse one exchange instead of scanning the input twice
+    total = counts.agg(F.sum("cnt").alias("_total"))
     # ceil(cnt / target) via integer `div` — a double ceil could cross an
     # integer boundary at 10^17-row counts; share stays ONE int/int IEEE
     # division (the rare_token_stats rule)
@@ -80,10 +88,11 @@ def key_skew_stats(
     return (
         counts.orderBy(F.desc("cnt"), *[F.asc_nulls_first(k) for k in keys])
         .limit(top_n)
+        .crossJoin(F.broadcast(total))
         .select(
             *keys,
             "cnt",
-            (F.col("cnt") / F.lit(total)).alias("share"),
+            (F.col("cnt") / F.col("_total")).alias("share"),
             salt.alias("suggested_salt"),
         )
     )
