@@ -191,18 +191,43 @@ def bench_queries(spark) -> dict[str, dict]:
             li, od, "l_orderkey", "o_orderkey", m, "o_totalprice", tolerance=0.01
         ).count()
 
+    # Violations-PRESENT referential fixture (round 5): the dim drops every
+    # 5th part key, so ~20% of lineitem rows violate and the bloom
+    # definite-miss branch actually prunes (r04 benched against the full
+    # dim — zero violations, the strategy's documented worst case). The
+    # plain key-reduce entry runs on the SAME truncated input so the bench
+    # carries a direct bloom-vs-plain comparison.
+    def _truncated_ref_inputs():
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        pt = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+            F.col("p_partkey") % 5 != 0
+        )
+        return li.select("l_orderkey", "l_partkey"), pt
+
     def referential_bloom():
         from okay_spark.checks import referential_violations_bloom
 
-        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        pt = spark.read.parquet(f"{SF_DIR}/part.parquet")
+        li, pt = _truncated_ref_inputs()
         return referential_violations_bloom(
-            li.select("l_orderkey", "l_partkey"),
+            li,
             "l_partkey",
             pt,
             "p_partkey",
             m_bits=1 << 18,
             k=5,
+            id_cols=["l_orderkey", "l_partkey"],
+        ).count()
+
+    def referential_plain_truncated():
+        from okay_spark.checks import referential_violations
+
+        li, pt = _truncated_ref_inputs()
+        return referential_violations(
+            li,
+            "l_partkey",
+            pt,
+            "p_partkey",
+            key_reduce=True,
             id_cols=["l_orderkey", "l_partkey"],
         ).count()
 
@@ -220,6 +245,7 @@ def bench_queries(spark) -> dict[str, dict]:
         "ann_topk_embeddings": (ann, None),
         "aggregate_consistency_orders": (agg_consistency, None),
         "referential_bloom_lineitem": (referential_bloom, None),
+        "referential_plain_truncated": (referential_plain_truncated, None),
     }
     if "--battery-only" in sys.argv:
         suite = {k: suite[k] for k in ("battery_interleaved",)}

