@@ -1984,6 +1984,76 @@ def q_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.intersect(buys)
 
 
+def q_snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (okay_spark/state.py snapshot_diff): churn
+    between the documents table and a deterministically mutated second
+    snapshot (every 7th doc removed, every 13th surviving doc's n_chars
+    bumped, every 17th doc re-added under doc_id+10M with lang='xx') —
+    output is (doc_id, old_fp, new_fp, change) for changed keys only, so
+    at corpus scale it is proportional to the churn. Fingerprints are md5
+    over chr(31)-joined string casts with chr(0) null markers; the DuckDB
+    twin replays digest, mutation, and full-outer classification
+    bit-for-bit."""
+    from okay_spark.state import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    mutated = base.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 13 == 0, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    added = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        F.lit("xx").alias("lang"),
+        "source",
+        "n_chars",
+    )
+    return snapshot_diff(docs, mutated.unionByName(added), "doc_id")
+
+
+def q_fd_source_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check (okay_spark/checks.py
+    functional_dependency_violations): sources whose documents carry more
+    than one language — (source, n_rows, n_values, min_value, max_value)
+    with exact distinct-combination counts and min/max rendered examples.
+    Two scalar-only hash aggregates (pair counts, then sum/count/min/max
+    per determinant) — never a collect_list, so a hot determinant
+    partial-combines map-side."""
+    from okay_spark.checks import functional_dependency_violations
+
+    return functional_dependency_violations(
+        _read(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
+def q_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers (okay_spark/checks.py iqr_outliers): events
+    rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR] of value — the robust
+    counterpart of the z-score entry (outliers_events_value), immune to
+    the tail inflating its own threshold. Quartiles from the two-pass
+    exact-quantile path (bounded state at any scale); the flagging pass is
+    a codegen filter scan with zero joins. Twin: DuckDB quantile_cont
+    (same ANSI linear interpolation) + the same fence arithmetic."""
+    from okay_spark.checks import iqr_outliers
+
+    return iqr_outliers(_read(spark, sf_dir, "events"), "value", id_cols=["event_id"])
+
+
+def q_cume_dist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-group cumulative distribution (okay_spark/relops.py
+    grouped_cume_dist) of n_chars per lang: one row per distinct (lang,
+    value) with exact counts and cume = ONE bigint/bigint IEEE division.
+    The scale point: rows collapse to (group, value) counts BEFORE the
+    ordered window, so window state is bounded by value cardinality, not
+    rows — the primitive behind 'drop the bottom 5% per language'."""
+    from okay_spark.relops import grouped_cume_dist
+
+    return grouped_cume_dist(_read(spark, sf_dir, "documents"), "n_chars", "lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -1996,42 +2066,96 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies only the FIRST 50
-    # entries per round. Window layout for round 4 —
-    #   1-7:   entries whose code or oracle changed this round and MUST
-    #          re-certify: the sessions HUGEINT hash fix, the two new exact
-    #          twins (pack recursive-CTE, compression replay), and the four
-    #          dedup entries touched by the bucket-cap single-evaluation
-    #          refactor (cross_dedup also flipped to max_bucket_size=None)
-    #   8-21:  new round-4 operators/entries (streaming cross-dedup,
-    #          key-reduced referential, partition fingerprints, streaming
-    #          PSI, corpus line-dedup, rare-token stats, interleave rule,
-    #          quarantine split, deterministic-HLL sketch, cross-table
-    #          aggregate consistency, deterministic Bloom sketch,
-    #          bloom-pruned referential, count-min sketch + point queries,
-    #          streaming HLL maintenance, key-skew profiler)
-    #   24-50: re-certification rotation — the oldest below-boundary
-    #          entries, last driver-certified in r01/r02 on code that the
-    #          r03 dedup.py/checks.py refactors have since touched; the
-    #          judge's r03 spot-check found no rot, this makes the gate say
-    #          so itself
-    # Displaced below the boundary: everything driver-green in r03 (the
-    # flagship spans suite, the 17 first-certified-in-r03 entries, the
-    # r01-recert set, the r03-new operators) — all ≤ 1 round old, eligible
-    # to rotate back in r05. battery_interleaved and approx_distinct are
-    # rows-only fixtures whose correctness is carried by exact twins on the
-    # same shapes (battery_spans_documents, distinct_counts_events).
+    # entries per round. Window layout for round 5 —
+    #   1-6:   entries whose operator or oracle changed this round and MUST
+    #          re-certify: the two-phase posting cap (ngram/winnow pairs),
+    #          the single-pass bloom referential, the data-shipped IVF
+    #          centroids + twin ORDER BY fix, the LSH-kNN twin's seeded
+    #          list_reduce folds, the single-scan key-skew profiler
+    #   7-10:  new round-5 operators (row-level snapshot diff, functional
+    #          dependency check, Tukey-fence outliers, grouped exact
+    #          cumulative distribution)
+    #   11-23: r01-certified recertification (the oldest greens in the
+    #          scoreboard — rollup/sample/split/top-k/summary/histogram/
+    #          heavy-hitters/entropy/schema-diff/distinct/cube/set-op)
+    #   24-36: r02-certified recertification (the ten displaced r04
+    #          candidates listed at last round's boundary + edit-distance,
+    #          BPE token count, full-sort quantiles)
+    #   37-50: r03-certified recertification: the flagship interleaved
+    #          spans suite (the north-rule shape) + battery_documents/
+    #          events, exact-KS, session windows, dedup clusters,
+    #          multimodal features
+    # Below the boundary: every r04-certified entry (1 round old), the
+    # remaining r03 entries (2 rounds old, re-certified on rotation), and
+    # the two documented rows-only fixtures (approx_distinct twin-less by
+    # design — hll_sketch is the exact counterpart; battery_interleaved
+    # twin-carried by battery_spans_documents).
     return {
         # -- changed this round: must re-certify --
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "winnow_pairs_documents": q_winnow_pairs_documents,
+        "referential_bloom_events": q_referential_bloom_events,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "lsh_knn_join_embeddings": q_lsh_knn_join_embeddings,
+        "key_skew_events": q_key_skew_events,
+        # -- new round-5 entries --
+        "snapshot_diff_documents": q_snapshot_diff_documents,
+        "fd_source_lang_documents": q_fd_source_lang_documents,
+        "iqr_outliers_events": q_iqr_outliers_events,
+        "cume_dist_documents": q_cume_dist_documents,
+        # -- recertification: last green r01 --
+        "rollup_documents": q_rollup_documents,
+        "sample_documents": q_sample_documents,
+        "split_documents": q_split_documents,
+        "top_violating_events": q_top_violating_events,
+        "topk_events_per_type": q_topk_events_per_type,
+        "partition_summary_documents": q_partition_summary_documents,
+        "histogram_events_value": q_histogram_events_value,
+        "heavy_hitters_events": q_heavy_hitters_events,
+        "entropy_documents": q_entropy_documents,
+        "schema_diff_documents": q_schema_diff_documents,
+        "distinct_counts_events": q_distinct_counts_events,
+        "cube_documents": q_cube_documents,
+        "click_days_no_purchase": q_click_days_no_purchase,
+        # -- recertification: last green r02 --
+        "strip_duplicate_spans_documents": q_strip_duplicate_spans,
+        "cap_per_source_documents": q_cap_per_source_documents,
+        "resample_lang_documents": q_resample_lang_documents,
+        "outliers_events_value": q_outliers_events_value,
+        "quantile_drift_events": q_quantile_drift_events,
+        "cross_field_events": q_cross_field_events,
+        "grouped_outliers_events": q_grouped_outliers_events,
+        "volume_anomaly_events": q_volume_anomaly_events,
+        "pii_scan_documents": q_pii_scan_documents,
+        "inferred_schema_documents": q_inferred_schema_documents,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "bpe_token_count_documents": q_bpe_token_count_documents,
+        "quantiles_lineitem": q_quantiles_lineitem,
+        # -- recertification: last green r03 (flagship spans suite first) --
+        "battery_spans_documents": q_battery_spans_documents,
+        "span_order_documents": q_span_order_documents,
+        "element_rule_documents": q_element_rule_documents,
+        "referential_spans_media": q_referential_spans_media,
+        "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
+        "span_kind_stats": q_span_kind_stats,
+        "drift_spans_offset": q_drift_spans_offset,
+        "partition_summary_spans": q_partition_summary_spans,
+        "battery_documents": q_battery_documents,
+        "battery_events": q_battery_events,
+        "ks_exact_events": q_ks_exact_events,
+        "session_windows_events": q_session_windows_events,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "multimodal_features": q_multimodal_features,
+        # ---- window boundary (first 50 certified) ---- entries below were
+        # driver-green in r04 (1 round old) or r03 (2 rounds old, next in
+        # rotation), plus the two documented rows-only fixtures ----
         "sessions_events": q_sessions_events,
         "pack_chunks_documents": q_pack_chunks_documents,
         "compression_ratio_documents": q_compression_ratio_documents,
         "cross_dedup_documents": q_cross_dedup_documents,
         "oversized_buckets_documents": q_oversized_buckets_documents,
         "minhash_near_duplicates": q_minhash_near_duplicates,
-        "lsh_knn_join_embeddings": q_lsh_knn_join_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        # -- new round-4 entries --
         "streaming_cross_dedup_documents": q_streaming_cross_dedup_documents,
         "referential_key_reduce_events": q_referential_key_reduce_events,
         "partition_fingerprints_documents": q_partition_fingerprints_documents,
@@ -2043,14 +2167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sketch_events": q_hll_sketch_events,
         "aggregate_consistency_orders": q_aggregate_consistency_orders,
         "bloom_sketch_events": q_bloom_sketch_events,
-        "referential_bloom_events": q_referential_bloom_events,
         "cms_sketch_events": q_cms_sketch_events,
         "cms_frequency_events": q_cms_frequency_events,
         "streaming_hll_events": q_streaming_hll_events,
-        "key_skew_events": q_key_skew_events,
         "winnow_fps_documents": q_winnow_fps_documents,
-        "winnow_pairs_documents": q_winnow_pairs_documents,
-        # -- re-certification rotation (last certified r01/r02) --
         "props_json_events": q_props_json_events,
         "drift_events_value": q_drift_events_value,
         "pivot_events": q_pivot_events,
@@ -2072,82 +2192,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "categorical_drift_events": q_categorical_drift_events,
-        "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "referential_composite_lineitem": q_referential_composite_lineitem,
-        # ---- window boundary (first 50 certified; keep exactly 50 above
-        # as round-4 entries land at positions 8-21) ---- entries below were
-        # driver-green in r03, r01/r02-certified rotation overflow, or the
-        # documented rows-only fixtures. pii_scan/inferred_schema/
-        # grouped_outliers/volume_anomaly/cross_field/quantile_drift/
-        # outliers_events/resample_lang/strip_duplicate_spans/
-        # cap_per_source displaced by the bloom/CMS/streaming-HLL/key-skew/
-        # lsh-knn-twin/ivf-twin/winnowing entries: all ten r02-green
-        # (2 rounds old), r05 rotation candidates ----
-        "strip_duplicate_spans_documents": q_strip_duplicate_spans,
-        "cap_per_source_documents": q_cap_per_source_documents,
-        "resample_lang_documents": q_resample_lang_documents,
-        "outliers_events_value": q_outliers_events_value,
-        "quantile_drift_events": q_quantile_drift_events,
-        "cross_field_events": q_cross_field_events,
-        "grouped_outliers_events": q_grouped_outliers_events,
-        "volume_anomaly_events": q_volume_anomaly_events,
-        "pii_scan_documents": q_pii_scan_documents,
-        "inferred_schema_documents": q_inferred_schema_documents,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "bpe_token_count_documents": q_bpe_token_count_documents,
-        "quantiles_lineitem": q_quantiles_lineitem,
-        "rollup_documents": q_rollup_documents,
-        "sample_documents": q_sample_documents,
-        "split_documents": q_split_documents,
-        "top_violating_events": q_top_violating_events,
-        "topk_events_per_type": q_topk_events_per_type,
-        "partition_summary_documents": q_partition_summary_documents,
-        "histogram_events_value": q_histogram_events_value,
-        "heavy_hitters_events": q_heavy_hitters_events,
-        "entropy_documents": q_entropy_documents,
-        "schema_diff_documents": q_schema_diff_documents,
-        "distinct_counts_events": q_distinct_counts_events,
-        "cube_documents": q_cube_documents,
-        "click_days_no_purchase": q_click_days_no_purchase,
-        "approx_distinct_events": q_approx_distinct_events,
-        "battery_interleaved": q_battery_interleaved,
-        "battery_documents": q_battery_documents,
-        "battery_events": q_battery_events,
-        "battery_spans_documents": q_battery_spans_documents,
-        "span_order_documents": q_span_order_documents,
-        "element_rule_documents": q_element_rule_documents,
-        "referential_spans_media": q_referential_spans_media,
-        "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
-        "span_kind_stats": q_span_kind_stats,
-        "drift_spans_offset": q_drift_spans_offset,
-        "partition_summary_spans": q_partition_summary_spans,
         "streaming_battery_spans": q_streaming_battery_spans,
         "heavy_media_refs": q_heavy_media_refs,
         "corr_value_k_events": q_corr_value_k_events,
         "user_value_rank_events": q_user_value_rank_events,
         "repetition_documents": q_repetition_documents,
         "contamination_documents": q_contamination_documents,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
         "label_centroids_embeddings": q_label_centroids_embeddings,
         "quantization_error_embeddings": q_quantization_error_embeddings,
         "tfidf_documents": q_tfidf_documents,
         "users_click_and_purchase": q_users_click_and_purchase,
-        "ks_exact_events": q_ks_exact_events,
         "expectations_documents": q_expectations_documents,
         "chunk_documents": q_chunk_documents,
         "vocab_documents": q_vocab_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "char_entropy_documents": q_char_entropy_documents,
         "streaming_battery_documents": q_streaming_battery_documents,
-        "multimodal_features": q_multimodal_features,
         "referential_media_catalog": q_referential_media_catalog,
-        # lsh_knn_join_embeddings moved above the boundary: its oracle
-        # changed from rows-only to an exact twin this round
         "lsh_knn_planted_embeddings": q_lsh_knn_planted_embeddings,
         "violation_exemplars_documents": q_violation_exemplars_documents,
-        # ivf_topk_embeddings moved above the boundary: md5-portable k-means
-        # gave it an exact twin this round
-        "session_windows_events": q_session_windows_events,
         "grouping_sets_events": q_grouping_sets_events,
         "window_events_hourly": q_window_events_hourly,
         "range_join_events": q_range_join_events,
@@ -2156,6 +2220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_summary_spans": q_streaming_summary_spans,
         "token_budget_documents": q_token_budget_documents,
         "dedup_keep_best_documents": q_dedup_keep_best_documents,
+        "approx_distinct_events": q_approx_distinct_events,
+        "battery_interleaved": q_battery_interleaved,
     }
 
 
@@ -3790,8 +3856,95 @@ FROM fan2 LEFT JOIN sk USING ("row", bucket) GROUP BY 1
 """
 
 
+# Round-5 twins. snapshot_diff: the mutation, digest (md5 over chr(31)-
+# joined string casts, chr(0) null markers), full-outer classification all
+# replay exactly — string/integer casts are engine-portable by design.
+_SNAPSHOT_DIFF_SQL = """
+WITH newt AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN doc_id % 13 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, 'xx' AS lang, source, n_chars
+  FROM documents WHERE doc_id % 17 = 0
+),
+o AS (
+  SELECT doc_id, md5(concat_ws(chr(31),
+      coalesce(CAST(text AS VARCHAR), chr(0)),
+      coalesce(CAST(lang AS VARCHAR), chr(0)),
+      coalesce(CAST(source AS VARCHAR), chr(0)),
+      coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS old_fp
+  FROM documents
+),
+n AS (
+  SELECT doc_id, md5(concat_ws(chr(31),
+      coalesce(CAST(text AS VARCHAR), chr(0)),
+      coalesce(CAST(lang AS VARCHAR), chr(0)),
+      coalesce(CAST(source AS VARCHAR), chr(0)),
+      coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS new_fp
+  FROM newt
+)
+SELECT doc_id, old_fp, new_fp,
+  CASE WHEN old_fp IS NULL THEN 'added'
+       WHEN new_fp IS NULL THEN 'removed'
+       WHEN old_fp <> new_fp THEN 'changed' END AS change
+FROM o FULL OUTER JOIN n USING (doc_id)
+WHERE CASE WHEN old_fp IS NULL THEN 'added'
+           WHEN new_fp IS NULL THEN 'removed'
+           WHEN old_fp <> new_fp THEN 'changed' END IS NOT NULL
+"""
+
+# functional dependency: two-level GROUP BY; the rendered example value is
+# the coalesced string cast (single dependent column -> no separator).
+_FD_SOURCE_LANG_SQL = """
+WITH pair AS (
+  SELECT source, coalesce(CAST(lang AS VARCHAR), chr(0)) AS _v,
+         COUNT(*)::BIGINT AS _n
+  FROM documents GROUP BY source, lang
+)
+SELECT source, CAST(sum(_n) AS BIGINT) AS n_rows, COUNT(*)::BIGINT AS n_values,
+       min(_v) AS min_value, max(_v) AS max_value
+FROM pair GROUP BY source HAVING COUNT(*) > 1
+"""
+
+# IQR outliers: quantile_cont is the same ANSI linear interpolation as the
+# engine's exact two-pass quantiles (the quantiles_lineitem pin); the fence
+# arithmetic q1 -/+ 1.5*(q3-q1) matches the Python-side expression op-for-op.
+_IQR_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events WHERE value IS NOT NULL
+),
+f AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+SELECT event_id, CAST(value AS DOUBLE) AS value,
+  CAST(CASE WHEN value < lo THEN lo ELSE hi END AS DOUBLE) AS fence,
+  CASE WHEN value < lo THEN 'iqr_low' WHEN value > hi THEN 'iqr_high' END AS rule
+FROM events, f
+WHERE value IS NOT NULL AND (value < lo OR value > hi)
+"""
+
+# grouped cumulative distribution: counts collapse first, the ordered window
+# runs over distinct values, cume is ONE bigint/bigint IEEE division (DuckDB
+# sums to HUGEINT -> cast both operands back to BIGINT before dividing).
+_CUME_DIST_SQL = """
+WITH c AS (
+  SELECT lang, n_chars AS value, COUNT(*)::BIGINT AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars
+)
+SELECT lang, value, cnt,
+  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY value
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+  / CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS cume
+FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
+        "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
+        "iqr_outliers_events": _IQR_OUTLIERS_SQL,
+        "cume_dist_documents": _CUME_DIST_SQL,
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,
         "battery_spans_documents": _BATTERY_SPANS_SQL,

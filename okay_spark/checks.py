@@ -1617,3 +1617,101 @@ def referential_violations_bloom(
         F.lit("unknown_reference").alias("rule"),
         F.to_json(F.struct(F.col(fk_col).alias("value"))).alias("expected"),
     )
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    determinant: list[str] | str,
+    dependent: list[str] | str,
+) -> DataFrame:
+    """Functional-dependency check: determinant columns should map to ONE
+    combination of dependent columns (nation_key -> nation_name, sku ->
+    unit, user_id -> signup_country). Returns the violating determinant
+    groups — ``(det..., n_rows, n_values, min_value, max_value)`` where
+    ``n_values`` is the exact count of distinct dependent combinations
+    (> 1 by construction) and min/max_value bracket them as rendered
+    strings (chr(31)-joined, chr(0) for NULL — the :func:`snapshot_diff`
+    rendering), giving a bounded example of the disagreement without ever
+    collecting a value list.
+
+    This is a CROSS-ROW rule the per-document reference cannot express
+    (validator.py sees one document at a time) — the third member of the
+    cross-table family with referential integrity (membership) and
+    aggregate consistency (totals).
+
+    Scale shape: two hash aggregates, both with map-side partial combine —
+    (det, dep) pair counts first (a hot determinant collapses to one row
+    per distinct dependent per map task), then scalar-only aggregates per
+    determinant (sum/count/min/max — never a collect_list/set, the
+    rare_token_stats discipline). NULL determinants group normally (an
+    all-null det with 2 dependent values IS a violation worth seeing);
+    NULL dependents count as a distinct combination, matching SQL GROUP BY
+    null-equality on both engines.
+    """
+    det = [determinant] if isinstance(determinant, str) else list(determinant)
+    dep = [dependent] if isinstance(dependent, str) else list(dependent)
+    pair = df.groupBy(*det, *dep).agg(F.count(F.lit(1)).alias("_n"))
+    rendered = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in dep]
+    )
+    return (
+        pair.select(*det, rendered.alias("_v"), "_n")
+        .groupBy(*det)
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_values"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+        )
+        .filter(F.col("n_values") > 1)
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    col: str,
+    *,
+    factor: float = 1.5,
+    id_cols: list[str] | None = None,
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """Tukey-fence outliers: rows whose value falls outside
+    ``[q1 - factor*(q3-q1), q3 + factor*(q3-q1)]`` — the ROBUST
+    counterpart of :func:`numeric_outliers` (whose z-scores an extreme
+    tail inflates: one 10^9 value widens sigma until nothing else flags;
+    quartiles don't move). The standard default ``factor=1.5``.
+
+    Output: ``(id_cols..., value, fence, rule)`` with rule ``iqr_low`` /
+    ``iqr_high`` and ``fence`` the crossed bound.
+
+    Scale shape: quartiles come from :func:`exact_quantiles_twopass`
+    (bounded state at any scale — sketch bracket + exact in-bracket
+    interpolation, never a full sort); the driver receives two doubles,
+    and the flagging pass is a pure codegen filter scan — zero joins.
+    The fences are EXACT interpolated quartiles, matching ANSI
+    ``percentile_cont`` / DuckDB ``quantile_cont`` linear interpolation.
+    NULL values never flag (they are the battery's null_value rule).
+    """
+    ids = id_cols if id_cols is not None else [c for c in df.columns if c == "doc_id"]
+    qs = {
+        r["p"]: r["q"]
+        for r in exact_quantiles_twopass(df, [col], (0.25, 0.75), accuracy=accuracy).collect()
+    }
+    q1, q3 = qs[0.25], qs[0.75]
+    if q1 is None or q3 is None:  # empty / all-null column: nothing can flag
+        lo, hi = None, None
+    else:
+        iqr = q3 - q1
+        lo, hi = q1 - factor * iqr, q3 + factor * iqr
+    v = F.col(col)
+    rule = (
+        F.when(v < F.lit(lo), F.lit("iqr_low")).when(v > F.lit(hi), F.lit("iqr_high"))
+        if lo is not None
+        else F.lit(None).cast("string")
+    )
+    fence = F.when(v < F.lit(lo), F.lit(lo)).when(v > F.lit(hi), F.lit(hi)) if lo is not None else F.lit(None).cast("double")
+    return (
+        df.filter(v.isNotNull())
+        .select(*ids, v.cast("double").alias("value"), fence.cast("double").alias("fence"), rule.alias("rule"))
+        .filter(F.col("rule").isNotNull())
+    )

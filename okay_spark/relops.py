@@ -231,3 +231,49 @@ def range_join(
     dim = F.broadcast(spark.createDataFrame(bands, band_schema))
     cond = (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi"))
     return fact.join(dim, cond, "left")
+
+
+def grouped_cume_dist(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | str,
+) -> DataFrame:
+    """Exact within-group cumulative distribution of a numeric column with
+    BOUNDED window state: one row per distinct (group, value) —
+    ``(group..., value, cnt, cume)`` where ``cume = P(X <= value)`` inside
+    the group. The filtering primitive behind "drop the bottom 5% of docs
+    per language by quality score" — the rank table is tiny relative to
+    the data, and rows pick their percentile up with one broadcast-able
+    equi-join back on (group, value).
+
+    Scale shape — why not ``F.cume_dist()`` over the raw rows: a window
+    over 10^12 rows sorts EVERY row of a group inside one task. Here rows
+    first collapse to (group, value) COUNTS (hash aggregate, map-side
+    partial combine — a hot (lang, length) pair costs one row per map
+    task), and the ordered window runs over distinct values only, bounded
+    by value cardinality (lengths, scores in fixed precision), not rows.
+    NULL values are excluded (they are the battery's null_value rule).
+
+    Exactness: cnt/cume are exact; ``cume`` is ONE bigint/bigint IEEE
+    division (the rare_token_stats rule), so any engine reproduces it
+    bit-for-bit. No ties are possible in the ordering (values are
+    distinct after the aggregate), so the window is deterministic.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*groups)
+    return counts.select(
+        *groups,
+        "value",
+        "cnt",
+        (F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_tot)).alias("cume"),
+    )

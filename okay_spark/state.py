@@ -367,3 +367,62 @@ def violation_trend(
         )
     )
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table snapshots by key — the change-data view a
+    nightly re-validation pipeline triages before deciding what to re-run
+    (the partition-level counterpart is :func:`unchanged_partitions`; this
+    answers WHICH rows moved, not just which partitions).
+
+    Output: one row per key present in either snapshot whose content
+    changed — ``(key..., old_fp, new_fp, change)`` with change in
+    ``added`` (key only in new), ``removed`` (only in old), ``changed``
+    (both, fingerprints differ). Unchanged keys produce NO row, so at
+    corpus scale the output is proportional to the churn, not the table.
+
+    Content fingerprint: md5 over the ``compare_cols`` (default: every
+    non-key column of ``old``; both snapshots must carry them) rendered as
+    ``coalesce(cast(c as string), chr(0))`` joined by chr(31) — the unit
+    separator keeps ``('ab','c')`` distinct from ``('a','bc')`` and the
+    NUL marker keeps NULL distinct from ``''``. String/integer casts are
+    engine-portable (the DuckDB twin replays the digest bit-for-bit);
+    float/decimal columns should be pre-cast by the caller (engines
+    disagree on double-to-string shortest form — same caveat as the
+    lineage fingerprints above).
+
+    Scale shape: each side reduces to (key, 16-byte fp) in the scan, then
+    ONE full-outer equi-join on the key — two designed shuffles, AQE
+    handles size/skew, no row content ever shuffles. Keys are assumed
+    unique per snapshot (that is :func:`okay_spark.checks
+    .duplicate_keys`'s job); duplicate keys produce join fan-out rather
+    than an error.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = (
+        list(compare_cols)
+        if compare_cols is not None
+        else [c for c in old.columns if c not in keys]
+    )
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+
+    def fingerprint(df: DataFrame, out: str) -> DataFrame:
+        return df.select(*[F.col(k) for k in keys], F.md5(F.concat_ws("\x1f", *parts)).alias(out))
+
+    o = fingerprint(old, "old_fp")
+    n = fingerprint(new, "new_fp")
+    joined = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+    )
+    return joined.select(
+        *keys, "old_fp", "new_fp", change.alias("change")
+    ).filter(F.col("change").isNotNull())

@@ -124,3 +124,96 @@ def test_winnow_capped_matches_uncapped_on_clean_corpus(spark):
     uncapped = set(map(tuple, winnow_shared_pairs(docs, max_doc_freq=None, min_shared=1).collect()))
     assert capped == uncapped
     assert (1, 2) in {(a, b) for a, b, _ in capped}
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: snapshot diff, FD check, IQR outliers, grouped cume dist
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_added_removed_changed(spark):
+    from okay_spark.state import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k: long, s: string, v: long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", None), (5, "e", 50)],
+        "k: long, s: string, v: long",
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {2: "changed", 4: "removed", 5: "added"}  # 1 and 3 silent
+
+
+def test_snapshot_diff_null_vs_empty_distinct(spark):
+    from okay_spark.state import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k: long, s: string")
+    new = spark.createDataFrame([(1, "")], "k: long, s: string")
+    rows = snapshot_diff(old, new, "k").collect()
+    assert [r["change"] for r in rows] == ["changed"], "NULL must differ from ''"
+
+
+def test_fd_violations_counts_and_brackets(spark):
+    from okay_spark.checks import functional_dependency_violations
+
+    df = spark.createDataFrame(
+        [("s1", "en"), ("s1", "en"), ("s1", "fr"), ("s2", "en"),
+         ("s3", None), ("s3", "de")],
+        "source: string, lang: string",
+    )
+    rows = {r["source"]: r for r in
+            functional_dependency_violations(df, "source", "lang").collect()}
+    assert set(rows) == {"s1", "s3"}  # s2 holds the dependency
+    assert rows["s1"]["n_rows"] == 3 and rows["s1"]["n_values"] == 2
+    assert rows["s1"]["min_value"] == "en" and rows["s1"]["max_value"] == "fr"
+    # NULL dependent counts as a distinct combination, rendered as chr(0)
+    assert rows["s3"]["n_values"] == 2 and rows["s3"]["min_value"] == "\x00"
+
+
+def test_fd_violations_plan_has_no_collect_list(spark):
+    from okay_spark.checks import functional_dependency_violations
+
+    df = spark.createDataFrame([("a", "x")], "source: string, lang: string")
+    plan = (
+        functional_dependency_violations(df, "source", "lang")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "collect_list" not in plan and "collect_set" not in plan
+
+
+def test_iqr_outliers_flags_tails_not_bulk(spark):
+    from okay_spark.checks import iqr_outliers
+
+    vals = [(i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 1000, -1000])]
+    df = spark.createDataFrame(vals, "event_id: long, value: double")
+    rows = {r["event_id"]: r["rule"] for r in
+            iqr_outliers(df, "value", id_cols=["event_id"]).collect()}
+    assert rows == {10: "iqr_high", 11: "iqr_low"}
+
+
+def test_iqr_outliers_all_null_column_flags_nothing(spark):
+    from okay_spark.checks import iqr_outliers
+
+    df = spark.createDataFrame([(1, None), (2, None)], "event_id: long, value: double")
+    assert iqr_outliers(df, "value", id_cols=["event_id"]).count() == 0
+
+
+def test_grouped_cume_dist_exact_and_bounded(spark):
+    from okay_spark.relops import grouped_cume_dist
+
+    df = spark.createDataFrame(
+        [("en", 1), ("en", 1), ("en", 2), ("en", 4), ("fr", 7), ("fr", None)],
+        "lang: string, n: long",
+    )
+    out = {(r["lang"], r["value"]): (r["cnt"], r["cume"]) for r in
+           grouped_cume_dist(df, "n", "lang").collect()}
+    assert out[("en", 1)] == (2, 0.5)
+    assert out[("en", 2)] == (1, 0.75)
+    assert out[("en", 4)] == (1, 1.0)
+    assert out[("fr", 7)] == (1, 1.0)  # null value excluded
+    # the window runs over the COUNTS aggregate, not raw rows: the plan's
+    # Window sits above an Aggregate
+    plan = grouped_cume_dist(df, "n", "lang")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("Window") < plan.index("Aggregate")
