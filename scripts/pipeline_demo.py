@@ -89,6 +89,46 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     gate_failures = [r["check"] for r in report.collect() if not r["passed"]]
     stats["gate_failures"] = len(gate_failures)
 
+    # 2b. shuffle-key skew profile BEFORE the dedup/cap shuffles: the
+    #     measurement that decides whether the salted strategies engage
+    #     downstream (suggested_salt == 1 everywhere -> plain shuffles are
+    #     safe; > 1 -> feed it into salt_buckets / partition_salt). The
+    #     profile itself never suffers the skew it measures (map-side
+    #     partial combine) and reads the input once (single-scan share).
+    from okay_spark.salt import key_skew_stats
+
+    skew = key_skew_stats(clean, "source", target_rows_per_task=1_000_000, top_n=20)
+    skew.write.mode("overwrite").parquet(f"{out}/key_skew")
+    stats["max_suggested_salt"] = int(
+        skew.agg(F.max("suggested_salt")).first()[0] or 1
+    )
+
+    # 2c. catalog referential check (bloom-pruned): every document's source
+    #     must exist in the source catalog. The catalog here is derived
+    #     minus one entry so the check has real violations to carry; the
+    #     violations are REPORTED to a sink, not dropped — routing is a
+    #     policy decision, the engine's job is the exact violation set
+    #     (definite misses exit scan-side with zero joins; bloom-positive
+    #     keys are exactly confirmed).
+    from okay_spark.checks import referential_violations_bloom
+
+    catalog = (
+        docs.select(F.col("source").alias("src"))
+        .distinct()
+        .filter(~F.col("src").endswith("7"))
+    )
+    cat_viol = referential_violations_bloom(
+        clean.select("doc_id", "source"),
+        "source",
+        catalog,
+        "src",
+        m_bits=256,
+        k=5,
+        id_cols=["doc_id"],
+    )
+    cat_viol.write.mode("overwrite").parquet(f"{out}/catalog_violations")
+    stats["catalog_violations"] = cat_viol.count()
+
     # 3. near-dedup: SimHash candidates -> connected components -> keep the
     #    canonical doc per cluster
     # the synthetic fixture texts share one small vocabulary, so their

@@ -46,24 +46,47 @@ def _corpus(spark, n: int):
             ),
         ),
     )
+    # second line: ~20% of docs share one verbatim boilerplate line (the
+    # line-dedup target — its (line, doc) df is way over any cap), the rest
+    # carry a unique line; round-5 soak feeds this to drop_duplicate_lines
+    # and the winnowing pair generator
+    line2 = F.when(
+        F.pmod(F.xxhash64("id", F.lit("l")), F.lit(5)) == 0,
+        F.lit("all rights reserved worldwide by the original publisher"),
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda j: F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit("|L|"), j.cast("string"))),
+                    1,
+                    6,
+                ),
+            ),
+        )
+    )
     return spark.range(0, n, 1, 128).select(
         F.concat(F.lit("D"), F.col("id").cast("string")).alias("doc_id"),
-        F.when(F.pmod(F.xxhash64(base, F.lit("p")), F.lit(100)) == 1, pair_text)
-        .when(F.pmod(F.xxhash64("id"), F.lit(100)) == 0, F.lit(boiler))
-        .otherwise(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(13)),
-                    lambda j: F.substring(
-                        F.md5(F.concat(F.col("id").cast("string"), F.lit("|"), j.cast("string"))),
-                        1,
-                        6,
+        F.concat_ws(
+            "\n",
+            F.when(F.pmod(F.xxhash64(base, F.lit("p")), F.lit(100)) == 1, pair_text)
+            .when(F.pmod(F.xxhash64("id"), F.lit(100)) == 0, F.lit(boiler))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(13)),
+                        lambda j: F.substring(
+                            F.md5(F.concat(F.col("id").cast("string"), F.lit("|"), j.cast("string"))),
+                            1,
+                            6,
+                        ),
                     ),
-                ),
-            )
-        )
-        .alias("text"),
+                )
+            ),
+            line2,
+        ).alias("text"),
         F.concat(F.lit("lang"), F.pmod(F.xxhash64("id", F.lit("g")), F.lit(20)).cast("string")).alias("lang"),
         (F.lit(8) + F.pmod(F.xxhash64("id", F.lit("t")), F.lit(400))).cast("bigint").alias("tokens"),
     )
@@ -74,7 +97,11 @@ def main() -> None:
 
     from okay_spark.balance import sample_to_token_budget
     from okay_spark.checks import duplicate_keys, partition_summary
-    from okay_spark.dedup import minhash_candidate_pairs
+    from okay_spark.dedup import (
+        drop_duplicate_lines,
+        minhash_candidate_pairs,
+        winnow_shared_pairs,
+    )
     from okay_spark.engine import validate_dataframe
     from okay_spark.fixtures import document_schema, interleaved_documents
 
@@ -125,8 +152,9 @@ def main() -> None:
     # Parquet-materialized like production (signatures read a stable scan,
     # not a recomputed range projection).
     for scale, n_sub in (("quarter", N // 4), ("full", N)):
-        # _v2: twin-pair duplicates added — do not reuse the v1 fixture
-        cpath = f"/tmp/okay_spark_bench/corpus_v2_{n_sub}"
+        # _v3: two-line texts added (line-dedup + winnowing targets) — do
+        # not reuse the v1/v2 fixtures
+        cpath = f"/tmp/okay_spark_bench/corpus_v3_{n_sub}"
         if not os.path.exists(cpath + "/_SUCCESS"):
             _corpus(spark, n_sub).write.mode("overwrite").parquet(cpath)
         corpus = spark.read.parquet(cpath)
@@ -143,6 +171,24 @@ def main() -> None:
             lambda c=corpus, n=n_sub: sample_to_token_budget(
                 c, "lang", budget_tokens=n, token_col="tokens"
             ).count(),
+        )
+        # round-5 additions: the widest shuffles added since the soak was
+        # designed — corpus line dedup (two-phase count_distinct over the
+        # exploded (line, doc) pairs) and the winnowing substring-overlap
+        # pair generator (posting lists two-phase capped by max_doc_freq;
+        # the 20%-boilerplate second line's fingerprints are over-cap and
+        # dropped, the twin-pair docs share every fingerprint and are found)
+        timed(
+            f"line_dedup_{scale}",
+            n_sub,
+            lambda c=corpus: drop_duplicate_lines(c).count(),
+            repeats=1,
+        )
+        timed(
+            f"winnow_pairs_{scale}",
+            n_sub,
+            lambda c=corpus: winnow_shared_pairs(c, min_shared=2).count(),
+            repeats=1,
         )
 
     md = [
@@ -167,7 +213,7 @@ def main() -> None:
     ]
     for name, (dt, n_docs, out) in results.items():
         md.append(f"| {name} | {n_docs:,} | {dt:.2f} | {n_docs / dt:,.0f} | {out:,} |")
-    for op in ("minhash_capped", "token_budget"):
+    for op in ("minhash_capped", "token_budget", "line_dedup", "winnow_pairs"):
         tq, nq, _ = results[f"{op}_quarter"]
         tf, nf, _ = results[f"{op}_full"]
         ratio = (nf / tf) / (nq / tq)

@@ -24,6 +24,12 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     assert abs(stats["hll_doc_id_estimate"] - stats["validated"]) <= max(
         0.15 * stats["validated"], 5
     )
+    # round-5 stages: the skew profile ran (no hot source at fixture scale
+    # -> salt factor 1, i.e. "plain shuffles are safe" recorded as data);
+    # the bloom catalog check carries the planted violations (sources
+    # ending in '7' were held out of the catalog)
+    assert stats["max_suggested_salt"] == 1
+    assert stats["catalog_violations"] > 0
     assert stats["after_quality"] >= stats["after_decontamination"]
     assert stats["after_decontamination"] >= stats["after_doc_decontamination"]
     assert stats["after_doc_decontamination"] >= stats["after_domain_cap"]
