@@ -756,6 +756,53 @@ def main() -> None:
         "frame — the data-driven trigger for the salted strategies",
     )
 
+    # round-5 operators
+    from okay_spark.state import snapshot_diff
+    from okay_spark.checks import functional_dependency_violations, iqr_outliers
+    from okay_spark.relops import grouped_cume_dist
+
+    docs_new = docs.filter(F.col("doc_id") % 3 != 0)
+    audit(
+        "snapshot_diff",
+        snapshot_diff(docs, docs_new, "doc_id"),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="row-level churn between snapshots: each side reduces to "
+        "(key, 16-byte md5) IN THE SCAN, then one full-outer equi-join on "
+        "the key — no row content ever shuffles, output proportional to "
+        "churn; AQE sizes/broadcasts the join",
+    )
+    audit(
+        "functional_dependency_violations",
+        functional_dependency_violations(docs, "source", "lang"),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list", "collect_set"],
+        note="two scalar-only hash aggregates (pair counts, then "
+        "sum/count/min/max per determinant) — both partial-combine "
+        "map-side, a hot determinant never concentrates; no value list "
+        "ever materializes",
+    )
+    audit(
+        "iqr_outliers (flagging scan)",
+        iqr_outliers(events, "value", id_cols=["event_id"]),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange", "CartesianProduct"],
+        note="Tukey fences come from the bounded two-pass exact-quantile "
+        "jobs at build time (two doubles to the driver); the audited "
+        "flagging pass is a pure codegen filter scan — zero joins, zero "
+        "exchanges, trivially scan-parallel",
+    )
+    audit(
+        "grouped_cume_dist",
+        grouped_cume_dist(docs, "n_chars", "lang"),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="rows collapse to (group, value) COUNTS before the ordered "
+        "window, so window state is bounded by value cardinality, not "
+        "rows — the exact-percentile primitive for per-group tail "
+        "filtering; cume is one bigint/bigint IEEE division",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
