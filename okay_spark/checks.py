@@ -1423,8 +1423,19 @@ def bloom_contains(col: Column, words: list[int], *, m_bits: int, k: int = 5) ->
     ``transform`` — every probe term references the bound lambda
     variable, integer-only. The k probes themselves are an unrolled AND
     chain over compile-time constants, not a ``forall`` HOF (first
-    version cost ~9s/600k: k md5+conv pairs re-evaluated per row)."""
-    arr = F.lit(words)
+    version cost ~9s/600k: k md5+conv pairs re-evaluated per row).
+
+    The word array is built as ONE parsed SQL literal, never
+    ``F.lit(words)``: PySpark expands a Python list into per-element
+    ``lit`` py4j calls, which costs ~2.7s of DRIVER time at m_bits=2^18
+    (4161 words) — and this expression is instantiated once per probe
+    site, so the literal form put ~5.5s of pure plan-build into every
+    bloom-referential query (measured; the IVF centroid lesson again:
+    large constants must not be built element-by-element through py4j).
+    The parsed ``array(...)`` is all-foldable, so Catalyst constant-folds
+    it to a single Literal — execution is identical. Words are 63-bit
+    (never negative), so plain decimal rendering round-trips exactly."""
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
 
     def bit_set(h: Column, i: int) -> Column:
         pos = _bloom_pos(h, i, m_bits)
