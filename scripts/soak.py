@@ -177,7 +177,15 @@ def main() -> None:
         # exploded (line, doc) pairs) and the winnowing substring-overlap
         # pair generator (posting lists two-phase capped by max_doc_freq;
         # the 20%-boilerplate second line's fingerprints are over-cap and
-        # dropped, the twin-pair docs share every fingerprint and are found)
+        # dropped, the twin-pair docs share every fingerprint and are found).
+        # max_doc_freq is EXPLICIT (1000): the boilerplate fingerprint's
+        # doc-frequency is ~n/500 (the window min lands on a boilerplate
+        # gram for ~0.2% of the 20% sharers), which at n=5M is ~9.9k —
+        # just UNDER the 10k default, so the quarter run emitted
+        # C(9.9k,2)=48.6M pairs while the full run (df ~39k, over cap)
+        # emitted only twins: incomparable work, meaningless linearity.
+        # At cap 1000 both scales drop the flood and measure the same
+        # fingerprint + two-phase-cap + twin-discovery pipeline.
         timed(
             f"line_dedup_{scale}",
             n_sub,
@@ -187,7 +195,7 @@ def main() -> None:
         timed(
             f"winnow_pairs_{scale}",
             n_sub,
-            lambda c=corpus: winnow_shared_pairs(c, min_shared=2).count(),
+            lambda c=corpus: winnow_shared_pairs(c, min_shared=2, max_doc_freq=1000).count(),
             repeats=1,
         )
 
