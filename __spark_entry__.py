@@ -2054,6 +2054,89 @@ def q_cume_dist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_cume_dist(_read(spark, sf_dir, "documents"), "n_chars", "lang")
 
 
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust-z outliers (okay_spark/checks.py mad_outliers):
+    events rows where |value - median| > 3.5 * (1.4826 * MAD) — the
+    50%-breakdown member of the outlier family (z-score inflates its own
+    threshold; Tukey fences use quartiles; this uses the median of absolute
+    deviations). Both medians come from the two-pass exact-quantile path
+    (bounded state at any scale); flagging is a codegen filter scan with
+    zero joins. Twin: DuckDB quantile_cont medians + the same fence
+    arithmetic op-for-op."""
+    from okay_spark.checks import mad_outliers
+
+    return mad_outliers(_read(spark, sf_dir, "events"), "value", id_cols=["event_id"])
+
+
+def q_js_divergence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (okay_spark/checks.py js_divergence_frame)
+    between the source distributions of English and non-English documents
+    (a realistic mid-range drift, js ~ 0.02 — an id-parity split saturates
+    at ln 2 because the fixture's source is a pure function of doc_id) —
+    the bounded ([0, ln 2]), symmetric companion of the PSI entry
+    (categorical_drift_events). Same scale-safe plan: one keyed aggregate
+    over a tagged union, totals broadcast back, decimal(38,18) term sum so
+    the result is partial-aggregation-order independent."""
+    from okay_spark.checks import js_divergence_frame
+
+    docs = _read(spark, sf_dir, "documents")
+    cur = docs.filter(F.col("lang") == "en")
+    ref = docs.filter(F.col("lang") != "en")
+    out = js_divergence_frame(cur, ref, "source")
+    return out.select(F.round("js", 6).alias("js"), "n_current", "n_reference")
+
+
+def q_url_domains_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL exposure stats (okay_spark/textops.py
+    url_domain_stats). The synthetic corpus contains no URLs, so the query
+    first plants a deterministic pair of URLs (mixed-case domains, to
+    exercise the lower-casing) on every 3rd document — identically in the
+    SQL oracle — making the exact (domain, n_urls, n_docs) comparison
+    non-vacuous. Extraction is codegen regexp_extract_all; the distinct-doc
+    count is the rare_token_stats two-level scalar-aggregate discipline."""
+    from okay_spark.textops import url_domain_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see https://CDN"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".Example.org/path and http://www.site"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".test/page"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return url_domain_stats(planted, "text", "doc_id")
+
+
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (okay_spark/dedup.py
+    semantic_duplicates): engine-portable k-means clusters (md5-seeded
+    init, decimal-exact centroid means, one Lloyd round, 8 lists), then
+    within-cluster cosine >= 0.999 flags duplicates against their best
+    lower-id keeper. The fixture has no semantic near-dups, so every 25th
+    vector is re-planted under vec_id+100000 — identical values land in
+    the same cluster because the post-init assignment depends only on the
+    vector — making the output non-vacuous; the DuckDB twin replays the
+    k-means, the pair join, and the window pick bit-for-bit."""
+    from okay_spark.dedup import semantic_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return semantic_duplicates(
+        emb.unionByName(copies), n_lists=8, iters=1, threshold=0.999
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2072,23 +2155,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          the single-pass bloom referential, the data-shipped IVF
     #          centroids + twin ORDER BY fix, the LSH-kNN twin's seeded
     #          list_reduce folds, the single-scan key-skew profiler
-    #   7-10:  new round-5 operators (row-level snapshot diff, functional
+    #   7-14:  new round-5 operators (row-level snapshot diff, functional
     #          dependency check, Tukey-fence outliers, grouped exact
-    #          cumulative distribution)
-    #   11-23: r01-certified recertification (the oldest greens in the
+    #          cumulative distribution, MAD robust-z outliers, JS
+    #          divergence, URL-domain stats, SemDeDup semantic dedup)
+    #   15-27: r01-certified recertification (the oldest greens in the
     #          scoreboard — rollup/sample/split/top-k/summary/histogram/
     #          heavy-hitters/entropy/schema-diff/distinct/cube/set-op)
-    #   24-36: r02-certified recertification (the ten displaced r04
+    #   28-40: r02-certified recertification (the ten displaced r04
     #          candidates listed at last round's boundary + edit-distance,
     #          BPE token count, full-sort quantiles)
-    #   37-50: r03-certified recertification: the flagship interleaved
+    #   41-50: r03-certified recertification: the flagship interleaved
     #          spans suite (the north-rule shape) + battery_documents/
-    #          events, exact-KS, session windows, dedup clusters,
-    #          multimodal features
+    #          events
     # Below the boundary: every r04-certified entry (1 round old), the
-    # remaining r03 entries (2 rounds old, re-certified on rotation), and
-    # the two documented rows-only fixtures (approx_distinct twin-less by
-    # design — hll_sketch is the exact counterpart; battery_interleaved
+    # remaining r03 entries (2 rounds old — exactly at the freshness limit;
+    # ks_exact / session_windows / dedup_clusters / multimodal were
+    # displaced here by the four late round-5 operators and stay r03-green),
+    # and the two documented rows-only fixtures (approx_distinct twin-less
+    # by design — hll_sketch is the exact counterpart; battery_interleaved
     # twin-carried by battery_spans_documents).
     return {
         # -- changed this round: must re-certify --
@@ -2103,6 +2188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_source_lang_documents": q_fd_source_lang_documents,
         "iqr_outliers_events": q_iqr_outliers_events,
         "cume_dist_documents": q_cume_dist_documents,
+        "mad_outliers_events": q_mad_outliers_events,
+        "js_divergence_documents": q_js_divergence_documents,
+        "url_domains_documents": q_url_domains_documents,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         # -- recertification: last green r01 --
         "rollup_documents": q_rollup_documents,
         "sample_documents": q_sample_documents,
@@ -2142,13 +2231,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_summary_spans": q_partition_summary_spans,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
+        # ---- window boundary (first 50 certified) ---- entries below were
+        # driver-green in r04 (1 round old) or r03 (2 rounds old, next in
+        # rotation), plus the two documented rows-only fixtures ----
         "ks_exact_events": q_ks_exact_events,
         "session_windows_events": q_session_windows_events,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "multimodal_features": q_multimodal_features,
-        # ---- window boundary (first 50 certified) ---- entries below were
-        # driver-green in r04 (1 round old) or r03 (2 rounds old, next in
-        # rotation), plus the two documented rows-only fixtures ----
         "sessions_events": q_sessions_events,
         "pack_chunks_documents": q_pack_chunks_documents,
         "compression_ratio_documents": q_compression_ratio_documents,
@@ -3938,12 +4027,160 @@ SELECT lang, value, cnt,
 FROM c
 """
 
+# MAD robust-z: both medians are quantile_cont (the same ANSI interpolation
+# as the engine's exact two-pass quantiles); the fence arithmetic replicates
+# the Python driver-side order op-for-op — s = 1.4826 * mad first, then
+# m -/+ 3.5 * s and (value - m) / s. The s = 0 degenerate branch (robust_z
+# NULL, every value != median flags) mirrors mad_outliers' documented
+# behavior.
+_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT quantile_cont(value, 0.5) AS m FROM events WHERE value IS NOT NULL
+),
+mad AS (
+  SELECT quantile_cont(abs(value - m), 0.5) AS d
+  FROM events, med WHERE value IS NOT NULL
+),
+f AS (SELECT m, 1.4826 * d AS s FROM med, mad),
+g AS (SELECT m, s, m - 3.5 * s AS lo, m + 3.5 * s AS hi FROM f)
+SELECT event_id, CAST(value AS DOUBLE) AS value,
+  CASE WHEN s > 0 THEN (value - m) / s END AS robust_z,
+  CASE WHEN s > 0 AND value < lo THEN 'mad_low'
+       WHEN s > 0 AND value > hi THEN 'mad_high'
+       WHEN s = 0 AND value < m THEN 'mad_low'
+       WHEN s = 0 AND value > m THEN 'mad_high' END AS rule
+FROM events, g
+WHERE value IS NOT NULL
+  AND ((s > 0 AND (value < lo OR value > hi)) OR (s = 0 AND value != m))
+"""
+
+# Jensen-Shannon: the categorical-PSI twin's shape with the JS term; the
+# term is spelled with m inlined as (p + q) / 2.0 and each product
+# left-associated, matching the Column expression exactly; decimal(38,18)
+# term sum, rounded to 6dp on both sides.
+_JS_DIVERGENCE_SQL = """
+WITH cur AS (SELECT source, COUNT(*)::DOUBLE AS c FROM documents WHERE lang = 'en' GROUP BY 1),
+ref AS (SELECT source, COUNT(*)::DOUBLE AS c FROM documents WHERE lang <> 'en' GROUP BY 1),
+tot AS (SELECT (SELECT SUM(c) FROM cur) AS nc, (SELECT SUM(c) FROM ref) AS nr),
+j AS (
+  SELECT GREATEST(COALESCE(cur.c, 0) / nc, 1e-6) AS p,
+         GREATEST(COALESCE(ref.c, 0) / nr, 1e-6) AS q
+  FROM cur FULL OUTER JOIN ref ON cur.source IS NOT DISTINCT FROM ref.source
+  CROSS JOIN tot
+)
+SELECT round(CAST(SUM(CAST(
+    0.5 * p * LN(p / ((p + q) / 2.0)) + 0.5 * q * LN(q / ((p + q) / 2.0))
+  AS DECIMAL(38,18))) AS DOUBLE), 6) AS js,
+  (SELECT CAST(nc AS BIGINT) FROM tot) AS n_current,
+  (SELECT CAST(nr AS BIGINT) FROM tot) AS n_reference
+FROM j
+"""
+
+# URL domains: the planted suffix matches q_url_domains_documents exactly
+# (mixed-case domains exercise the lower-casing); the regex is the
+# dialect-portable subset (no lookarounds, no \\w). Two-level scalar
+# aggregation mirrors the rare_token_stats discipline.
+_URL_DOMAINS_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+           THEN ' see https://CDN' || CAST(doc_id % 7 AS VARCHAR)
+                || '.Example.org/path and http://www.site'
+                || CAST(doc_id % 5 AS VARCHAR) || '.test/page'
+           ELSE '' END AS text
+  FROM documents
+), d AS (
+  SELECT doc_id, lower(u) AS domain
+  FROM planted, unnest(regexp_extract_all(text, 'https?://([0-9A-Za-z.-]+)', 1)) t(u)
+), p AS (
+  SELECT domain, doc_id, COUNT(*)::BIGINT AS n FROM d GROUP BY domain, doc_id
+)
+SELECT domain, CAST(sum(n) AS BIGINT) AS n_urls, COUNT(*)::BIGINT AS n_docs
+FROM p GROUP BY domain
+"""
+
+# SemDeDup semantic dedup: replays the engine-portable k-means (the IVF
+# twin's chain at n_lists=8, one Lloyd round) over the planted corpus, then
+# the within-cluster pair join, cosine folds, and the keeper window pick —
+# ordered on the RAW score (rounding happens after selection, the
+# _IVF_TOPK_SQL lesson). Every fold is seeded [0.0] + [...] so empty
+# vectors degrade exactly like Spark's F.aggregate.
+_SEMANTIC_DEDUP_SQL = """
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE embedding IS NOT NULL
+), planted AS (
+  SELECT vec_id + 100000 AS vec_id, ev FROM e0 WHERE vec_id % 25 = 0
+), e AS (
+  SELECT * FROM e0 UNION ALL SELECT * FROM planted
+),
+a0 AS (
+  SELECT vec_id, ev,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS l
+  FROM e
+),
+m0 AS (
+  SELECT l, j AS pos,
+         CAST(CAST(sum(CAST(CAST(ev[j] AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+           / count(*) AS m
+  FROM a0, unnest(generate_series(1, len(ev))) t(j)
+  GROUP BY l, j
+),
+c0 AS (SELECT l, list(m ORDER BY pos) AS cv FROM m0 GROUP BY l),
+fb0 AS (
+  SELECT pos, list_reduce(list(m ORDER BY l), (a, b) -> a + b) / count(*) AS m
+  FROM m0 GROUP BY pos
+),
+cents0 AS (
+  SELECT ll.l, COALESCE(c0.cv, (SELECT list(m ORDER BY pos) FROM fb0)) AS cv
+  FROM range(0, 8) ll(l) LEFT JOIN c0 ON c0.l = ll.l
+),
+s1 AS (
+  SELECT vec_id, ev, c.l,
+    CASE WHEN sqrt(list_reduce([0.0] + [ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
+            * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)) > 0
+         THEN list_reduce([0.0] + [ev[i] * cv[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b)
+              / (sqrt(list_reduce([0.0] + [ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
+               * sqrt(list_reduce([0.0] + [cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)], (a,b) -> a + b)))
+         ELSE 0.0 END AS cos
+  FROM a0, cents0 c
+),
+a1 AS (
+  SELECT vec_id, ev, l
+  FROM (SELECT vec_id, ev, l,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, l ASC) AS rn
+        FROM s1)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT y.vec_id AS vec_id, x.vec_id AS kept_id, x.l AS list_id,
+    CASE WHEN sqrt(list_reduce([0.0] + [x.ev[i] * x.ev[i] FOR i IN range(1, len(x.ev) + 1)], (a,b) -> a + b))
+            * sqrt(list_reduce([0.0] + [y.ev[i] * y.ev[i] FOR i IN range(1, len(y.ev) + 1)], (a,b) -> a + b)) > 0
+         THEN list_reduce([0.0] + [x.ev[i] * y.ev[i] FOR i IN range(1, len(x.ev) + 1)], (a,b) -> a + b)
+              / (sqrt(list_reduce([0.0] + [x.ev[i] * x.ev[i] FOR i IN range(1, len(x.ev) + 1)], (a,b) -> a + b))
+               * sqrt(list_reduce([0.0] + [y.ev[i] * y.ev[i] FOR i IN range(1, len(y.ev) + 1)], (a,b) -> a + b)))
+         ELSE 0.0 END AS score
+  FROM a1 x JOIN a1 y ON x.l = y.l AND x.vec_id < y.vec_id
+),
+hits AS (SELECT * FROM pairs WHERE score >= CAST(0.999 AS DOUBLE)),
+best AS (
+  SELECT vec_id, kept_id, list_id, score,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, kept_id ASC) AS rn
+  FROM hits
+)
+SELECT vec_id, kept_id, CAST(list_id AS INT) AS list_id, round(best.score, 6) AS score
+FROM best WHERE rn = 1
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,
+        "mad_outliers_events": _MAD_OUTLIERS_SQL,
+        "js_divergence_documents": _JS_DIVERGENCE_SQL,
+        "url_domains_documents": _URL_DOMAINS_SQL,
+        "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "cume_dist_documents": _CUME_DIST_SQL,
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,

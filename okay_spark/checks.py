@@ -1726,3 +1726,118 @@ def iqr_outliers(
         .select(*ids, v.cast("double").alias("value"), fence.cast("double").alias("fence"), rule.alias("rule"))
         .filter(F.col("rule").isNotNull())
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    *,
+    k: float = 3.5,
+    id_cols: list[str] | None = None,
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """Median/MAD robust-z outliers: rows where ``|x - median| > k * scale``
+    with ``scale = 1.4826 * MAD`` (MAD = median of ``|x - median|``; 1.4826
+    makes the scale estimate consistent with sigma under normality). The
+    third member of the outlier family — :func:`numeric_outliers` (z-score,
+    tail-inflatable), :func:`iqr_outliers` (Tukey fences), and this one,
+    the classical robust-z with a 50% breakdown point.
+
+    Output: ``(id_cols..., value, robust_z, rule)`` with rule ``mad_low`` /
+    ``mad_high``. Degenerate corpus (MAD == 0, e.g. >50% of rows share one
+    value): every value != median flags with ``robust_z`` NULL — the
+    deviation is real but the scale is unmeasurable; the DuckDB twin
+    replays the same branch. NULL/NaN values never flag (the battery's
+    null_value rule owns those).
+
+    Scale shape: BOTH medians come from :func:`exact_quantiles_twopass`
+    (sketch bracket + exact in-bracket interpolation — bounded state at
+    10^12 rows, never a full sort); the driver receives two doubles and
+    the flagging pass is a pure codegen filter scan, zero joins. The fence
+    arithmetic is replicated op-for-op in the oracle so comparisons are
+    IEEE-exact on both engines.
+    """
+    ids = id_cols if id_cols is not None else [c for c in df.columns if c == "doc_id"]
+    med_rows = exact_quantiles_twopass(df, [col], (0.5,), accuracy=accuracy).collect()
+    med = med_rows[0]["q"] if med_rows else None
+    v = F.col(col)
+    if med is None:  # empty / all-null column: nothing can flag
+        return (
+            df.select(
+                *ids,
+                v.cast("double").alias("value"),
+                F.lit(None).cast("double").alias("robust_z"),
+                F.lit(None).cast("string").alias("rule"),
+            ).filter(F.col("rule").isNotNull())
+        )
+    dev = df.select(F.abs(v.cast("double") - F.lit(med)).alias("_dev"))
+    mad = exact_quantiles_twopass(dev, ["_dev"], (0.5,), accuracy=accuracy).collect()[0]["q"]
+    scale = 1.4826 * mad
+    vd = v.cast("double")
+    if scale > 0:
+        # lo/hi computed driver-side with the SAME operation order as the
+        # SQL twin: med -/+ k * (1.4826 * mad)
+        lo = med - k * scale
+        hi = med + k * scale
+        rule = F.when(vd < F.lit(lo), F.lit("mad_low")).when(vd > F.lit(hi), F.lit("mad_high"))
+        rz = (vd - F.lit(med)) / F.lit(scale)
+    else:
+        rule = F.when(vd < F.lit(med), F.lit("mad_low")).when(vd > F.lit(med), F.lit("mad_high"))
+        rz = F.lit(None).cast("double")
+    return (
+        df.filter(vd.isNotNull() & ~F.isnan(vd))
+        .select(*ids, vd.alias("value"), rz.alias("robust_z"), rule.alias("rule"))
+        .filter(F.col("rule").isNotNull())
+    )
+
+
+def js_divergence_frame(
+    current: DataFrame, reference: DataFrame, col: str, *, epsilon: float = 1e-6
+) -> DataFrame:
+    """Jensen-Shannon divergence over categorical proportions (natural log,
+    so the range is [0, ln 2]) as a ONE-ROW DataFrame ``(js, n_current,
+    n_reference)`` — the bounded, symmetric companion of
+    :func:`categorical_drift_frame`'s PSI, which explodes when a category
+    vanishes from one side (the epsilon floor caps it but the scale is
+    arbitrary); JS stays finite and comparable across columns by
+    construction.
+
+    Plan shape: identical to PSI — UNION with a side tag, ONE keyed
+    aggregate for both sides' counts (map-side partial combine), grand
+    totals as a single-row broadcast back over the per-category rows, and
+    a final decimal(38,18) sum of per-category terms so the result is
+    independent of partial-aggregation order. Nothing proportional to
+    category cardinality reaches the driver. Proportions are floored at
+    ``epsilon`` exactly like PSI so the two metrics see the same inputs.
+    """
+    tagged = current.select(F.col(col).alias("_k"), F.lit(1).alias("_s")).unionByName(
+        reference.select(F.col(col).alias("_k"), F.lit(0).alias("_s"))
+    )
+    j = tagged.groupBy("_k").agg(
+        F.sum("_s").cast("double").alias("_c"),
+        F.sum(F.lit(1) - F.col("_s")).cast("double").alias("_r"),
+    )
+    tot = j.agg(F.sum("_c").alias("_nc"), F.sum("_r").alias("_nr"))
+    terms = j.crossJoin(F.broadcast(tot)).select(
+        "_nc",
+        "_nr",
+        F.greatest(
+            F.when(F.col("_nc") > 0, F.col("_c") / F.col("_nc")).otherwise(F.lit(0.0)),
+            F.lit(epsilon),
+        ).alias("_p"),
+        F.greatest(
+            F.when(F.col("_nr") > 0, F.col("_r") / F.col("_nr")).otherwise(F.lit(0.0)),
+            F.lit(epsilon),
+        ).alias("_q"),
+    )
+    # operation order is load-bearing for the oracle: m is spelled inline
+    # as (p + q) / 2 in BOTH engines, each product left-associated
+    m = (F.col("_p") + F.col("_q")) / F.lit(2.0)
+    term = F.lit(0.5) * F.col("_p") * F.log(F.col("_p") / m) + F.lit(0.5) * F.col(
+        "_q"
+    ) * F.log(F.col("_q") / m)
+    return terms.agg(
+        F.sum(term.cast("decimal(38,18)")).cast("double").alias("js"),
+        F.max("_nc").cast("bigint").alias("n_current"),
+        F.max("_nr").cast("bigint").alias("n_reference"),
+    )

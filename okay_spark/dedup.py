@@ -1193,3 +1193,102 @@ def drop_duplicate_lines(
         F.coalesce(F.col("_n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("_text"), F.lit("")).alias("text_dedup"),
     )
+
+
+def semantic_oversized_clusters(
+    assignments: DataFrame, max_cluster_size: int
+) -> DataFrame:
+    """Observability companion of :func:`semantic_duplicates`: the k-means
+    clusters its ``max_cluster_size`` cap excluded from pairing —
+    ``(list_id, n_members)`` — so truncation is visible, never silent (the
+    minhash_oversized_buckets discipline)."""
+    return (
+        assignments.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_cluster_size)
+    )
+
+
+def semantic_duplicates(
+    df: DataFrame,
+    *,
+    n_lists: int = 8,
+    iters: int = 1,
+    threshold: float = 0.999,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with deterministic k-means, then
+    within each cluster flag every vector with a lower-id neighbor whose
+    cosine similarity is >= ``threshold``. The reference validates one
+    document at a time (validator.py:7-11) and has no notion of
+    corpus-level semantic redundancy; this is the embedding-space member of
+    the dedup family (exact / MinHash / SimHash / winnowing / line / span /
+    embedding-LSH / semantic-cluster).
+
+    Output: one row per duplicate — ``(vec_id, kept_id, list_id, score)``
+    where ``kept_id`` is the best keeper (max cosine, then min id — picked
+    by a window ordered on the RAW score; rounding to 6dp happens after
+    selection) and ``list_id`` the shared cluster.
+
+    Exactness: clustering reuses :func:`okay_spark.similarity.
+    ivf_assignments` — md5-seeded init, decimal(38,12) centroid means,
+    argmax-cosine assignment — the ENGINE-PORTABLE k-means whose every
+    value the DuckDB twin replays bit-for-bit; cosines are the same
+    sequential IEEE folds as the LSH/IVF twins.
+
+    Scale shape: the k-means is iters broadcast+hash-aggregate scans (no
+    vector shuffle); the pair stage is a self-join on ``list_id``, so
+    pair work is sum over clusters of c^2 — bounded by choosing
+    ``n_lists ~ n / target_cluster_size`` (SemDeDup's own knob) and, for
+    skewed corpora where k-means still floods one cluster (a constant
+    embedding from boilerplate docs), by ``max_cluster_size``: a scalar
+    count pre-pass + broadcast anti-join excludes oversized clusters from
+    pairing BEFORE the join fan-out (observable via
+    :func:`semantic_oversized_clusters`, never silent). The assignment
+    frame is localCheckpoint-ed once so the self-join does not re-execute
+    the k-means per side.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import ivf_assignments
+
+    assign, _ = ivf_assignments(
+        df, n_lists=n_lists, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    pts = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .join(assign.withColumnRenamed(id_col, "_id"), on="_id")
+    )
+    if max_cluster_size is not None:
+        sizes = pts.groupBy("list_id").agg(F.count(F.lit(1)).alias("_n"))
+        big = sizes.filter(F.col("_n") > max_cluster_size).select("list_id")
+        pts = pts.join(F.broadcast(big), on="list_id", how="left_anti")
+    pts = pts.localCheckpoint(eager=True)
+    a = pts.select(
+        F.col("_id").alias("kept_id"), F.col("_v").alias("_va"), "list_id"
+    )
+    b = pts.select(F.col("_id").alias("vec_id"), F.col("_v").alias("_vb"), "list_id")
+    pairs = (
+        a.join(b, on="list_id")
+        .filter(F.col("kept_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "kept_id",
+            "list_id",
+            cosine(F.col("_va"), F.col("_vb")).alias("score"),
+        )
+        .filter(F.col("score") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("kept_id").asc())
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "kept_id", "list_id", F.round("score", 6).alias("score"))
+    )

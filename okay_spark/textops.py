@@ -559,3 +559,39 @@ def rare_token_stats(
             F.col("n_rare").cast("double") / F.col("n_tokens").cast("double"),
         ).alias("rare_ratio"),
     )
+
+
+# Dialect-portable (Java regex == RE2) URL-domain extractor: scheme then
+# capture the host run. Deliberately no lookarounds and no \w (Unicode
+# semantics differ across engines).
+URL_DOMAIN_REGEX = r"https?://([0-9A-Za-z.-]+)"
+
+
+def url_domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain URL exposure stats over a text corpus — the first question
+    a web-scale ingest asks (domain mix, blocklist screening, single-domain
+    flood detection before dedup). Output: one row per lower-cased domain —
+    ``(domain, n_urls, n_docs)`` with total URL occurrences and the exact
+    count of distinct documents mentioning it.
+
+    Scale shape: extraction is a codegen ``regexp_extract_all`` + explode
+    (no Python); the distinct-doc count follows the rare_token_stats
+    discipline — pre-aggregate (domain, doc) pairs first so a domain
+    mentioned 10^9 times collapses map-side to one row per doc per map
+    task, then scalar-only sum/count per domain. Never a collect_list, so
+    a flooded domain (cdn.example.com on half the web) costs one reducer
+    one scalar row per distinct doc. NULL text extracts nothing.
+    """
+    doms = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_REGEX), F.lit(1))
+        ).alias("_d"),
+    ).select(F.lower(F.col("_d")).alias("domain"), "_id")
+    pairs = doms.groupBy("domain", "_id").agg(F.count(F.lit(1)).alias("_n"))
+    return pairs.groupBy("domain").agg(
+        F.sum("_n").cast("bigint").alias("n_urls"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )

@@ -803,6 +803,63 @@ def main() -> None:
         "filtering; cume is one bigint/bigint IEEE division",
     )
 
+    # late round-5 operators
+    from okay_spark.checks import js_divergence_frame, mad_outliers
+    from okay_spark.dedup import semantic_duplicates
+    from okay_spark.textops import url_domain_stats
+
+    audit(
+        "mad_outliers (flagging scan)",
+        mad_outliers(events, "value", id_cols=["event_id"]),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange", "CartesianProduct"],
+        note="median and MAD come from two bounded two-pass exact-quantile "
+        "jobs at build time (two doubles to the driver); the audited "
+        "flagging pass is a pure codegen filter scan — zero joins, zero "
+        "exchanges, trivially scan-parallel",
+    )
+    audit(
+        "js_divergence_frame",
+        js_divergence_frame(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            "source",
+        ),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="the categorical-PSI plan with the JS term: ONE keyed "
+        "aggregate over a tagged union (map-side partial combine), totals "
+        "broadcast back, decimal(38,18) term sum — nothing proportional "
+        "to category cardinality reaches the driver",
+    )
+    audit(
+        "url_domain_stats",
+        url_domain_stats(
+            docs.select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" https://cdn.example.org/x")).alias("text"),
+            )
+        ),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list", "collect_set"],
+        note="codegen regexp_extract_all + explode, then the "
+        "rare_token_stats two-level scalar-aggregate discipline: (domain, "
+        "doc) pairs pre-aggregate map-side, so a flooded domain costs one "
+        "scalar row per distinct doc — never a posting list",
+    )
+    emb_audit = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    audit(
+        "semantic_duplicates (pair stage)",
+        semantic_duplicates(emb_audit, n_lists=4, iters=1, threshold=0.999),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="SemDeDup: k-means is broadcast+hash-aggregate scans (audited "
+        "via ivf_topk); the audited stage self-joins the checkpointed "
+        "assignment on list_id, so pair work is sum of cluster-size^2 — "
+        "bounded by n_lists sizing and the max_cluster_size anti-join cap; "
+        "keeper pick is a window over surviving pairs only",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
