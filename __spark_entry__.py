@@ -2137,6 +2137,48 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance (okay_spark/checks.py
+    benford_first_digit) of l_extendedprice — nine rows (digit, counts,
+    shares, global chi2). First digits come from the value's
+    shortest-round-trip string form (unique per double, so both engines
+    extract the same digit whatever their exponent formatting);
+    expected_share is spelled ln((d+1)/d)/ln(10) on both sides and the
+    chi-square sum runs through decimal(38,12) per-term casts. TPC-H
+    prices are uniform-ish, so the statistic is enormous — the point is
+    the report, not the pass."""
+    from okay_spark.checks import benford_first_digit
+
+    return benford_first_digit(_read(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def q_zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law least-squares fit (okay_spark/textops.py zipf_fit) over
+    the corpus token-frequency distribution: one row (n_terms, slope,
+    intercept, r2) in ln-ln space. Top-N selection is a deterministic
+    total order (tf desc, token asc — physical TakeOrderedAndProject,
+    never a global sort); all five regression moments accumulate in
+    decimal(38,12) so the fit is bit-identical across partitionings and
+    engines. The synthetic fixture's 31-token vocabulary is nearly flat
+    (slope ~ -0.18) — real corpora sit near -1."""
+    from okay_spark.textops import zipf_fit
+
+    return zipf_fit(_read(spark, sf_dir, "documents"), top_n=200)
+
+
+def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score (okay_spark/textops.py
+    unigram_logprob_score): per-document mean token log-probability under
+    the corpus's own MLE unigram model. Two-level scalar aggregation
+    (never a posting list), corpus total re-derived from the vocabulary
+    frame and broadcast back (one input scan), per-doc term sum through
+    decimal(38,12) casts — the DuckDB twin replays every division and ln
+    bit-for-bit."""
+    from okay_spark.textops import unigram_logprob_score
+
+    return unigram_logprob_score(_read(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2155,26 +2197,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          the single-pass bloom referential, the data-shipped IVF
     #          centroids + twin ORDER BY fix, the LSH-kNN twin's seeded
     #          list_reduce folds, the single-scan key-skew profiler
-    #   7-14:  new round-5 operators (row-level snapshot diff, functional
+    #   7-17:  new round-5 operators (row-level snapshot diff, functional
     #          dependency check, Tukey-fence outliers, grouped exact
     #          cumulative distribution, MAD robust-z outliers, JS
-    #          divergence, URL-domain stats, SemDeDup semantic dedup)
-    #   15-27: r01-certified recertification (the oldest greens in the
+    #          divergence, URL-domain stats, SemDeDup semantic dedup,
+    #          Benford first-digit conformance, Zipf-law fit, unigram-LM
+    #          log-prob quality score)
+    #   18-30: r01-certified recertification (the oldest greens in the
     #          scoreboard — rollup/sample/split/top-k/summary/histogram/
     #          heavy-hitters/entropy/schema-diff/distinct/cube/set-op)
-    #   28-40: r02-certified recertification (the ten displaced r04
+    #   31-43: r02-certified recertification (the ten displaced r04
     #          candidates listed at last round's boundary + edit-distance,
     #          BPE token count, full-sort quantiles)
-    #   41-50: r03-certified recertification: the flagship interleaved
+    #   44-50: r03-certified recertification: the flagship interleaved
     #          spans suite (the north-rule shape) + battery_documents/
     #          events
     # Below the boundary: every r04-certified entry (1 round old), the
     # remaining r03 entries (2 rounds old — exactly at the freshness limit;
     # ks_exact / session_windows / dedup_clusters / multimodal were
-    # displaced here by the four late round-5 operators and stay r03-green),
-    # and the two documented rows-only fixtures (approx_distinct twin-less
-    # by design — hll_sketch is the exact counterpart; battery_interleaved
-    # twin-carried by battery_spans_documents).
+    # displaced by the four late round-5 operators, span_kind_stats /
+    # drift_spans_offset / partition_summary_spans by the three
+    # Benford/Zipf/unigram ones — all stay r03-green), and the two
+    # documented rows-only fixtures (approx_distinct twin-less by design —
+    # hll_sketch is the exact counterpart; battery_interleaved twin-carried
+    # by battery_spans_documents).
     return {
         # -- changed this round: must re-certify --
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -2192,6 +2238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence_documents": q_js_divergence_documents,
         "url_domains_documents": q_url_domains_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "benford_lineitem": q_benford_lineitem,
+        "zipf_fit_documents": q_zipf_fit_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
         # -- recertification: last green r01 --
         "rollup_documents": q_rollup_documents,
         "sample_documents": q_sample_documents,
@@ -2226,14 +2275,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "element_rule_documents": q_element_rule_documents,
         "referential_spans_media": q_referential_spans_media,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
-        "span_kind_stats": q_span_kind_stats,
-        "drift_spans_offset": q_drift_spans_offset,
-        "partition_summary_spans": q_partition_summary_spans,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
         # ---- window boundary (first 50 certified) ---- entries below were
-        # driver-green in r04 (1 round old) or r03 (2 rounds old, next in
-        # rotation), plus the two documented rows-only fixtures ----
+        # driver-green in r04 (1 round old) or r03 (2 rounds old — exactly
+        # at the freshness limit; span_kind_stats / drift_spans_offset /
+        # partition_summary_spans were displaced here by the three late
+        # Benford/Zipf/unigram-LM operators and stay r03-green, their
+        # correctness carried by the recertified partition_summary_documents
+        # / drift_events / aggregate family above), plus the two documented
+        # rows-only fixtures ----
+        "span_kind_stats": q_span_kind_stats,
+        "drift_spans_offset": q_drift_spans_offset,
+        "partition_summary_spans": q_partition_summary_spans,
         "ks_exact_events": q_ks_exact_events,
         "session_windows_events": q_session_windows_events,
         "dedup_clusters_documents": q_dedup_clusters_documents,
@@ -4172,6 +4226,109 @@ FROM best WHERE rn = 1
 """
 
 
+# Benford first-digit: the digit comes from the shortest-round-trip string
+# form (unique per double -> same digit sequence on both engines, whatever
+# the exponent formatting); expected_share is LN((d+1)/d)/LN(10) spelled
+# identically; the chi-square sum runs through VARCHAR-routed
+# decimal(38,12) per-term casts (order-independent, Spark-identical
+# rounding).
+_BENFORD_SQL = """
+WITH src AS (
+  SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+    AND abs(CAST(l_extendedprice AS DOUBLE)) > 0.0
+    AND abs(CAST(l_extendedprice AS DOUBLE)) <> 'infinity'::DOUBLE
+), d AS (
+  SELECT regexp_extract(CAST(v AS VARCHAR), '[1-9]', 0) AS _d FROM src
+), counted AS (
+  SELECT _d, count(*) AS _n FROM d WHERE _d <> '' GROUP BY _d
+), digits AS (SELECT CAST(r AS INT) AS digit, CAST(r AS VARCHAR) AS _d FROM range(1,10) t(r)),
+full_ AS (
+  SELECT digit, CAST(coalesce(_n, 0) AS BIGINT) AS n_observed
+  FROM digits LEFT JOIN counted USING (_d)
+), tot AS (SELECT CAST(sum(n_observed) AS BIGINT) AS _tot FROM full_),
+base AS (
+  SELECT digit, n_observed, _tot,
+         LN((CAST(digit AS DOUBLE) + 1.0) / CAST(digit AS DOUBLE)) / LN(10.0) AS _e
+  FROM full_ CROSS JOIN tot
+), chi AS (
+  SELECT CAST(CAST(SUM(CAST(CAST(
+      CASE WHEN _tot > 0 THEN
+        (CAST(n_observed AS DOUBLE) - CAST(_tot AS DOUBLE) * _e)
+        * (CAST(n_observed AS DOUBLE) - CAST(_tot AS DOUBLE) * _e)
+        / (CAST(_tot AS DOUBLE) * _e)
+      ELSE 0.0 END AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS _chi2
+  FROM base
+)
+SELECT digit, n_observed,
+  CASE WHEN _tot > 0 THEN CAST(n_observed AS DOUBLE)/CAST(_tot AS DOUBLE) ELSE 0.0 END AS observed_share,
+  round(_e, 6) AS expected_share,
+  CASE WHEN _tot > 0 THEN round(_chi2, 6) END AS chi2
+FROM base CROSS JOIN chi
+"""
+
+# Zipf fit: the top-N cut is the deterministic total order (tf DESC, tok
+# ASC) on both engines; every regression moment routes through
+# VARCHAR-routed decimal(38,12); slope/intercept/r2 arithmetic is spelled
+# op-for-op like the Spark side (n*Sxy - Sx*Sy etc., left-associated).
+_ZIPF_FIT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), dt AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS tf FROM dt GROUP BY tok),
+top AS (SELECT tok, tf FROM vocab ORDER BY tf DESC, tok ASC LIMIT 200),
+ranked AS (
+  SELECT LN(CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS DOUBLE)) AS x,
+         LN(CAST(tf AS DOUBLE)) AS y
+  FROM top
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(sum(CAST(CAST(y * y AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS syy
+  FROM ranked
+)
+SELECT n_terms,
+  CASE WHEN n_terms >= 2 AND (CAST(n_terms AS DOUBLE) * sxx - sx * sx) > 0
+       THEN round((CAST(n_terms AS DOUBLE) * sxy - sx * sy) / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
+  CASE WHEN n_terms >= 2 AND (CAST(n_terms AS DOUBLE) * sxx - sx * sx) > 0
+       THEN round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy) / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n_terms AS DOUBLE), 6) END AS intercept,
+  CASE WHEN n_terms >= 2 AND (CAST(n_terms AS DOUBLE) * sxx - sx * sx) > 0 AND (CAST(n_terms AS DOUBLE) * syy - sy * sy) > 0
+       THEN round(((CAST(n_terms AS DOUBLE) * sxy - sx * sy) * (CAST(n_terms AS DOUBLE) * sxy - sx * sy))
+            / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx) * (CAST(n_terms AS DOUBLE) * syy - sy * sy)), 6) END AS r2
+FROM m
+"""
+
+# Unigram LM score: p = tf/total is ONE bigint/bigint IEEE division, the
+# per-token term cnt*LN(p) a row-local double, and the per-document sum
+# runs through VARCHAR-routed decimal(38,12) — replays Spark bit-for-bit.
+# Empty documents keep their row via the ids LEFT JOIN (Spark's
+# explode_outer).
+_UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), dt AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS tf FROM dt GROUP BY tok),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM vocab),
+per AS (
+  SELECT dt.doc_id,
+    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    CAST(CAST(sum(CAST(CAST(
+        CAST(cnt AS DOUBLE) * LN(CAST(tf AS DOUBLE) / CAST(t AS DOUBLE))
+      AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS slp
+  FROM dt JOIN vocab USING (tok) CROSS JOIN tot GROUP BY dt.doc_id
+), ids AS (SELECT doc_id FROM documents GROUP BY doc_id)
+SELECT ids.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+  CASE WHEN n_tokens > 0 THEN round(slp / CAST(n_tokens AS DOUBLE), 6) END AS avg_logprob
+FROM ids LEFT JOIN per USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
@@ -4181,6 +4338,9 @@ def oracle_sql() -> dict[str, str]:
         "js_divergence_documents": _JS_DIVERGENCE_SQL,
         "url_domains_documents": _URL_DOMAINS_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
+        "benford_lineitem": _BENFORD_SQL,
+        "zipf_fit_documents": _ZIPF_FIT_SQL,
+        "unigram_logprob_documents": _UNIGRAM_LOGPROB_SQL,
         "cume_dist_documents": _CUME_DIST_SQL,
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,

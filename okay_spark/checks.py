@@ -1841,3 +1841,87 @@ def js_divergence_frame(
         F.max("_nc").cast("bigint").alias("n_current"),
         F.max("_nr").cast("bigint").alias("n_reference"),
     )
+
+
+def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-significant-digit conformance — the classic
+    fabricated/synthetic-numerics screen for columns that span several
+    orders of magnitude (amounts, populations, file sizes). The reference
+    validator has no distributional checks at all (per-document rules only,
+    /root/reference/src/okay/validator.py); this extends the drift family
+    (:func:`drift_metrics`, :func:`js_divergence_frame`) with a
+    fixed-reference-distribution test.
+
+    Output: exactly nine rows ``(digit, n_observed, observed_share,
+    expected_share, chi2)`` for digits 1-9 — zero-count digits keep their
+    row (they contribute ``n * p_d`` to the statistic). ``chi2`` is the
+    global Pearson statistic carried on every row (the broadcast-back
+    discipline of ``key_skew_stats.share``); compare to the 5%/1% critical
+    values for 8 degrees of freedom (15.51 / 20.09).
+
+    Engine portability: the first significant digit is extracted from the
+    value's shortest-round-trip string form (``regexp_extract(cast(abs(x)
+    as string), '[1-9]', 0)``) — the shortest decimal representation of a
+    double is unique, so Spark (Java) and DuckDB print the same digit
+    sequence whatever their exponent formatting, and the leading nonzero
+    digit is identical by construction. Zero, NULL, NaN and infinities are
+    excluded (no nonzero digit / not finite). ``expected_share`` is spelled
+    ``ln((d+1)/d) / ln(10)`` on BOTH engines ((d+1)/d is a correctly-rounded
+    small-int division, and ``ln`` parity is already load-bearing in the JS
+    twin); the chi-square sum runs through decimal(38,12) per-term casts so
+    it is independent of partial-aggregation order.
+
+    Scale shape: one hash aggregate with map-side combine down to <= 9
+    groups, a broadcast join against a literal 9-row digit frame, and the
+    total re-derived from the aggregated counts (ReusedExchange — one input
+    scan, never ``df.count()``). Nothing proportional to the data reaches
+    the driver."""
+    v = F.abs(F.col(col).cast("double"))
+    finite = (
+        F.col(col).isNotNull()
+        & ~F.isnan(v)
+        & (v != F.lit(float("inf")))
+        & (v > F.lit(0.0))
+    )
+    counted = (
+        df.filter(finite)
+        .select(F.regexp_extract(v.cast("string"), "[1-9]", 0).alias("_d"))
+        .filter(F.col("_d") != "")
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"), F.col("id").cast("string").alias("_d")
+    )
+    full = digits.join(F.broadcast(counted), "_d", "left").select(
+        "digit", F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_observed")
+    )
+    tot = full.agg(F.sum("n_observed").cast("bigint").alias("_tot"))
+    exp_share = F.log((F.col("digit").cast("double") + F.lit(1.0)) / F.col("digit").cast("double")) / F.log(F.lit(10.0))
+    expected_n = F.col("_tot").cast("double") * F.col("_e")
+    term = (F.col("n_observed").cast("double") - expected_n) * (
+        F.col("n_observed").cast("double") - expected_n
+    ) / expected_n
+    base = full.crossJoin(F.broadcast(tot)).select(
+        "digit", "n_observed", "_tot", exp_share.alias("_e")
+    )
+    # guard: _tot == 0 makes the Pearson term 0/0 (NaN), and ANSI mode
+    # throws casting NaN to decimal — the empty corpus reports chi2 NULL
+    safe_term = F.when(F.col("_tot") > 0, term).otherwise(F.lit(0.0))
+    chi = base.agg(
+        F.sum(safe_term.cast("decimal(38,12)")).cast("double").alias("_chi2")
+    )
+    return (
+        base.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "n_observed",
+            F.when(
+                F.col("_tot") > 0,
+                F.col("n_observed").cast("double") / F.col("_tot").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("observed_share"),
+            F.round(F.col("_e"), 6).alias("expected_share"),
+            F.when(F.col("_tot") > 0, F.round(F.col("_chi2"), 6)).alias("chi2"),
+        )
+        .orderBy("digit")
+    )

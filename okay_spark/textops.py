@@ -595,3 +595,152 @@ def url_domain_stats(
         F.sum("_n").cast("bigint").alias("n_urls"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    top_n: int = 200,
+) -> DataFrame:
+    """Least-squares fit of Zipf's law over the corpus token-frequency
+    distribution: slope/intercept/R^2 of ``ln(freq) ~ ln(rank)`` on the
+    ``top_n`` most frequent tokens. Natural text sits near slope -1;
+    machine-generated or template-heavy corpora flatten (slope -> 0) or
+    cliff — a whole-corpus health signal no per-document rule can see (the
+    reference validates documents one at a time,
+    /root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(n_terms, slope, intercept, r2)`` (natural-log
+    space, rounded to 6dp). Fewer than 2 distinct tokens -> NULL fit
+    columns (a vertical/degenerate regression); empty corpus -> n_terms 0.
+
+    Scale shape: per-(doc, token) counts first (map-side combinable hash
+    aggregate), token totals by a second scalar aggregate — the vocabulary
+    pass never builds a posting list. The top-N selection is
+    ``orderBy(tf desc, tok asc).limit(n)`` — physical TakeOrderedAndProject,
+    each task keeps its own top N and the driver merges (bounded by
+    ``top_n``, never a global sort); ties at the cut break on the token
+    string so the selected set is a deterministic total order on any
+    engine. Ranking and the five regression moments then run over <= top_n
+    rows; each moment accumulates in decimal(38,12) (the moment
+    discipline) so slope/intercept/r2 are independent of partial-
+    aggregation order and bit-identical to the DuckDB twin."""
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    dt = base.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = dt.groupBy("tok").agg(F.sum("cnt").cast("bigint").alias("tf"))
+    top = vocab.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    ranked = top.select(
+        F.row_number().over(w).cast("double").alias("_x_rank"), F.col("tf")
+    ).select(
+        F.log(F.col("_x_rank")).alias("_x"), F.log(F.col("tf").cast("double")).alias("_y")
+    )
+
+    def dec(c: Column) -> Column:
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        dec(F.col("_x")).alias("_sx"),
+        dec(F.col("_y")).alias("_sy"),
+        dec(F.col("_x") * F.col("_x")).alias("_sxx"),
+        dec(F.col("_x") * F.col("_y")).alias("_sxy"),
+        dec(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    # operation order is load-bearing for the oracle: every product/difference
+    # below is spelled identically in the DuckDB twin
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = cov / vx
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = (cov * cov) / (vx * vy)
+    fit_ok = (F.col("n_terms") >= 2) & (vx > 0)
+    return m.select(
+        "n_terms",
+        F.when(fit_ok, F.round(slope, 6)).alias("slope"),
+        F.when(fit_ok, F.round(intercept, 6)).alias("intercept"),
+        F.when(fit_ok & (vy > 0), F.round(r2, 6)).alias("r2"),
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality score, the unigram special case:
+    each document's mean token log-probability under the corpus's own
+    maximum-likelihood unigram model (``sum(cnt * ln(tf/total)) /
+    n_tokens``). Gibberish, codes and boilerplate IDs score far below the
+    corpus mode; real pipelines threshold on exactly this signal (CCNet
+    buckets by wiki-LM perplexity — the unigram model is the
+    dependency-free analog and this operator is its exact distributed
+    form). Complements :func:`rare_token_stats` (document-frequency based)
+    with an occurrence-frequency measure.
+
+    Output, one row per document: ``(doc_id, n_tokens, avg_logprob)``;
+    empty documents keep their row with ``n_tokens = 0`` and NULL score.
+    avg_logprob is <= 0 by construction (p <= 1).
+
+    Scale shape (all Column expressions — zero Python eval): per-(doc,
+    token) counts first (map-side combine, lazily ``localCheckpoint``-ed —
+    the frame feeds both the vocabulary build and the probe side of the
+    join, and without the pin the null-filter differentiates the subtrees
+    and the corpus tokenizes twice), token occurrence totals as a second
+    scalar aggregate (never a posting list), the corpus total re-derived
+    from the vocabulary frame itself and broadcast back (one input scan —
+    the key_skew_stats discipline, never ``df.count()``).
+    The probability is ONE bigint/bigint IEEE division and the per-token
+    term ``cnt * ln(p)`` is a deterministic row-local double; the per-doc
+    sum runs through decimal(38,12) casts so the score is independent of
+    aggregation order and bit-identical on any engine. The vocabulary
+    join is an equi-join on token with one build row per token — AQE's
+    skew split handles stopword probes, no salting needed."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), F.explode_outer(toks).alias("tok"))
+    # lazy localCheckpoint: dt feeds BOTH the vocabulary build and the probe
+    # side of the join — without it the null-filter differentiates the two
+    # subtrees and Spark tokenizes + aggregates the whole corpus twice (the
+    # drop_duplicate_lines discipline)
+    dt = (
+        base.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        dt.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.sum("cnt").cast("bigint").alias("tf"))
+    )
+    tot = vocab.agg(F.sum("tf").cast("bigint").alias("_tot"))
+    probed = dt.join(vocab, "tok", "left").crossJoin(F.broadcast(tot))
+    term = F.col("cnt").cast("double") * F.log(
+        F.col("tf").cast("double") / F.col("_tot").cast("double")
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.sum(F.when(F.col("tok").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tok").isNotNull(), term).otherwise(F.lit(0.0)).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("_sum_lp"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("_sum_lp") / F.col("n_tokens").cast("double"), 6),
+        ).alias("avg_logprob"),
+    )

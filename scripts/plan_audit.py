@@ -860,6 +860,43 @@ def main() -> None:
         "keeper pick is a window over surviving pairs only",
     )
 
+    from okay_spark.checks import benford_first_digit
+    from okay_spark.textops import unigram_logprob_score, zipf_fit
+
+    audit(
+        "benford_first_digit",
+        benford_first_digit(events, "value"),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one hash aggregate with map-side combine down to <= 9 digit "
+        "groups (the only designed exchange), broadcast-joined to a "
+        "literal 9-row digit frame; total and chi2 re-derive from the "
+        "aggregated counts and broadcast back — never df.count(), nothing "
+        "data-proportional reaches the driver",
+    )
+    audit(
+        "zipf_fit",
+        zipf_fit(docs, top_n=200),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="(doc, token) counts then token totals (two scalar "
+        "aggregates, both partial-combine); the top-N cut is "
+        "TakeOrderedAndProject — per-task top N merged at the driver, "
+        "never a global sort; the regression moments then run over "
+        "<= top_n rows in decimal(38,12)",
+    )
+    audit(
+        "unigram_logprob_score",
+        unigram_logprob_score(docs),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="the rare_token_stats shape with an occurrence-frequency "
+        "model: (doc, token) counts map-side, vocabulary totals as a "
+        "second scalar aggregate, corpus total re-derived from the "
+        "vocabulary frame and broadcast back (one input scan); the "
+        "per-document term sum is decimal(38,12)",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
