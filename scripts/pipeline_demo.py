@@ -9,7 +9,8 @@ switching: schema validation plus the corpus operators okay never had.
     (SimHash -> connected components -> canonical keep)
     ->  corpus line-dedup (cross-doc boilerplate lines removed in place)
     ->  duplicated-span strip (cross-doc token n-grams removed in place)
-    ->  quality / repetition / rare-token filters  ->  benchmark decontamination
+    ->  quality / repetition / rare-token / unigram-LM filters
+    ->  benchmark decontamination
     (n-gram overlap + whole-document cross-corpus minhash)
     ->  per-domain cap  ->  PII scan + redact  ->  chunk -> pack (sequence
     token budget)  ->  resample to target language mix -> per-language
@@ -185,13 +186,25 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     # 4. document quality + repetition + rare-token filters (Gopher-style)
     from okay_spark.textops import rare_token_stats
 
+    from okay_spark.textops import unigram_logprob_score
+
     rep = repetition_stats(deduped, k=2).select("doc_id", "dup_gram_ratio")
     rare = rare_token_stats(deduped, min_df=2).select("doc_id", "rare_ratio")
-    scored = quality_score(deduped).join(rep, on="doc_id").join(rare, on="doc_id")
+    # CCNet-style LM filter (unigram model trained on the surviving corpus
+    # itself): drop far-below-mode documents — gibberish/code scores well
+    # below natural text under the corpus's own token distribution
+    lm = unigram_logprob_score(deduped).select("doc_id", "avg_logprob")
+    scored = (
+        quality_score(deduped)
+        .join(rep, on="doc_id")
+        .join(rare, on="doc_id")
+        .join(lm, on="doc_id")
+    )
     filtered = scored.filter(
         (F.col("quality") >= 0.3)
         & (F.col("dup_gram_ratio") <= 0.5)
         & (F.coalesce(F.col("rare_ratio"), F.lit(0.0)) <= 0.9)
+        & (F.coalesce(F.col("avg_logprob"), F.lit(0.0)) >= -8.0)
     ).select(*deduped.columns)
     stats["after_quality"] = filtered.count()
 
