@@ -2179,6 +2179,53 @@ def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(_read(spark, sf_dir, "documents"))
 
 
+def q_mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-temperature data-mixing weights per source (okay_spark/
+    balance.py mixture_weights, alpha=0.5, 10M-token budget): one row per
+    source with its token share, sampling weight share^0.5 / sum, and
+    effective epochs at the budget. ONE hash aggregate over the corpus;
+    totals and the weight denominator re-derive from the aggregated frame
+    (decimal(38,12) denominator sum) and broadcast back. alpha=0.5 routes
+    through sqrt — correctly rounded IEEE on both engines — so every
+    output double is bit-exact without rounding."""
+    from okay_spark.balance import mixture_weights
+
+    return mixture_weights(
+        _read(spark, sf_dir, "documents"),
+        "source",
+        alpha=0.5,
+        budget_tokens=10_000_000,
+    )
+
+
+def q_dsir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (okay_spark/textops.py dsir_logratio):
+    per-document mean token log-likelihood ratio between the English-
+    subset unigram model and the raw-corpus unigram model, both Laplace-
+    smoothed over the raw vocabulary. One vocabulary aggregate carries
+    both models (tf_raw + conditional tf_target in the same pass); the
+    per-doc term sum runs through decimal(38,12) so the DuckDB twin
+    replays every (tf+1)/(total+V) division and ln bit-for-bit."""
+    from okay_spark.textops import dsir_logratio
+
+    return dsir_logratio(
+        _read(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def q_quality_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail buckets per language (okay_spark/textops.py
+    quality_buckets): documents ranked within their language by the
+    unigram-LM score and split into exact thirds by integer cumulative
+    counts (3c <= n / 3c <= 2n — no float thresholds, tie groups fall
+    wholly into the later bucket on both engines). The ranking window
+    runs over per-(lang, score) COUNTS, never raw rows; buckets join back
+    null-safely on (lang, score)."""
+    from okay_spark.textops import quality_buckets
+
+    return quality_buckets(_read(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2197,21 +2244,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          the single-pass bloom referential, the data-shipped IVF
     #          centroids + twin ORDER BY fix, the LSH-kNN twin's seeded
     #          list_reduce folds, the single-scan key-skew profiler
-    #   7-17:  new round-5 operators (row-level snapshot diff, functional
+    #   7-20:  new round-5 operators (row-level snapshot diff, functional
     #          dependency check, Tukey-fence outliers, grouped exact
     #          cumulative distribution, MAD robust-z outliers, JS
     #          divergence, URL-domain stats, SemDeDup semantic dedup,
     #          Benford first-digit conformance, Zipf-law fit, unigram-LM
-    #          log-prob quality score)
-    #   18-30: r01-certified recertification (the oldest greens in the
+    #          log-prob quality score, alpha-temperature mixture weights,
+    #          DSIR importance weights, CCNet head/middle/tail buckets)
+    #   21-33: r01-certified recertification (the oldest greens in the
     #          scoreboard — rollup/sample/split/top-k/summary/histogram/
     #          heavy-hitters/entropy/schema-diff/distinct/cube/set-op)
-    #   31-43: r02-certified recertification (the ten displaced r04
+    #   34-46: r02-certified recertification (the ten displaced r04
     #          candidates listed at last round's boundary + edit-distance,
     #          BPE token count, full-sort quantiles)
-    #   44-50: r03-certified recertification: the flagship interleaved
-    #          spans suite (the north-rule shape) + battery_documents/
-    #          events
+    #   47-50: r03-certified recertification: the flagship interleaved
+    #          spans battery (the north-rule shape) + span-order /
+    #          element-rule / referential on the same CTE
     # Below the boundary: every r04-certified entry (1 round old), the
     # remaining r03 entries (2 rounds old — exactly at the freshness limit;
     # ks_exact / session_windows / dedup_clusters / multimodal were
@@ -2241,6 +2289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_lineitem": q_benford_lineitem,
         "zipf_fit_documents": q_zipf_fit_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
+        "mixture_weights_documents": q_mixture_weights_documents,
+        "dsir_documents": q_dsir_documents,
+        "quality_buckets_documents": q_quality_buckets_documents,
         # -- recertification: last green r01 --
         "rollup_documents": q_rollup_documents,
         "sample_documents": q_sample_documents,
@@ -2274,17 +2325,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_order_documents": q_span_order_documents,
         "element_rule_documents": q_element_rule_documents,
         "referential_spans_media": q_referential_spans_media,
-        "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
-        "battery_documents": q_battery_documents,
-        "battery_events": q_battery_events,
         # ---- window boundary (first 50 certified) ---- entries below were
         # driver-green in r04 (1 round old) or r03 (2 rounds old — exactly
         # at the freshness limit; span_kind_stats / drift_spans_offset /
-        # partition_summary_spans were displaced here by the three late
-        # Benford/Zipf/unigram-LM operators and stay r03-green, their
-        # correctness carried by the recertified partition_summary_documents
-        # / drift_events / aggregate family above), plus the two documented
-        # rows-only fixtures ----
+        # partition_summary_spans were displaced here by the three
+        # Benford/Zipf/unigram-LM operators, and uniqueness_spans_doc_id /
+        # battery_documents / battery_events by the three
+        # mixture/DSIR/bucket operators — all stay r03-green, their
+        # correctness carried by the recertified uniqueness_lineitem/salted
+        # + the shared _SPANS_CTE under battery_spans_documents above, and
+        # the flat batteries by battery_json/streaming_battery_documents
+        # which share their twins), plus the two documented rows-only
+        # fixtures ----
+        "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
+        "battery_documents": q_battery_documents,
+        "battery_events": q_battery_events,
         "span_kind_stats": q_span_kind_stats,
         "drift_spans_offset": q_drift_spans_offset,
         "partition_summary_spans": q_partition_summary_spans,
@@ -4328,6 +4383,103 @@ SELECT ids.doc_id, coalesce(n_tokens, 0) AS n_tokens,
 FROM ids LEFT JOIN per USING (doc_id)
 """
 
+# alpha = 0.5 routes through sqrt (correctly rounded IEEE on both engines);
+# the weight denominator replays Spark's double->decimal(38,12) sum through
+# the VARCHAR route (Java shortest-string in, correctly rounded strtod out);
+# epochs is spelled ((scaled/d) * budget) / tokens exactly like the Spark side
+_MIXTURE_WEIGHTS_SQL = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM g),
+g2 AS (
+  SELECT g.*, t, sqrt(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)) AS scaled
+  FROM g CROSS JOIN tot
+), den AS (
+  SELECT CAST(CAST(sum(CAST(CAST(scaled AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS d
+  FROM g2
+)
+SELECT source, n_docs, n_tokens,
+  CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+  scaled / d AS weight,
+  ((scaled / d) * 10000000.0) / CAST(n_tokens AS DOUBLE) AS epochs
+FROM g2 CROSS JOIN den
+"""
+
+# both LMs from ONE vocabulary pass; Laplace probabilities are
+# (tf+1)/(total+V) with the integer adds BEFORE the double cast; the
+# per-document term sum replays Spark's decimal(38,12) discipline via VARCHAR
+_DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, coalesce(lang = 'en', false) AS tgt,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), dt AS (SELECT doc_id, tgt, tok, count(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+vocab AS (
+  SELECT tok, CAST(sum(cnt) AS BIGINT) AS tf_raw,
+         CAST(coalesce(sum(CASE WHEN tgt THEN cnt END), 0) AS BIGINT) AS tf_tgt
+  FROM dt GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(tf_raw) AS BIGINT) AS tr, CAST(sum(tf_tgt) AS BIGINT) AS tt,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+), per AS (
+  SELECT dt.doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    CAST(CAST(sum(CAST(CAST(
+        CAST(cnt AS DOUBLE) * (LN(CAST((tf_tgt + 1) AS DOUBLE) / CAST((tt + v) AS DOUBLE))
+                               - LN(CAST((tf_raw + 1) AS DOUBLE) / CAST((tr + v) AS DOUBLE)))
+      AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS slr
+  FROM dt JOIN vocab USING (tok) CROSS JOIN tot GROUP BY dt.doc_id
+), ids AS (SELECT doc_id FROM documents GROUP BY doc_id)
+SELECT ids.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+  CASE WHEN n_tokens > 0 THEN round(slr / CAST(n_tokens AS DOUBLE), 6) END AS dsir_logratio
+FROM ids LEFT JOIN per USING (doc_id)
+"""
+
+# buckets by exact integer cumulative counts over the per-(lang, score)
+# aggregated frame (3c <= n / 3c <= 2n — no float thresholds); the window
+# SUMs go HUGEINT internally but are never projected; the join back is
+# null-safe on the group so a NULL lang forms its own cohort, like Spark's
+# eqNullSafe
+_QUALITY_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), dt AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS tf FROM dt GROUP BY tok),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM vocab),
+per AS (
+  SELECT dt.doc_id,
+    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    CAST(CAST(sum(CAST(CAST(
+        CAST(cnt AS DOUBLE) * LN(CAST(tf AS DOUBLE) / CAST(t AS DOUBLE))
+      AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS slp
+  FROM dt JOIN vocab USING (tok) CROSS JOIN tot GROUP BY dt.doc_id
+), ids AS (SELECT doc_id, lang FROM documents),
+scored AS (
+  SELECT ids.doc_id, ids.lang, coalesce(n_tokens, 0) AS n_tokens,
+    CASE WHEN n_tokens > 0 THEN round(slp / CAST(n_tokens AS DOUBLE), 6) END AS avg_logprob
+  FROM ids LEFT JOIN per USING (doc_id)
+), scr AS (
+  SELECT lang AS bgrp, avg_logprob AS score, CAST(count(*) AS BIGINT) AS cnt
+  FROM scored WHERE avg_logprob IS NOT NULL GROUP BY 1, 2
+), b AS (
+  SELECT bgrp, score,
+    CASE WHEN 3 * sum(cnt) OVER w_cum <= sum(cnt) OVER w_tot THEN 'head'
+         WHEN 3 * sum(cnt) OVER w_cum <= 2 * sum(cnt) OVER w_tot THEN 'middle'
+         ELSE 'tail' END AS bucket
+  FROM scr
+  WINDOW
+    w_cum AS (PARTITION BY bgrp ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_tot AS (PARTITION BY bgrp)
+)
+SELECT scored.doc_id, scored.lang, scored.n_tokens, scored.avg_logprob, b.bucket
+FROM scored LEFT JOIN b
+  ON scored.lang IS NOT DISTINCT FROM b.bgrp AND scored.avg_logprob = b.score
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -4341,6 +4493,9 @@ def oracle_sql() -> dict[str, str]:
         "benford_lineitem": _BENFORD_SQL,
         "zipf_fit_documents": _ZIPF_FIT_SQL,
         "unigram_logprob_documents": _UNIGRAM_LOGPROB_SQL,
+        "mixture_weights_documents": _MIXTURE_WEIGHTS_SQL,
+        "dsir_documents": _DSIR_SQL,
+        "quality_buckets_documents": _QUALITY_BUCKETS_SQL,
         "cume_dist_documents": _CUME_DIST_SQL,
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,

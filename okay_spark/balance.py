@@ -157,3 +157,88 @@ def resample_to_target(
         .filter(hash_fraction(key_col, salt=salt) < F.col("_keep_frac"))
         .drop("_keep_frac")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Alpha-temperature data-mixing weights per source/domain — the
+    sampling-probability computation behind multi-corpus LM training mixes
+    (the Pile / XLM-R / LLaMA recipe): ``w_g = share_g^alpha /
+    sum_h(share_h^alpha)`` where ``share_g`` is the group's token share.
+    ``alpha < 1`` flattens the mix toward small sources, ``alpha = 1``
+    is proportional sampling, ``alpha = 0`` uniform. The reference
+    validates one document at a time (/root/reference/src/okay/
+    validator.py) and has no corpus-composition counterpart.
+
+    Output, one row per group: ``(group, n_docs, n_tokens, share, weight
+    [, epochs])`` — ``epochs`` (how many passes over the group one
+    training run makes at ``budget_tokens`` total) only when a budget is
+    given: ``epochs = (weight * budget) / n_tokens``; a value > 1 flags a
+    source the mix would repeat (the usual upsampling-duplication
+    warning). Feed ``weight`` per group into
+    :func:`resample_to_target` ``targets`` to realize the mix
+    deterministically.
+
+    Exactness: ``share`` is one double division of exact bigint sums;
+    ``alpha`` in {0.5, 1.0, 2.0} routes through sqrt / identity / x*x
+    (IEEE-exact on every engine — sqrt is correctly rounded, pow is not),
+    other alphas use ``pow`` and may differ in the last ulp across
+    engines. The weight denominator accumulates in decimal(38,12) (the
+    moment discipline) so it is independent of aggregation order.
+
+    Scale shape: ONE hash aggregate over the fact table (map-side
+    partial combine) down to #groups rows; the token total and the weight
+    denominator re-derive from that aggregated frame and broadcast back
+    (the key_skew_stats discipline — never a second ``df.count()`` scan),
+    so the fact table is read once. Everything past the aggregate is
+    O(#groups)."""
+    from .textops import tokens
+
+    g = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(tokens(text_col)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        # the aggregated frame feeds the totals AND the final projection —
+        # pin it so the fact-table scan/aggregate runs once
+        .localCheckpoint(eager=False)
+    )
+    tot = g.agg(F.sum("n_tokens").cast("bigint").alias("_tot"))
+    share = F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+    if alpha == 0.5:
+        scaled = F.sqrt(share)
+    elif alpha == 1.0:
+        scaled = share
+    elif alpha == 2.0:
+        scaled = share * share
+    else:  # cross-engine last-ulp caveat in the docstring
+        scaled = F.pow(share, F.lit(float(alpha)))
+    g2 = g.crossJoin(F.broadcast(tot)).withColumn("_scaled", scaled)
+    denom = g2.agg(
+        F.sum(F.col("_scaled").cast("decimal(38,12)")).cast("double").alias("_den")
+    )
+    out = g2.crossJoin(F.broadcast(denom)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_tot").cast("double")).alias(
+            "share"
+        ),
+        (F.col("_scaled") / F.col("_den")).alias("weight"),
+    )
+    if budget_tokens is not None:
+        out = out.withColumn(
+            "epochs",
+            (F.col("weight") * F.lit(float(budget_tokens)))
+            / F.col("n_tokens").cast("double"),
+        )
+    return out

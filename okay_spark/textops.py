@@ -744,3 +744,183 @@ def unigram_logprob_score(
             F.round(F.col("_sum_lp") / F.col("n_tokens").cast("double"), 6),
         ).alias("avg_logprob"),
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): each document's mean
+    per-token log-likelihood RATIO between a target-domain unigram model
+    and the raw-corpus unigram model, ``sum(cnt * (ln p_target(tok) -
+    ln p_raw(tok))) / n_tokens``. Documents that look like the target
+    subset (``target`` = a boolean Column over ``df``'s rows, e.g.
+    ``F.col('lang') == 'en'``) score high; sampling by this weight is the
+    published recipe for selecting pretraining data that matches a
+    high-quality domain. Both models are add-one (Laplace) smoothed over
+    the RAW vocabulary — ``p(tok) = (tf + 1) / (total + V)`` — so
+    target-absent tokens contribute a finite penalty instead of -inf.
+
+    Output, one row per document: ``(doc_id, n_tokens, dsir_logratio)``;
+    empty documents keep their row with ``n_tokens = 0`` and NULL score.
+
+    Exactness: counts/totals/V are exact bigints; each probability is
+    one ``(tf+1)/(total+V)`` double division of bigint casts (integer
+    adds BEFORE the cast); the per-token term subtracts the two ``ln``
+    values in a fixed order and the per-document sum runs through
+    decimal(38,12) casts, so the score is independent of aggregation
+    order and reproduces bit-for-bit on any engine (the
+    unigram_logprob_score precedent).
+
+    Scale shape (all Column expressions — zero Python eval): identical to
+    :func:`unigram_logprob_score` — per-(doc, token) counts map-side
+    combined and lazily ``localCheckpoint``-ed (the frame feeds both the
+    vocabulary build and the probe join), BOTH models' token totals from
+    ONE vocabulary aggregate (``tf_raw`` and a conditional ``tf_target``
+    sum in the same pass — the target model costs no extra scan), corpus
+    totals + vocabulary size re-derived from the vocabulary frame and
+    broadcast back. One equi-join on token; AQE's skew split handles
+    stopword probes."""
+    toks = tokens(text_col)
+    tgt = F.coalesce(target.cast("boolean"), F.lit(False))
+    base = df.select(
+        F.col(id_col), tgt.alias("_tgt"), F.explode_outer(toks).alias("tok")
+    )
+    dt = (
+        base.groupBy(id_col, "_tgt", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        dt.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("tf_raw"),
+            F.coalesce(
+                F.sum(F.when(F.col("_tgt"), F.col("cnt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tf_tgt"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("tf_raw").cast("bigint").alias("_tot_raw"),
+        F.sum("tf_tgt").cast("bigint").alias("_tot_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("_v"),
+    )
+    probed = dt.join(vocab, "tok", "left").crossJoin(F.broadcast(tot))
+
+    def lp(tf: Column, tot_c: Column) -> Column:
+        # integer adds first, then ONE double division — exact operands
+        return F.log(
+            (tf + F.lit(1)).cast("double") / (tot_c + F.col("_v")).cast("double")
+        )
+
+    term = F.col("cnt").cast("double") * (
+        lp(F.col("tf_tgt"), F.col("_tot_tgt")) - lp(F.col("tf_raw"), F.col("_tot_raw"))
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.sum(F.when(F.col("tok").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tok").isNotNull(), term).otherwise(F.lit(0.0)).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("_sum_lr"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("_sum_lr") / F.col("n_tokens").cast("double"), 6),
+        ).alias("dsir_logratio"),
+    )
+
+
+def quality_buckets(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2019): rank
+    every document WITHIN its language by LM quality
+    (:func:`unigram_logprob_score` — the dependency-free analog of
+    CCNet's wiki-LM perplexity) and split each language into equal
+    thirds: the best-scoring third is ``head``, then ``middle``, then
+    ``tail``. Real pipelines train on head+middle and drop tail; doing
+    it per language is the point (one global threshold would call all
+    low-resource-language text "tail").
+
+    Output, one row per document: ``(doc_id, group, n_tokens,
+    avg_logprob, bucket)``. Bucket is decided by EXACT integer cumulative
+    counts — with ``c`` = docs in the group scoring >= mine (ties
+    included) and ``n`` = docs in the group with a score: ``3c <= n`` ->
+    head, ``3c <= 2n`` -> middle, else tail — so a tie group that spans a
+    boundary falls wholly into the later bucket, deterministically on any
+    engine (no float-epsilon thresholds). NULL score (empty doc) -> NULL
+    bucket; a NULL group forms its own cohort (null-safe join back).
+
+    Scale shape: the ranking runs over the per-(group, score) COUNTS
+    frame (the :func:`okay_spark.relops.grouped_cume_dist` discipline),
+    so the ordered window is bounded by distinct score cardinality —
+    scores are rounded to 6dp so hot values collapse; worst case it is
+    one row per document, at which point derive the two cut scores per
+    language with the two-pass bracket
+    (:func:`okay_spark.checks.exact_quantiles_twopass`) instead and keep
+    only the comparison join. Buckets reach documents via a
+    broadcast-able equi-join back on (group, score)."""
+    # lazy localCheckpoint: scored feeds BOTH the bucket-threshold build and
+    # the probe side of the join-back — without it the whole unigram pipeline
+    # (corpus tokenization included) evaluates twice (the
+    # unigram_logprob_score discipline)
+    scored = (
+        unigram_logprob_score(df, text_col, id_col)
+        .join(df.select(F.col(id_col), F.col(group_col).alias("_grp")), id_col)
+        .localCheckpoint(eager=False)
+    )
+    # fresh aliases (_bgrp/_score) give the bucket frame its own attribute
+    # IDs, so the join below is not an ambiguous self-join
+    scr = (
+        scored.filter(F.col("avg_logprob").isNotNull())
+        .groupBy(
+            F.col("_grp").alias("_bgrp"), F.col("avg_logprob").alias("_score")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("_bgrp")
+        .orderBy(F.col("_score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("_bgrp")
+    buckets = scr.select(
+        "_bgrp",
+        "_score",
+        F.when(3 * F.sum("_cnt").over(w_cum) <= F.sum("_cnt").over(w_tot), "head")
+        .when(3 * F.sum("_cnt").over(w_cum) <= 2 * F.sum("_cnt").over(w_tot), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    joined = scored.join(
+        buckets,
+        on=F.col("_grp").eqNullSafe(F.col("_bgrp"))
+        & (F.col("avg_logprob") == F.col("_score")),
+        how="left",
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("_grp").alias(group_col),
+        F.col("n_tokens"),
+        F.col("avg_logprob"),
+        F.col("bucket"),
+    )

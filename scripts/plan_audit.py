@@ -897,6 +897,43 @@ def main() -> None:
         "per-document term sum is decimal(38,12)",
     )
 
+    from okay_spark.balance import mixture_weights
+    from okay_spark.textops import dsir_logratio, quality_buckets
+
+    audit(
+        "mixture_weights",
+        mixture_weights(docs, "source", alpha=0.5, budget_tokens=10_000_000),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE hash aggregate over the fact table down to #groups rows "
+        "(map-side combine), lazily localCheckpoint-ed; token total and the "
+        "decimal(38,12) weight denominator re-derive from that frame as "
+        "single-row aggregates broadcast back — the corpus is scanned once "
+        "and everything past the aggregate is O(#groups)",
+    )
+    audit(
+        "dsir_logratio",
+        dsir_logratio(docs, F.col("lang") == "en"),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="the unigram_logprob_score shape with TWO models from one "
+        "vocabulary pass (tf_raw + conditional tf_target in the same "
+        "aggregate — the target LM costs no extra scan or shuffle); totals "
+        "and vocab size broadcast back; per-doc term sum in decimal(38,12)",
+    )
+    audit(
+        "quality_buckets",
+        quality_buckets(docs),
+        max_shuffles=6,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="unigram scoring (3 designed shuffles) feeds a per-(lang, "
+        "score) COUNTS aggregate and a window over distinct scores only "
+        "(the grouped_cume_dist bound — never a raw-row sort); the scored "
+        "frame is lazily localCheckpoint-ed so the corpus tokenizes once "
+        "for both the threshold build and the probe side; buckets return "
+        "via a broadcast-able (lang, score) equi-join",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
