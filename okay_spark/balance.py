@@ -242,3 +242,73 @@ def mixture_weights(
             / F.col("n_tokens").cast("double"),
         )
     return out
+
+
+def concentration_stats(df: DataFrame, group_col: str) -> DataFrame:
+    """One-row corpus-concentration profile over a grouping column (source,
+    domain, language): is the mix dominated by a few groups? Emits the
+    three standard inequality measures a data-mixing review reads before
+    setting :func:`mixture_weights` — top-1 share, the Herfindahl-
+    Hirschman index (sum of squared shares: 1/HHI is the "effective number
+    of groups"), and the Gini coefficient of the group-size distribution.
+
+    Output, ONE row: ``(n_groups, n_rows, top_share, hhi, gini)``; an
+    empty input yields ``(0, 0, null, null, null)``, a single group
+    ``gini = 0.0``.
+
+    Exactness: ``top_share`` is one int/int IEEE division. ``hhi``
+    accumulates per-group ``share^2`` (a double) in decimal(38,12) — the
+    moment discipline, so the sum is independent of aggregation order and
+    the DuckDB twin replays it through the VARCHAR decimal route. ``gini``
+    uses the exact rank formulation over counts sorted ascending (ties
+    broken on the group key — a deterministic total order): ``gini =
+    (2*sum(rank*cnt) - (n+1)*total) / (n*total)`` with both sides
+    accumulated as exact integers in decimal(38,0) (rank*cnt can pass
+    2^63 at corpus scale) and ONE double division at the end — both
+    engines correctly round the same two integers, so the quotient is
+    bit-identical.
+
+    Scale shape: one map-side-combinable hash aggregate down to #groups
+    rows; everything after (window rank, the three measures) runs over
+    the aggregated frame — bounded by group cardinality, never the fact
+    table. The rank window sorts #groups rows, not the corpus."""
+    counts = (
+        df.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+        # feeds the rank window AND the scalar rollup — one evaluation
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy(F.col("_cnt").asc(), F.col("_g").asc())
+    ranked = counts.withColumn("_r", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.max("_cnt").cast("bigint").alias("_top"),
+        F.sum(F.col("_cnt").cast("decimal(38,0)") * F.col("_r").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_s"),
+    )
+    shares = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("_cnt").cast("bigint").alias("_t")))
+    )
+    sq = F.col("_cnt").cast("double") / F.col("_t").cast("double")
+    hhi = shares.agg(
+        F.sum((sq * sq).cast("decimal(38,12)")).cast("double").alias("hhi")
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    n, t, s = F.col("n_groups"), F.col("n_rows"), F.col("_s")
+    gini = F.when(
+        (n > 0) & (t > 0),
+        d(
+            (F.lit(2).cast("decimal(38,0)") * s)
+            - ((n + 1).cast("decimal(38,0)") * t.cast("decimal(38,0)"))
+        )
+        / d(n.cast("decimal(38,0)") * t.cast("decimal(38,0)")),
+    )
+    return agg.crossJoin(F.broadcast(hhi)).select(
+        "n_groups",
+        "n_rows",
+        F.when(t > 0, d(F.col("_top")) / d(t)).alias("top_share"),
+        F.when(t > 0, F.col("hhi")).alias("hhi"),
+        gini.alias("gini"),
+    )

@@ -1925,3 +1925,86 @@ def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: list[str] | str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: every combination
+    of ``quasi_cols`` shared by fewer than ``k`` rows is a re-identification
+    risk (Sweeney's criterion — the standard pre-release privacy gate for
+    training corpora carrying user-linked metadata, the corpus-level
+    complement of the per-document PII scan in okay_spark/textops.py).
+    The reference validates one document at a time
+    (/root/reference/src/okay/validator.py) and cannot see group sizes.
+
+    Output, one row per violating combination: ``(quasi..., n_rows)`` with
+    ``n_rows < k``. NULLs group normally (SQL GROUP BY null-equality on
+    both engines) — an all-null quasi tuple of size 1 IS a singleton worth
+    seeing.
+
+    Scale shape: ONE hash aggregate with map-side partial combine, then a
+    codegen filter — a hot combination collapses per map task, and the
+    output is bounded by the number of *small* groups (each contributing
+    < k rows), which is what makes the result frame safe to persist or
+    join back for suppression."""
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    return (
+        df.groupBy(*quasi)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )
+
+
+def group_staleness(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str] | str,
+) -> DataFrame:
+    """Per-group freshness audit: how far each group's newest record lags
+    the table's newest record — the first question an incremental-ingest
+    monitor asks (a partner feed that silently stopped shows up as a
+    growing ``lag_seconds`` long before volume anomaly fires). The lag is
+    measured against the data's own max timestamp, not wall-clock, so the
+    check is deterministic and replayable.
+
+    Output, one row per group: ``(group..., n_rows, min_ts, max_ts,
+    lag_seconds)`` with ``lag_seconds = global_max - group_max`` as a
+    double of whole microseconds over 1e6 — the exact-integer diff at the
+    storage resolution followed by ONE IEEE division, engine-portable
+    where unit-truncating second diffs are not (Spark truncates the
+    duration, DuckDB counts boundary crossings — they disagree on
+    sub-second parts). TIMESTAMP_NTZ cannot cast to a number under ANSI,
+    hence ``timestamp_diff`` (see okay_spark/relops.py). NULL timestamps
+    are ignored for min/max but still counted in ``n_rows``; a group with
+    only NULL timestamps carries NULL bounds and NULL lag.
+
+    Scale shape: ONE hash aggregate (map-side combinable scalar min/max/
+    count) down to #groups rows; the global max re-derives from that
+    aggregated frame and broadcasts back (the key_skew_stats discipline —
+    the fact table is scanned once, never re-counted)."""
+    grp = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    g = (
+        df.groupBy(*grp)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(ts_col).alias("min_ts"),
+            F.max(ts_col).alias("max_ts"),
+        )
+        # feeds the global max AND the projection — one scan/aggregate
+        .localCheckpoint(eager=False)
+    )
+    gmax = g.agg(F.max("max_ts").alias("_gmax"))
+    return g.crossJoin(F.broadcast(gmax)).select(
+        *grp,
+        "n_rows",
+        "min_ts",
+        "max_ts",
+        (
+            F.timestamp_diff("MICROSECOND", F.col("max_ts"), F.col("_gmax"))
+            / F.lit(1e6)
+        ).alias("lag_seconds"),
+    )

@@ -924,3 +924,151 @@ def quality_buckets(
         F.col("avg_logprob"),
         F.col("bucket"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top-N bigram collocations by pointwise mutual information —
+    ``pmi = ln( p(w1 w2) / (p(w1) p(w2)) )`` over adjacent token pairs.
+    High-PMI pairs are multi-word expressions ("new york", "machine
+    learning"); a corpus whose top collocations are template fragments
+    ("click here", "terms of") is boilerplate-heavy — a corpus-level
+    quality signal the per-document reference (/root/reference/src/okay/
+    validator.py) cannot see.
+
+    Output, ``top_n`` rows: ``(w1, w2, n_pair, n_w1, n_w2, pmi)`` with
+    ``pmi`` rounded to 6dp for display but SELECTED and ORDERED on the raw
+    double (ties at the cut break on ``(w1, w2)`` so the chosen set is a
+    deterministic total order on any engine — the zipf_fit cut
+    discipline). ``min_count`` drops hapax pairs whose PMI is pure noise
+    (the standard Church-Hanks practice).
+
+    Exactness: probabilities are spelled as one fixed IEEE expression —
+    ``ln((n_pair/nb) / ((n_w1/nu) * (n_w2/nu)))`` with each count cast to
+    double individually — so both engines evaluate the identical
+    correctly-rounded op sequence; no float accumulation anywhere
+    (totals are exact bigint sums).
+
+    Scale shape: bigrams come from ``zip_with(toks, tail-of-toks, ...)``
+    row-locally (the adjacent_pair_violations idiom — no window, no
+    shuffle to pair up); pair and unigram counts are map-side-combinable
+    hash aggregates bounded by vocabulary, and the totals re-derive from
+    those aggregated frames broadcast back (the key_skew_stats
+    discipline — the corpus is scanned once per frame, never re-counted).
+    The unigram joins are equi-joins whose build side has ONE row per
+    token (AQE skew-split handles a stopword probe side). The final cut
+    is ``orderBy(...).limit(top_n)`` — physical TakeOrderedAndProject,
+    per-task top-N, never a global sort."""
+    toks = tokens(text_col)
+    pair_struct = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = df.select(F.explode(pair_struct).alias("_p")).select("_p.w1", "_p.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        # feeds the bigram total AND the probe side — one evaluation
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+        .localCheckpoint(eager=False)
+    )
+    nb = bi.agg(F.sum("n_pair").cast("bigint").alias("_nb"))
+    nu = uni.agg(F.sum("n_tok").cast("bigint").alias("_nu"))
+    cand = (
+        bi.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_w1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    raw = F.log(
+        (d("n_pair") / d("_nb")) / ((d("n_w1") / d("_nu")) * (d("n_w2") / d("_nu")))
+    )
+    return (
+        cand.withColumn("_raw", raw)
+        .orderBy(F.col("_raw").desc(), "w1", "w2")
+        .limit(top_n)
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2", F.round("_raw", 6).alias("pmi"))
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    *,
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_frac: float = 0.0,
+) -> DataFrame:
+    """Boilerplate-line detector (the CCNet/OSCAR pre-dedup profile): lines
+    repeated verbatim across many DISTINCT documents — nav bars, cookie
+    banners, license footers — optionally profiled within a grouping
+    column (URL domain, source) since boilerplate is domain-local. This is
+    the *reporting* face of :func:`okay_spark.dedup.drop_duplicate_lines`
+    (which strikes such lines): run this first to pick the threshold, then
+    strike.
+
+    Output, one row per flagged (group,) line: ``(group?, line, n_docs,
+    n_docs_group, doc_frac)`` where ``n_docs`` counts distinct documents
+    in the group containing the line, ``n_docs_group`` the group's total
+    distinct documents, and ``doc_frac = n_docs / n_docs_group`` — a
+    single integer/integer IEEE division (bit-identical on any engine).
+    Flagged means ``n_docs >= min_docs`` AND ``doc_frac >= min_frac``.
+    Empty lines never flag (dropped at the split).
+
+    Scale shape: two-phase count_distinct throughout (the
+    drop_duplicate_lines discipline) — distinct (group, line, doc) tuples
+    first (map-side combinable; a line pasted 10^6 times into one doc
+    collapses before the shuffle), then scalar counts per (group, line);
+    NEVER a posting list. Group doc totals re-derive from the distinct
+    (group, doc) pairs and join back on the group key (broadcast-able —
+    one row per group). A line shared by 10M docs costs one reducer one
+    scalar row per doc, not a collect."""
+    grp = [group_col] if group_col else []
+    lines = df.select(
+        *grp,
+        F.col(id_col).alias("_id"),
+        F.explode(F.filter(F.split(F.col(text_col), sep), lambda x: x != "")).alias(
+            "line"
+        ),
+    )
+    gld = lines.groupBy(*grp, "line", "_id").agg(F.count(F.lit(1)).alias("_n"))
+    per_line = gld.groupBy(*grp, "line").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    if group_col:
+        totals = (
+            df.select(group_col, F.col(id_col).alias("_id"))
+            .groupBy(group_col, "_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_group"))
+        )
+        flagged = per_line.join(F.broadcast(totals), group_col)
+    else:
+        totals = (
+            df.groupBy(F.col(id_col).alias("_id"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_group"))
+        )
+        flagged = per_line.crossJoin(F.broadcast(totals))
+    frac = F.col("n_docs").cast("double") / F.col("n_docs_group").cast("double")
+    return (
+        flagged.withColumn("doc_frac", frac)
+        .filter((F.col("n_docs") >= min_docs) & (F.col("doc_frac") >= min_frac))
+        .select(*grp, "line", "n_docs", "n_docs_group", "doc_frac")
+    )

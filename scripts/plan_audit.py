@@ -934,6 +934,70 @@ def main() -> None:
         "via a broadcast-able (lang, score) equi-join",
     )
 
+    from okay_spark.balance import concentration_stats
+    from okay_spark.checks import group_staleness, k_anonymity_violations
+    from okay_spark.textops import boilerplate_lines, pmi_collocations
+
+    audit(
+        "pmi_collocations",
+        pmi_collocations(docs, min_count=5, top_n=50),
+        max_shuffles=6,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="pairs via row-local zip-with-tail (no shuffle to pair up); "
+        "bigram and unigram hash aggregates are vocabulary-bounded with "
+        "map-side combine, both lazily localCheckpoint-ed (each feeds its "
+        "total AND the candidate join — one evaluation); the two unigram "
+        "joins have one-row-per-token build sides (AQE skew-splittable); "
+        "the top-50 cut is TakeOrderedAndProject, never a global sort",
+    )
+    lined = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    audit(
+        "boilerplate_lines",
+        boilerplate_lines(lined, group_col="source", min_docs=2),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="two-phase count_distinct throughout (the drop_duplicate_lines "
+        "discipline): distinct (source, line, doc) tuples collapse map-side "
+        "before any reducer sees a flooded line; group doc totals are one "
+        "row per group joined back broadcast — never a posting list",
+    )
+    audit(
+        "k_anonymity",
+        k_anonymity_violations(
+            events.withColumn("day", F.to_date("ts")),
+            ["user_id", "event_type", "day"],
+            k=3,
+        ),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE map-side-combinable hash aggregate + a codegen filter; "
+        "output bounded by the number of sub-k groups",
+    )
+    audit(
+        "group_staleness",
+        group_staleness(events, "ts", "event_type"),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE hash aggregate down to #groups rows (lazily "
+        "localCheckpoint-ed); the global max re-derives from that frame as "
+        "a single-row aggregate broadcast back — the fact table is scanned "
+        "once; lag is the exact-integer microsecond diff over 1e6",
+    )
+    audit(
+        "concentration_stats",
+        concentration_stats(docs, "lang"),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one corpus aggregate down to #groups rows; the Gini rank "
+        "window, HHI decimal(38,12) accumulation, and totals all run over "
+        "that bounded frame (the window sorts #groups rows via a single-"
+        "partition exchange, not hashpartitioning — never the fact table)",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")

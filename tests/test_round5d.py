@@ -1,0 +1,203 @@
+"""Late-round-5 operators: PMI collocations, boilerplate-line profile,
+k-anonymity audit, per-group staleness, corpus-concentration stats.
+
+Each test pins exact values (hand-computed where feasible) plus the edge
+cases the docstrings promise (empty inputs, single-token docs, NULL
+timestamps, single-group Gini), and the scale-shape invariants that keep
+these operators safe at 100 TB (no posting lists, totals derived from
+aggregated frames)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_exact_value_and_cut(spark):
+    from okay_spark.textops import pmi_collocations
+
+    # "new york" appears 4 times; unigram counts and totals are exact.
+    rows = [
+        (1, "new york new york"),
+        (2, "new york and new york"),
+        (3, "old york old town"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = pmi_collocations(df, min_count=2, top_n=10).collect()
+    by_pair = {(r.w1, r.w2): r for r in out}
+    assert ("new", "york") in by_pair
+    r = by_pair[("new", "york")]
+    # bigram totals: doc1 has 3 pairs, doc2 4, doc3 3 -> nb = 10
+    # unigrams: nu = 13; new=4, york=5
+    assert (r.n_pair, r.n_w1, r.n_w2) == (4, 4, 5)
+    expected = math.log((4 / 10) / ((4 / 13) * (5 / 13)))
+    assert r.pmi == round(expected, 6)
+    # min_count prunes: ("old", "york") occurs once -> absent
+    assert ("old", "york") not in by_pair
+
+
+def test_pmi_short_docs_never_crash(spark):
+    from okay_spark.textops import pmi_collocations
+
+    rows = [(1, ""), (2, "solo"), (3, "  "), (4, "a b a b a b a b")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = pmi_collocations(df, min_count=2, top_n=5).collect()
+    # only doc 4 produces pairs: (a,b) x4, (b,a) x3
+    assert {(r.w1, r.w2) for r in out} == {("a", "b"), ("b", "a")}
+
+
+def test_pmi_tie_break_is_deterministic(spark):
+    from okay_spark.textops import pmi_collocations
+
+    # two pairs with identical counts -> identical PMI; cut of 1 must keep
+    # the lexicographically smaller pair on any engine
+    rows = [(i, "x y") for i in range(5)] + [(100 + i, "x z") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = pmi_collocations(df, min_count=2, top_n=1).collect()
+    assert [(r.w1, r.w2) for r in out] == [("x", "y")]
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_lines
+# ---------------------------------------------------------------------------
+
+
+def _lined(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+
+
+def test_boilerplate_counts_distinct_docs(spark):
+    from okay_spark.textops import boilerplate_lines
+
+    footer = "all rights reserved"
+    rows = [
+        (1, "a", f"body one\n{footer}"),
+        (2, "a", f"body two\n{footer}\n{footer}"),  # twice in ONE doc: counts once
+        (3, "a", "body three"),
+        (4, "b", f"other domain\n{footer}"),  # different group: not pooled
+    ]
+    out = boilerplate_lines(
+        _lined(spark, rows), group_col="source", min_docs=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source, r.line, r.n_docs, r.n_docs_group) == ("a", footer, 2, 3)
+    assert r.doc_frac == 2 / 3
+
+
+def test_boilerplate_min_frac_and_ungrouped(spark):
+    from okay_spark.textops import boilerplate_lines
+
+    rows = [(i, "a", "shared line\nunique %d" % i) for i in range(10)]
+    df = _lined(spark, rows)
+    strict = boilerplate_lines(df, min_docs=2, min_frac=0.99).collect()
+    assert [(r.line, r.n_docs, r.n_docs_group) for r in strict] == [
+        ("shared line", 10, 10)
+    ]
+    # empty lines never flag
+    rows2 = [(1, "a", "\n\nx"), (2, "a", "\n\nx")]
+    out2 = boilerplate_lines(_lined(spark, rows2), min_docs=2).collect()
+    assert [r.line for r in out2] == ["x"]
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_violations
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_flags_small_groups_and_nulls(spark):
+    from okay_spark.checks import k_anonymity_violations
+
+    rows = (
+        [("us", "m")] * 5  # safe at k=5
+        + [("us", "f")] * 4  # violating
+        + [("de", None)] * 2  # NULL groups normally -> violating
+        + [(None, None)]  # all-null singleton -> violating
+    )
+    df = spark.createDataFrame(rows, "country: string, gender: string")
+    out = k_anonymity_violations(df, ["country", "gender"], k=5).collect()
+    got = {(r.country, r.gender): r.n_rows for r in out}
+    assert got == {("us", "f"): 4, ("de", None): 2, (None, None): 1}
+
+
+# ---------------------------------------------------------------------------
+# group_staleness
+# ---------------------------------------------------------------------------
+
+
+def test_group_staleness_microsecond_exact(spark):
+    import datetime as dt
+
+    from okay_spark.checks import group_staleness
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", t0),
+        ("a", t0 + dt.timedelta(seconds=10, microseconds=250_000)),
+        ("b", t0 + dt.timedelta(seconds=4)),
+        ("c", None),  # only-NULL group: NULL bounds, NULL lag
+        ("b", None),  # NULL inside a live group: counted, ignored by max
+    ]
+    df = spark.createDataFrame(rows, "g: string, ts: timestamp_ntz")
+    out = {r.g: r for r in group_staleness(df, "ts", "g").collect()}
+    assert out["a"].lag_seconds == 0.0
+    assert out["b"].lag_seconds == 6.25  # exact micros / 1e6
+    assert out["b"].n_rows == 2
+    assert out["c"].max_ts is None and out["c"].lag_seconds is None
+
+
+# ---------------------------------------------------------------------------
+# concentration_stats
+# ---------------------------------------------------------------------------
+
+
+def test_concentration_known_distribution(spark):
+    from okay_spark.balance import concentration_stats
+
+    # counts: a=1, b=2, c=3, d=4 -> total 10
+    rows = ["a"] + ["b"] * 2 + ["c"] * 3 + ["d"] * 4
+    df = spark.createDataFrame([(g,) for g in rows], "g: string")
+    r = concentration_stats(df, "g").collect()[0]
+    assert (r.n_groups, r.n_rows) == (4, 10)
+    assert r.top_share == 0.4
+    # gini = (2*S - (n+1)*T) / (n*T), S = 1*1 + 2*2 + 3*3 + 4*4 = 30
+    assert r.gini == (2 * 30 - 5 * 10) / (4 * 10)
+    assert r.hhi == pytest.approx(0.01 + 0.04 + 0.09 + 0.16, abs=1e-12)
+
+
+def test_concentration_edges(spark):
+    from okay_spark.balance import concentration_stats
+
+    one = spark.createDataFrame([("a",)] * 7, "g: string")
+    r = concentration_stats(one, "g").collect()[0]
+    assert (r.n_groups, r.n_rows, r.top_share, r.gini) == (1, 7, 1.0, 0.0)
+
+    empty = spark.createDataFrame([], "g: string")
+    r = concentration_stats(empty, "g").collect()[0]
+    assert (r.n_groups, r.n_rows) == (0, 0)
+    assert r.top_share is None and r.hhi is None and r.gini is None
+
+
+# ---------------------------------------------------------------------------
+# scale-shape pins
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_and_staleness_scan_once(spark):
+    """The totals (bigram/unigram sums, global max) must re-derive from the
+    aggregated frames — the corpus scan appears once per frame in the plan,
+    never a second df.count()-style pass (the key_skew_stats discipline)."""
+    from okay_spark.checks import group_staleness
+
+    df = spark.createDataFrame([("a", None)], "g: string, ts: timestamp_ntz")
+    plan = group_staleness(df, "ts", "g")._jdf.queryExecution().toString()
+    # one scan of the input: the LocalRelation/scan appears once outside
+    # the broadcast of the 1-row global-max frame
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2
