@@ -104,6 +104,15 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
         skew.agg(F.max("suggested_salt")).first()[0] or 1
     )
 
+    # 2b'. corpus-mix concentration profile: one row of Gini/HHI/top-share
+    #      over the source distribution — read together with the skew
+    #      profile, it is the "do we need rebalancing at all?" number the
+    #      domain-cap and resample stages downstream act on
+    from okay_spark.balance import concentration_stats
+
+    conc = concentration_stats(clean, "source").first()
+    stats["source_gini_millis"] = int(round((conc["gini"] or 0.0) * 1000))
+
     # 2c. catalog referential check (bloom-pruned): every document's source
     #     must exist in the source catalog. The catalog here is derived
     #     minus one entry so the check has real violations to carry; the
@@ -141,6 +150,24 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     keep = clusters.filter(F.col("is_canonical")).select("doc_id")
     deduped = clean.join(keep, on="doc_id", how="left_semi")
     stats["after_dedup"] = deduped.count()
+
+    # 3a. boilerplate-line profile: the REPORT that justifies the strike
+    #     threshold used by the line-dedup right below (how many lines are
+    #     shared by >= 2 docs, and within which sources) — profile first,
+    #     strike second
+    from okay_spark.textops import boilerplate_lines
+
+    boiler = boilerplate_lines(
+        deduped.select(
+            "doc_id",
+            "source",
+            F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n").alias("text"),
+        ),
+        group_col="source",
+        min_docs=2,
+    )
+    boiler.write.mode("overwrite").parquet(f"{out}/boilerplate_profile")
+    stats["boilerplate_lines"] = boiler.count()
 
     # 3a'. corpus line-dedup: lines (8-word chunks here) shared verbatim by
     #      >= 2 docs are struck from every doc — the cheap coarse pass before
@@ -243,6 +270,17 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     pii = pii_scan(decontaminated)
     stats["pii_docs_redacted"] = pii.filter(F.col("has_pii")).count()
     redacted = decontaminated.withColumn("text", pii_redact("text"))
+
+    # 6b. k-anonymity audit on the metadata that ships with the corpus:
+    #     any (lang, source) combination carried by fewer than 2 documents
+    #     is a potential re-identification handle — reported, with
+    #     suppression left as a policy decision (the PII gate above covers
+    #     content; this covers the metadata columns)
+    from okay_spark.checks import k_anonymity_violations
+
+    kanon = k_anonymity_violations(redacted, ["lang", "source"], k=2)
+    kanon.write.mode("overwrite").parquet(f"{out}/k_anonymity")
+    stats["k_anonymity_violations"] = kanon.count()
 
     # 7. chunk + pack into training sequences
     chunks = chunk_documents(redacted, chunk_tokens=48, overlap=8)

@@ -30,6 +30,13 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     # ending in '7' were held out of the catalog)
     assert stats["max_suggested_salt"] == 1
     assert stats["catalog_violations"] > 0
+    # late round-5 profile stages: the fixture's 20 sources are near-uniform
+    # (Gini well below 0.5), the 8-word-line derivation shares lines across
+    # docs (the report justifies the strike threshold below it), and the
+    # k-anonymity audit ran (count is data-dependent, sink must exist)
+    assert 0 <= stats["source_gini_millis"] < 500
+    assert stats["boilerplate_lines"] >= 0
+    assert "k_anonymity_violations" in stats
     assert stats["after_quality"] >= stats["after_decontamination"]
     assert stats["after_decontamination"] >= stats["after_doc_decontamination"]
     assert stats["after_doc_decontamination"] >= stats["after_domain_cap"]
