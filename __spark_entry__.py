@@ -2298,6 +2298,17 @@ def q_concentration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_stats(_read(spark, sf_dir, "documents"), "lang")
 
 
+def q_mutual_info_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mutual information between lang and source (okay_spark/
+    checks.py mutual_information) — the soft-association companion of the
+    FD check. ONE corpus aggregate down to |lang x source|; marginals and
+    the total re-aggregate that frame; each entropy's cnt*ln(cnt) sum
+    accumulates in decimal(38,12) so mi/nmi are bit-identical in DuckDB."""
+    from okay_spark.checks import mutual_information
+
+    return mutual_information(_read(spark, sf_dir, "documents"), "lang", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2408,9 +2419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + the shared _SPANS_CTE under battery_spans_documents above, and
         # the flat batteries by battery_json/streaming_battery_documents
         # which share their twins), plus the two documented rows-only
-        # fixtures. The five late-round-5 operators (PMI collocations,
-        # boilerplate lines, k-anonymity, staleness, concentration) sit
-        # directly below the boundary: the window is freshness-saturated
+        # fixtures. The six late-round-5 operators (PMI collocations,
+        # boilerplate lines, k-anonymity, staleness, concentration,
+        # mutual information) sit directly below the boundary: the window is freshness-saturated
         # by the judge-sanctioned rotation, so their exactness evidence is
         # the repo's own oracle gate (scripts/check_oracle.py, run at both
         # 16 and 7 shuffle partitions — see BENCH/GATES_r05.md) plus
@@ -2421,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_events": q_k_anonymity_events,
         "staleness_events": q_staleness_events,
         "concentration_documents": q_concentration_documents,
+        "mutual_info_documents": q_mutual_info_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -4678,6 +4690,41 @@ FROM agg CROSS JOIN hhi
 """
 
 
+# Mutual-information twin: one joint aggregate; marginals/total re-derive
+# from it; each entropy is ln(n) - S/n with S = sum(cnt*ln(cnt)) through the
+# VARCHAR decimal(38,12) route; mi/nmi are the same fixed IEEE expressions.
+_MUTUAL_INFO_SQL = """
+WITH xy AS (
+  SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+), xs AS (SELECT x, CAST(sum(cnt) AS BIGINT) AS cnt FROM xy GROUP BY x),
+ys AS (SELECT y, CAST(sum(cnt) AS BIGINT) AS cnt FROM xy GROUP BY y),
+tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n FROM xy),
+sx AS (SELECT CAST(CAST(sum(CAST(CAST(
+         CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+       AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s FROM xs),
+sy AS (SELECT CAST(CAST(sum(CAST(CAST(
+         CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+       AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s FROM ys),
+sxy AS (SELECT CAST(CAST(sum(CAST(CAST(
+         CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+       AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s FROM xy),
+staged AS (
+  SELECT n AS n_rows,
+         CASE WHEN n > 0 THEN ln(CAST(n AS DOUBLE)) - sx.s / CAST(n AS DOUBLE) END AS h_x,
+         CASE WHEN n > 0 THEN ln(CAST(n AS DOUBLE)) - sy.s / CAST(n AS DOUBLE) END AS h_y,
+         CASE WHEN n > 0 THEN ln(CAST(n AS DOUBLE)) - sxy.s / CAST(n AS DOUBLE) END AS h_xy
+  FROM tot CROSS JOIN sx CROSS JOIN sy CROSS JOIN sxy
+)
+SELECT n_rows, h_x, h_y, h_xy,
+       (h_x + h_y - h_xy) AS mi,
+       CASE WHEN h_x > 0 AND h_y > 0
+            THEN (h_x + h_y - h_xy) / sqrt(h_x * h_y) END AS nmi
+FROM staged
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
@@ -4698,6 +4745,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_events": _K_ANONYMITY_SQL,
         "staleness_events": _STALENESS_SQL,
         "concentration_documents": _CONCENTRATION_SQL,
+        "mutual_info_documents": _MUTUAL_INFO_SQL,
         "cume_dist_documents": _CUME_DIST_SQL,
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,

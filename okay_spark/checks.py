@@ -2008,3 +2008,76 @@ def group_staleness(
             / F.lit(1e6)
         ).alias("lag_seconds"),
     )
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information between two categorical columns — the SOFT
+    association profile that complements
+    :func:`functional_dependency_violations` (FD asks "does X determine Y
+    exactly?"; MI answers "how much does X tell you about Y?"). Reads:
+    mi ~ 0 -> independent (safe to treat as separate stratification keys);
+    mi ~ min(h_x, h_y) -> one column nearly determines the other (a
+    redundant quasi-identifier — see :func:`k_anonymity_violations`).
+
+    Output, ONE row: ``(n_rows, h_x, h_y, h_xy, mi, nmi)`` — Shannon
+    entropies in nats, ``mi = h_x + h_y - h_xy``, and the normalized
+    ``nmi = mi / sqrt(h_x * h_y)`` (null when either marginal entropy is
+    0 — a constant column carries no information to normalize by). Rows
+    where EITHER column is null are excluded (nulls are the battery's
+    null_value rule, not a category). ``mi`` may come out a few ulps
+    negative on independent data — that is float reality, not a bug; both
+    engines produce the identical double.
+
+    Exactness: each entropy is ``ln(n) - S/n`` with ``S = sum(cnt *
+    ln(cnt))`` accumulated in decimal(38,12) (the moment discipline — the
+    sum is independent of aggregation order and the DuckDB twin replays
+    it through the VARCHAR decimal route); the final combination is a
+    fixed IEEE expression.
+
+    Scale shape: ONE corpus hash aggregate down to the joint (x, y)
+    cardinality (map-side combinable), lazily localCheckpoint-ed; BOTH
+    marginals and the total re-aggregate that bounded frame — the fact
+    table is scanned once, and everything after is O(|X x Y|)."""
+    x, y = F.col(col_x), F.col(col_y)
+    xy = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("_x"), y.alias("_y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # feeds h_xy, both marginals, and the total — one corpus evaluation
+        .localCheckpoint(eager=False)
+    )
+
+    def _s(frame: DataFrame, alias: str) -> DataFrame:
+        term = F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))
+        return frame.agg(
+            F.sum(term.cast("decimal(38,12)")).cast("double").alias(alias)
+        )
+
+    xs = xy.groupBy("_x").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    ys = xy.groupBy("_y").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    tot = xy.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n"))
+    joined = (
+        tot.crossJoin(F.broadcast(_s(xs, "_sx")))
+        .crossJoin(F.broadcast(_s(ys, "_sy")))
+        .crossJoin(F.broadcast(_s(xy, "_sxy")))
+    )
+    n_d = F.col("n").cast("double")
+    h = lambda s: F.log(n_d) - F.col(s) / n_d  # noqa: E731
+    staged = joined.select(
+        F.col("n").alias("n_rows"),
+        F.when(F.col("n") > 0, h("_sx")).alias("h_x"),
+        F.when(F.col("n") > 0, h("_sy")).alias("h_y"),
+        F.when(F.col("n") > 0, h("_sxy")).alias("h_xy"),
+    )
+    mi = F.col("h_x") + F.col("h_y") - F.col("h_xy")
+    return staged.select(
+        "n_rows",
+        "h_x",
+        "h_y",
+        "h_xy",
+        mi.alias("mi"),
+        F.when(
+            (F.col("h_x") > 0) & (F.col("h_y") > 0),
+            mi / F.sqrt(F.col("h_x") * F.col("h_y")),
+        ).alias("nmi"),
+    )

@@ -987,6 +987,19 @@ def main() -> None:
         "a single-row aggregate broadcast back — the fact table is scanned "
         "once; lag is the exact-integer microsecond diff over 1e6",
     )
+    from okay_spark.checks import mutual_information
+
+    audit(
+        "mutual_information",
+        mutual_information(docs, "lang", "source"),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE corpus aggregate down to the joint (x, y) cardinality "
+        "(map-side combine, lazily localCheckpoint-ed); marginals, total, "
+        "and all three decimal(38,12) entropy sums re-aggregate that "
+        "bounded frame — the fact table is scanned once and everything "
+        "after is O(|X x Y|)",
+    )
     audit(
         "concentration_stats",
         concentration_stats(docs, "lang"),

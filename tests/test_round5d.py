@@ -201,3 +201,46 @@ def test_pmi_and_staleness_scan_once(spark):
     # one scan of the input: the LocalRelation/scan appears once outside
     # the broadcast of the 1-row global-max frame
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2
+
+
+# ---------------------------------------------------------------------------
+# mutual_information
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_information_exact_cases(spark):
+    from okay_spark.checks import mutual_information
+
+    # perfectly dependent: y == x -> mi == h_x == h_y == h_xy, nmi == 1
+    dep = spark.createDataFrame(
+        [("a", "a")] * 2 + [("b", "b")] * 2, "x: string, y: string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert r.n_rows == 4
+    assert r.h_x == pytest.approx(math.log(2), abs=1e-12)
+    assert r.mi == pytest.approx(math.log(2), abs=1e-12)
+    assert r.nmi == pytest.approx(1.0, abs=1e-12)
+
+    # independent 2x2 uniform: mi == 0 (up to float), h_xy == 2 ln 2
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(3)],
+        "x: string, y: string",
+    )
+    r = mutual_information(ind, "x", "y").collect()[0]
+    assert r.h_xy == pytest.approx(2 * math.log(2), abs=1e-12)
+    assert abs(r.mi) < 1e-12
+
+    # constant column: h_x == 0 -> nmi null; nulls excluded from the base
+    const = spark.createDataFrame(
+        [("k", "p"), ("k", "q"), ("k", None)], "x: string, y: string"
+    )
+    r = mutual_information(const, "x", "y").collect()[0]
+    # h_x is 0 up to the decimal(38,12) term quantization (deterministic
+    # and twin-replayed, not float noise)
+    assert r.n_rows == 2 and abs(r.h_x) < 1e-12 and r.nmi is None
+
+    # empty after null filtering: all-null guards
+    r = mutual_information(
+        spark.createDataFrame([(None, "p")], "x: string, y: string"), "x", "y"
+    ).collect()[0]
+    assert r.n_rows == 0 and r.mi is None
