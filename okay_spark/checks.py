@@ -2081,3 +2081,100 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             mi / F.sqrt(F.col("h_x") * F.col("h_y")),
         ).alias("nmi"),
     )
+
+
+def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, with Cramér's V — the significance-flavored member of the
+    association family (:func:`functional_dependency_violations` = exact
+    dependence, :func:`mutual_information` = soft dependence in nats, this
+    = normalized strength on [0, 1] comparable across tables). Reads:
+    V < ~0.1 -> negligible association; V = 1 -> one column determines the
+    other. ``chi2`` compares against the critical value for ``dof``
+    degrees of freedom.
+
+    Output, ONE row: ``(n_rows, n_x, n_y, dof, chi2, cramers_v)`` —
+    category cardinalities, ``dof = (n_x - 1) * (n_y - 1)``, the Pearson
+    statistic over the FULL |X| x |Y| contingency table (observed-zero
+    cells contribute their expected count — summing only observed cells
+    understates the statistic), and ``cramers_v = sqrt(chi2 / (n *
+    min(n_x - 1, n_y - 1)))`` (null when either column is constant —
+    dof 0 has no association to normalize). Rows where EITHER column is
+    null are excluded (nulls are the battery's null_value rule, not a
+    category).
+
+    Exactness: each cell term ``(o - e)^2 / e`` with ``e = (cx * cy) / n``
+    is a fixed IEEE double expression (marginal products stay in double —
+    ``cx * cy`` can pass 2^63 at corpus scale; the square is spelled
+    ``d * d``, never ``pow``, so both engines agree bit-for-bit); the sum
+    accumulates in decimal(38,12) (the moment discipline — the DuckDB twin
+    replays it through the VARCHAR decimal route); V's final combination
+    is a fixed IEEE expression (sqrt is correctly rounded on both).
+
+    Scale shape: ONE corpus hash aggregate down to the joint (x, y)
+    cardinality (map-side combinable), lazily localCheckpoint-ed; the
+    contingency grid is the cross join of the two bounded marginal frames
+    (|X| x |Y| cells, never the fact table) with the joint counts
+    broadcast back onto it — the fact table is scanned once, and
+    everything after is O(|X x Y|)."""
+    x, y = F.col(col_x), F.col(col_y)
+    xy = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("_x"), y.alias("_y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # feeds the grid, both marginals, and the total — one evaluation
+        .localCheckpoint(eager=False)
+    )
+    # fresh _gx/_gy aliases: the grid joins back onto xy, and reusing xy's
+    # own attribute ids would trip the ambiguous-self-join resolver
+    xs = xy.groupBy(F.col("_x").alias("_gx")).agg(
+        F.sum("cnt").cast("bigint").alias("_cx")
+    )
+    ys = xy.groupBy(F.col("_y").alias("_gy")).agg(
+        F.sum("cnt").cast("bigint").alias("_cy")
+    )
+    card = (
+        xs.agg(F.count(F.lit(1)).cast("bigint").alias("n_x"))
+        .crossJoin(
+            F.broadcast(ys.agg(F.count(F.lit(1)).cast("bigint").alias("n_y")))
+        )
+        .crossJoin(
+            F.broadcast(
+                xy.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n"))
+            )
+        )
+    )
+    # full contingency grid: cross join of the two BOUNDED marginal frames;
+    # observed counts broadcast back (zero-cells coalesce to 0)
+    cells = (
+        xs.crossJoin(F.broadcast(ys))
+        .join(
+            F.broadcast(xy),
+            (F.col("_gx") == xy["_x"]) & (F.col("_gy") == xy["_y"]),
+            "left",
+        )
+        .crossJoin(F.broadcast(card.select("n")))
+    )
+    o = F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+    e = (F.col("_cx").cast("double") * F.col("_cy").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    term = (o - e) * (o - e) / e
+    chi = cells.agg(
+        F.sum(term.cast("decimal(38,12)")).cast("double").alias("_chi2")
+    )
+    mink = F.least(F.col("n_x") - 1, F.col("n_y") - 1)
+    return card.crossJoin(F.broadcast(chi)).select(
+        F.col("n").alias("n_rows"),
+        "n_x",
+        "n_y",
+        F.when(
+            (F.col("n_x") > 0) & (F.col("n_y") > 0),
+            (F.col("n_x") - 1) * (F.col("n_y") - 1),
+        ).alias("dof"),
+        F.col("_chi2").alias("chi2"),
+        F.when(
+            (F.col("n") > 0) & (mink > 0),
+            F.sqrt(F.col("_chi2") / (F.col("n").cast("double") * mink.cast("double"))),
+        ).alias("cramers_v"),
+    )

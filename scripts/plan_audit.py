@@ -1000,6 +1000,19 @@ def main() -> None:
         "bounded frame — the fact table is scanned once and everything "
         "after is O(|X x Y|)",
     )
+    from okay_spark.checks import chi2_independence
+
+    audit(
+        "chi2_independence",
+        chi2_independence(docs, "lang", "source"),
+        max_shuffles=6,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE corpus aggregate down to the joint (x, y) cardinality "
+        "(map-side combine, lazily localCheckpoint-ed); the contingency "
+        "grid is the cross join of the two bounded marginal frames with "
+        "the joint counts broadcast back — the fact table is scanned once "
+        "and everything after is O(|X x Y|)",
+    )
     audit(
         "concentration_stats",
         concentration_stats(docs, "lang"),

@@ -244,3 +244,58 @@ def test_mutual_information_exact_cases(spark):
         spark.createDataFrame([(None, "p")], "x: string, y: string"), "x", "y"
     ).collect()[0]
     assert r.n_rows == 0 and r.mi is None
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independence_exact_cases(spark):
+    from okay_spark.checks import chi2_independence
+
+    # perfect dependence 2x2 (2+2 rows): every cell term is exactly 1
+    # -> chi2 == n == 4, V == 1, dof == 1
+    dep = spark.createDataFrame(
+        [("a", "a")] * 2 + [("b", "b")] * 2, "x: string, y: string"
+    )
+    r = chi2_independence(dep, "x", "y").collect()[0]
+    assert (r.n_rows, r.n_x, r.n_y, r.dof) == (4, 2, 2, 1)
+    assert r.chi2 == pytest.approx(4.0, abs=1e-12)
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-12)
+
+    # independent uniform 2x2: o == e exactly in every cell -> chi2 == 0.0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(3)],
+        "x: string, y: string",
+    )
+    r = chi2_independence(ind, "x", "y").collect()[0]
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0 and r.dof == 1
+
+    # observed-zero cells must contribute expected counts: 2x2 with one
+    # empty cell — (a,p) 1, (a,q) 1, (b,p) 1, (b,q) 0. Hand-computed
+    # chi2 = 3/4 (cells 1/6+1/6+... marginals cx=(2,1), cy=(2,1), n=3)
+    sparse = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p")], "x: string, y: string"
+    )
+    r = chi2_independence(sparse, "x", "y").collect()[0]
+    exp = (
+        (1 - 4 / 3) ** 2 / (4 / 3)
+        + (1 - 2 / 3) ** 2 / (2 / 3)
+        + (1 - 2 / 3) ** 2 / (2 / 3)
+        + (0 - 1 / 3) ** 2 / (1 / 3)
+    )
+    assert r.chi2 == pytest.approx(exp, rel=1e-9)
+
+    # constant column: dof 0 -> V null; nulls excluded from the base
+    const = spark.createDataFrame(
+        [("k", "p"), ("k", "q"), ("k", None)], "x: string, y: string"
+    )
+    r = chi2_independence(const, "x", "y").collect()[0]
+    assert (r.n_rows, r.n_x, r.dof) == (2, 1, 0) and r.cramers_v is None
+
+    # empty after null filtering
+    r = chi2_independence(
+        spark.createDataFrame([(None, "p")], "x: string, y: string"), "x", "y"
+    ).collect()[0]
+    assert r.n_rows == 0 and r.chi2 is None and r.dof is None
