@@ -113,6 +113,17 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     conc = concentration_stats(clean, "source").first()
     stats["source_gini_millis"] = int(round((conc["gini"] or 0.0) * 1000))
 
+    # 2b''. association profile between the two stratification keys: if
+    #       lang ~ determines source (high nmi / V), stratifying on both is
+    #       redundant and the pair is ONE quasi-identifier for the
+    #       k-anonymity stage downstream, not two
+    from okay_spark.checks import chi2_independence, mutual_information
+
+    assoc = mutual_information(clean, "lang", "source").first()
+    stats["lang_source_nmi_millis"] = int(round((assoc["nmi"] or 0.0) * 1000))
+    chi = chi2_independence(clean, "lang", "source").first()
+    stats["lang_source_v_millis"] = int(round((chi["cramers_v"] or 0.0) * 1000))
+
     # 2c. catalog referential check (bloom-pruned): every document's source
     #     must exist in the source catalog. The catalog here is derived
     #     minus one entry so the check has real violations to carry; the

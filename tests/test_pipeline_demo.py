@@ -35,6 +35,11 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     # docs (the report justifies the strike threshold below it), and the
     # k-anonymity audit ran (count is data-dependent, sink must exist)
     assert 0 <= stats["source_gini_millis"] < 500
+    # association profile: lang and source are generated independently in
+    # the fixture, so both normalized-MI and Cramér's V stay low — the
+    # report's "two quasi-identifiers, not one" reading
+    assert 0 <= stats["lang_source_nmi_millis"] < 500
+    assert 0 <= stats["lang_source_v_millis"] < 500
     assert stats["boilerplate_lines"] >= 0
     assert "k_anonymity_violations" in stats
     assert stats["after_quality"] >= stats["after_decontamination"]
