@@ -94,6 +94,73 @@ def sessionize(
     return df.withColumn(out, F.sum(is_new).over(running))
 
 
+def transition_stats(
+    df: DataFrame,
+    *,
+    group_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Per-group ordered state-transition profile — the empirical Markov
+    matrix of the event flow. One row per observed ``(from_state,
+    to_state)`` pair: ``cnt`` transitions, ``prob = cnt / (all transitions
+    leaving from_state)``. Reads: a funnel whose checkout -> payment row
+    suddenly halves, or a bot whose self-loop probability spikes toward 1,
+    shows up as drift in this frame (feed consecutive snapshots to
+    :func:`okay_spark.checks.js_divergence_frame`). Complements
+    :func:`sessionize` (gap structure) with the ORDER structure of the
+    same event streams, and :func:`okay_spark.checks.
+    adjacent_pair_violations` (a hard rule on consecutive elements) with
+    the soft distribution over them.
+
+    Semantics: rows with a null group or null state are dropped BEFORE
+    sequencing (the surviving events become adjacent — nulls are the
+    battery's null_value rule, not a state); each group's first surviving
+    event has no predecessor and opens no transition. ``order_cols`` must
+    be a TOTAL order within a group (the default adds ``event_id`` to
+    break timestamp ties) — with ties left unresolved the lag pairing is
+    engine- and partitioning-dependent.
+
+    Exactness: ``cnt`` is an exact count; ``prob`` is ONE int/int IEEE
+    division (never a float sum), so the DuckDB twin is bit-identical —
+    the twin's window must spell ``ASC NULLS FIRST`` (Spark's default
+    ascending null placement; DuckDB defaults to NULLS LAST).
+
+    Scale shape: ONE hash shuffle on ``group_col`` for the lag window
+    (offset frame — the sort is per-group, bounded by the group's event
+    count, never a global sort), then a hash aggregate down to the
+    |states|^2-bounded transition frame (lazily localCheckpoint-ed); the
+    per-from totals re-aggregate that bounded frame and broadcast back —
+    the event table is scanned once."""
+    g, s = F.col(group_col), F.col(state_col)
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    trans = (
+        df.filter(g.isNotNull() & s.isNotNull())
+        .select(F.lag(s).over(w).alias("from_state"), s.alias("to_state"))
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # feeds both the output rows and the per-from totals — one evaluation
+        .localCheckpoint(eager=False)
+    )
+    # fresh _gfrom alias: the totals frame joins back onto trans, and
+    # reusing trans's own attribute id would trip the self-join resolver
+    totals = trans.groupBy(F.col("from_state").alias("_gfrom")).agg(
+        F.sum("cnt").cast("bigint").alias("_tot")
+    )
+    return (
+        trans.join(F.broadcast(totals), trans["from_state"] == F.col("_gfrom"))
+        .select(
+            "from_state",
+            "to_state",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_tot").cast("double")).alias(
+                "prob"
+            ),
+        )
+    )
+
+
 def session_stats(
     df: DataFrame,
     *,

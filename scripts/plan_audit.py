@@ -1013,6 +1013,19 @@ def main() -> None:
         "the joint counts broadcast back — the fact table is scanned once "
         "and everything after is O(|X x Y|)",
     )
+    from okay_spark.relops import transition_stats
+
+    audit(
+        "transition_stats",
+        transition_stats(events),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE hash shuffle on the group for the lag window (offset "
+        "frame, per-group sort bounded by the group's event count), then a "
+        "hash aggregate down to the |states|^2 transition frame (lazily "
+        "localCheckpoint-ed); per-from totals re-aggregate that bounded "
+        "frame and broadcast back — the event table is scanned once",
+    )
     audit(
         "concentration_stats",
         concentration_stats(docs, "lang"),

@@ -299,3 +299,55 @@ def test_chi2_independence_exact_cases(spark):
         spark.createDataFrame([(None, "p")], "x: string, y: string"), "x", "y"
     ).collect()[0]
     assert r.n_rows == 0 and r.chi2 is None and r.dof is None
+
+
+# ---------------------------------------------------------------------------
+# transition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_transition_stats_exact(spark):
+    from okay_spark.relops import transition_stats
+
+    rows = [
+        # user 1: A -> B -> A -> C  (ties broken by event_id)
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "C"),
+        # user 2: A -> B (null state in the middle drops out, B and the
+        # next A become adjacent) -> A
+        (2, 1, "A"), (2, 2, None), (2, 3, "B"), (2, 4, "A"),
+        # null user: never sequenced
+        (None, 1, "A"), (None, 2, "B"),
+        # user 3: single event — no transition
+        (3, 1, "C"),
+    ]
+    df = spark.createDataFrame(
+        [(u, i, s) for (u, i, s) in rows],
+        "user_id: long, event_id: long, event_type: string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    # identical ts everywhere: event_id must carry the total order
+    out = {
+        (r.from_state, r.to_state): (r.cnt, r.prob)
+        for r in transition_stats(df).collect()
+    }
+    assert out == {
+        ("A", "B"): (2, 2 / 3),   # u1 A->B, u2 A->B
+        ("A", "C"): (1, 1 / 3),   # u1 A->C
+        ("B", "A"): (2, 1.0),     # u1 B->A, u2 B->A (across the null)
+    }
+    # probabilities leaving each state sum to 1 exactly on this data
+    assert sum(p for (f, _), (_, p) in out.items() if f == "A") == 1.0
+
+
+def test_transition_stats_single_scan_and_plan(spark):
+    from okay_spark.relops import transition_stats
+
+    df = spark.createDataFrame(
+        [(1, i, "2026-01-01 00:00:00", t) for i, t in enumerate("ABAB")],
+        "user_id: long, event_id: long, ts: string, event_type: string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = transition_stats(df)
+    assert r.count() == 2
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the totals join is broadcast, never a shuffled join of the frame
+    assert "SortMergeJoin" not in plan
