@@ -2332,6 +2332,18 @@ def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_stats(_read(spark, sf_dir, "events"))
 
 
+def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix (okay_spark/relops.py
+    cohort_retention). One fact-table shuffle (per-user first event), the
+    cohort joined back co-partitioned, then a two-phase exact-distinct
+    down to the (cohort_week, activity_week) matrix. Monday-anchored
+    date_trunc('week') agrees across engines and the counts carry no
+    float, so the DuckDB twin is bit-identical."""
+    from okay_spark.relops import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2442,10 +2454,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + the shared _SPANS_CTE under battery_spans_documents above, and
         # the flat batteries by battery_json/streaming_battery_documents
         # which share their twins), plus the two documented rows-only
-        # fixtures. The eight late-round-5 operators (PMI collocations,
+        # fixtures. The nine late-round-5 operators (PMI collocations,
         # boilerplate lines, k-anonymity, staleness, concentration,
-        # mutual information, chi-square independence, event transitions)
-        # sit directly below the boundary: the window is freshness-saturated
+        # mutual information, chi-square independence, event transitions,
+        # cohort retention) sit directly below the boundary: the window is
+        # freshness-saturated
         # by the judge-sanctioned rotation, so their exactness evidence is
         # the repo's own oracle gate (scripts/check_oracle.py, run at both
         # 16 and 7 shuffle partitions — see BENCH/GATES_r05.md) plus
@@ -2459,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_documents": q_mutual_info_documents,
         "chi2_documents": q_chi2_documents,
         "transitions_events": q_transitions_events,
+        "cohort_retention_events": q_cohort_retention_events,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -4793,6 +4807,27 @@ FROM card CROSS JOIN chi
 """
 
 
+# Cohort-retention twin: Monday-anchored date_trunc('week') agrees across
+# engines; the distinct pre-pass mirrors the two-phase exact distinct; no
+# float anywhere.
+_COHORT_RETENTION_SQL = """
+WITH base AS (
+  SELECT user_id AS u, ts AS t FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), firsts AS (
+  SELECT u, CAST(date_trunc('week', min(t)) AS DATE) AS cohort_week
+  FROM base GROUP BY u
+), triple AS (
+  SELECT DISTINCT firsts.cohort_week,
+         CAST(date_trunc('week', base.t) AS DATE) AS activity_week,
+         base.u
+  FROM base JOIN firsts ON base.u = firsts.u
+)
+SELECT cohort_week, activity_week, CAST(count(*) AS BIGINT) AS n_users
+FROM triple GROUP BY cohort_week, activity_week
+"""
+
+
 # Transition-matrix twin: the lag window must spell ASC NULLS FIRST (Spark's
 # ascending default; DuckDB defaults NULLS LAST); prob is the same single
 # int/int IEEE division over the bounded transition frame.
@@ -4841,6 +4876,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info_documents": _MUTUAL_INFO_SQL,
         "chi2_documents": _CHI2_SQL,
         "transitions_events": _TRANSITIONS_SQL,
+        "cohort_retention_events": _COHORT_RETENTION_SQL,
         "cume_dist_documents": _CUME_DIST_SQL,
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,

@@ -161,6 +161,65 @@ def transition_stats(
     )
 
 
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: one row per ``(cohort_week,
+    activity_week)`` with the exact count of that cohort's users active in
+    that week. A user's cohort is the Monday-truncated week of their FIRST
+    event; ``cohort_week = activity_week`` rows are the cohort sizes, and
+    each later column over a fixed cohort is the classic retention curve.
+    Reads: a week whose retention column sags across ALL cohorts is a
+    product/ingest regression; a single cohort sagging is an acquisition-
+    quality signal. Complements :func:`sessionize` (within-visit
+    structure) and :func:`okay_spark.checks.group_staleness` (last-seen
+    lag) with the long-horizon return structure.
+
+    Semantics: rows with a null user or null timestamp are dropped (no
+    cohort to anchor). Output weeks are DATE-typed Mondays — consumers
+    derive the period index as ``datediff / 7``; keeping the raw weeks
+    avoids an engine-specific integer-division seam. Counts are exact
+    distinct users (two-phase — never ``count_distinct`` over a raw
+    shuffle of the fact table). Week truncation is Monday-anchored on
+    both engines (Spark ``date_trunc('week')`` and DuckDB agree), so the
+    twin is bit-identical with no float anywhere.
+
+    Scale shape: per-user first-event aggregate (map-side combinable hash
+    shuffle on the user — the ONE fact-table shuffle), the cohort joined
+    back user-to-user (co-partitioned with the aggregate's output — AQE
+    reuses the exchange; the firsts side is #users rows, not events),
+    then the distinct (cohort, week, user) pre-pass and the final
+    (cohort, week) count re-aggregate frames already bounded by #users x
+    #active-weeks. Per-key state everywhere is bounded by one user's
+    event count — a bot user is a wide group, never a wide reducer
+    posting list."""
+    u, t = F.col(user_col), F.col(ts_col)
+    base = df.filter(u.isNotNull() & t.isNotNull()).select(
+        u.alias("_u"), t.alias("_t")
+    )
+    # fresh _fu alias: firsts joins back onto base, and reusing base's own
+    # attribute id would trip the ambiguous-self-join resolver
+    firsts = base.groupBy(F.col("_u").alias("_fu")).agg(
+        F.date_trunc("week", F.min("_t")).cast("date").alias("cohort_week")
+    )
+    return (
+        base.join(firsts, base["_u"] == F.col("_fu"))
+        .select(
+            "cohort_week",
+            F.date_trunc("week", base["_t"]).cast("date").alias("activity_week"),
+            base["_u"].alias("_user"),
+        )
+        # two-phase exact distinct: collapse to (cohort, week, user) FIRST
+        .groupBy("cohort_week", "activity_week", "_user")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
 def session_stats(
     df: DataFrame,
     *,

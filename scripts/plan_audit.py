@@ -1026,6 +1026,19 @@ def main() -> None:
         "localCheckpoint-ed); per-from totals re-aggregate that bounded "
         "frame and broadcast back — the event table is scanned once",
     )
+    from okay_spark.relops import cohort_retention
+
+    audit(
+        "cohort_retention",
+        cohort_retention(events),
+        max_shuffles=5,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="per-user first-event aggregate is the ONE fact-table "
+        "shuffle; the cohort joins back user-to-user co-partitioned; the "
+        "distinct pre-pass + final count are a two-phase exact distinct "
+        "over frames bounded by #users x #active-weeks — per-key state "
+        "everywhere is bounded by one user's event count",
+    )
     audit(
         "concentration_stats",
         concentration_stats(docs, "lang"),

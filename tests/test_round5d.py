@@ -338,6 +338,37 @@ def test_transition_stats_exact(spark):
     assert sum(p for (f, _), (_, p) in out.items() if f == "A") == 1.0
 
 
+def test_cohort_retention_exact(spark):
+    from okay_spark.relops import cohort_retention
+
+    # week of 2026-01-05 (Mon) and 2026-01-12 (Mon):
+    #   u1 first event Wed Jan 7, active again Jan 13 -> cohort 01-05,
+    #     active weeks {01-05, 01-12}
+    #   u2 first event Jan 12 -> cohort 01-12 only
+    #   u3 two events same week -> ONE distinct row in its cohort week
+    rows = [
+        (1, "2026-01-07 10:00:00"),
+        (1, "2026-01-13 09:00:00"),
+        (2, "2026-01-12 00:00:00"),
+        (3, "2026-01-06 08:00:00"),
+        (3, "2026-01-09 23:59:59"),
+        (None, "2026-01-07 10:00:00"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (str(r.cohort_week), str(r.activity_week)): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    assert out == {
+        ("2026-01-05", "2026-01-05"): 2,  # u1 + u3 cohort size
+        ("2026-01-05", "2026-01-12"): 1,  # u1 retained
+        ("2026-01-12", "2026-01-12"): 1,  # u2 cohort size
+    }
+
+
 def test_transition_stats_single_scan_and_plan(spark):
     from okay_spark.relops import transition_stats
 
