@@ -2344,6 +2344,20 @@ def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_read(spark, sf_dir, "events"))
 
 
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel over the first two days
+    (okay_spark/relops.py funnel_conversion; the window keeps the funnel
+    discriminating — the full fixture saturates every step). Completion
+    times are strict-after MINs, counts exact, conversion one int/int
+    IEEE division; the DuckDB twin chains the same min-after joins."""
+    from okay_spark.relops import funnel_conversion
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp_ntz")
+    )
+    return funnel_conversion(ev, ["view", "click", "purchase"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2454,11 +2468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + the shared _SPANS_CTE under battery_spans_documents above, and
         # the flat batteries by battery_json/streaming_battery_documents
         # which share their twins), plus the two documented rows-only
-        # fixtures. The nine late-round-5 operators (PMI collocations,
+        # fixtures. The ten late-round-5 operators (PMI collocations,
         # boilerplate lines, k-anonymity, staleness, concentration,
         # mutual information, chi-square independence, event transitions,
-        # cohort retention) sit directly below the boundary: the window is
-        # freshness-saturated
+        # cohort retention, funnel conversion) sit directly below the
+        # boundary: the window is freshness-saturated
         # by the judge-sanctioned rotation, so their exactness evidence is
         # the repo's own oracle gate (scripts/check_oracle.py, run at both
         # 16 and 7 shuffle partitions — see BENCH/GATES_r05.md) plus
@@ -2473,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_documents": q_chi2_documents,
         "transitions_events": q_transitions_events,
         "cohort_retention_events": q_cohort_retention_events,
+        "funnel_events": q_funnel_events,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -4807,6 +4822,37 @@ FROM card CROSS JOIN chi
 """
 
 
+# Funnel twin: chained strict-after min joins; conversion is one int/int
+# IEEE division; the two-day window matches the Spark entry's filter.
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+), s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS step_index, 'view' AS step_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+)
+SELECT CAST(step_index AS INTEGER) AS step_index, step_name, n_users,
+       CASE WHEN (SELECT n_users FROM counts WHERE step_index = 1) > 0
+            THEN CAST(n_users AS DOUBLE)
+                 / CAST((SELECT n_users FROM counts WHERE step_index = 1)
+                        AS DOUBLE) END AS conversion
+FROM counts
+"""
+
+
 # Cohort-retention twin: Monday-anchored date_trunc('week') agrees across
 # engines; the distinct pre-pass mirrors the two-phase exact distinct; no
 # float anywhere.
@@ -4877,6 +4923,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_documents": _CHI2_SQL,
         "transitions_events": _TRANSITIONS_SQL,
         "cohort_retention_events": _COHORT_RETENTION_SQL,
+        "funnel_events": _FUNNEL_SQL,
         "cume_dist_documents": _CUME_DIST_SQL,
         "battery_documents": _BATTERY_DOCUMENTS_SQL,
         "battery_events": _BATTERY_EVENTS_SQL,

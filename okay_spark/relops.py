@@ -220,6 +220,91 @@ def cohort_retention(
     )
 
 
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed steps
+    ``1..k`` IN ORDER (each step strictly after the previous one's first
+    completion). One row per step: ``(step_index, step_name, n_users,
+    conversion)`` with ``conversion = n_users / n_users(step 1)`` — the
+    classic signup -> activation -> purchase curve, and the third member
+    of the event-flow family (:func:`transition_stats` = local order
+    structure, :func:`cohort_retention` = long-horizon return,
+    this = directed multi-step completion).
+
+    Semantics: a user completes step i at the MINIMUM timestamp of a
+    step-i event STRICTLY after their step-(i-1) completion time (first-
+    touch attribution; equal timestamps do NOT advance the funnel —
+    strictness makes the result independent of any within-timestamp
+    ordering, so no tiebreak column is needed). Rows with a null user,
+    null timestamp, or a state outside ``steps`` are ignored. Repeated
+    step names are allowed (``A -> A`` requires two strictly-increasing
+    A events). ``conversion`` is NULL when step 1 has no completions.
+
+    Exactness: completion times are exact MINs; counts are exact;
+    ``conversion`` is ONE int/int IEEE division — nothing engine-specific
+    anywhere, so the DuckDB twin (chained min-after joins) is
+    bit-identical.
+
+    Scale shape: the fact table is projected/filtered to the funnel's
+    event types ONCE (lazily localCheckpoint-ed — each of the k steps
+    re-reads that materialized frame, not the corpus); every chaining
+    join is user-to-user between per-user frames (co-partitioned with the
+    step aggregates), and per-key state is bounded by one user's event
+    count. The k step counts are single-row aggregates of #users-bounded
+    frames unioned into a k-row result."""
+    if not steps:
+        raise ValueError("funnel_conversion needs at least one step")
+    u, t, s = F.col(user_col), F.col(ts_col), F.col(state_col)
+    base = (
+        df.filter(u.isNotNull() & t.isNotNull() & s.isin(list(steps)))
+        .select(u.alias("_u"), t.alias("_t"), s.alias("_s"))
+        # every step re-reads this bounded projection, not the corpus
+        .localCheckpoint(eager=False)
+    )
+    cur = (
+        base.filter(F.col("_s") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_t").alias("_done"))
+    )
+    counts = [cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))]
+    for step in steps[1:]:
+        # fresh _pu alias per round: cur joins back onto base's lineage
+        prev = cur.select(F.col("_u").alias("_pu"), F.col("_done").alias("_pt"))
+        cur = (
+            base.filter(F.col("_s") == step)
+            .join(prev, F.col("_u") == F.col("_pu"))
+            .filter(F.col("_t") > F.col("_pt"))
+            .groupBy("_u")
+            .agg(F.min("_t").alias("_done"))
+        )
+        counts.append(cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+    spark = df.sparkSession
+    labeled = None
+    for i, c in enumerate(counts):
+        row = c.select(
+            F.lit(i + 1).cast("int").alias("step_index"),
+            F.lit(steps[i]).alias("step_name"),
+            "n_users",
+        )
+        labeled = row if labeled is None else labeled.unionByName(row)
+    first = counts[0].select(F.col("n_users").alias("_n1"))
+    return labeled.crossJoin(F.broadcast(first)).select(
+        "step_index",
+        "step_name",
+        "n_users",
+        F.when(
+            F.col("_n1") > 0,
+            F.col("n_users").cast("double") / F.col("_n1").cast("double"),
+        ).alias("conversion"),
+    )
+
+
 def session_stats(
     df: DataFrame,
     *,

@@ -1039,6 +1039,19 @@ def main() -> None:
         "over frames bounded by #users x #active-weeks — per-key state "
         "everywhere is bounded by one user's event count",
     )
+    from okay_spark.relops import funnel_conversion
+
+    audit(
+        "funnel_conversion",
+        funnel_conversion(events, ["view", "click", "purchase"]),
+        max_shuffles=8,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="the fact table is projected/filtered to the funnel's event "
+        "types ONCE (lazily localCheckpoint-ed; each step re-reads that "
+        "frame); chaining joins are user-to-user between per-user frames "
+        "with per-key state bounded by one user's event count; the k step "
+        "counts are single-row aggregates unioned into a k-row result",
+    )
     audit(
         "concentration_stats",
         concentration_stats(docs, "lang"),

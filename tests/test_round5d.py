@@ -369,6 +369,49 @@ def test_cohort_retention_exact(spark):
     }
 
 
+def test_funnel_conversion_exact(spark):
+    from okay_spark.relops import funnel_conversion
+
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "2026-01-01 00:00:00", "view"),
+        (1, "2026-01-01 00:01:00", "click"),
+        (1, "2026-01-01 00:02:00", "purchase"),
+        # u2 stops after click
+        (2, "2026-01-01 00:00:00", "view"),
+        (2, "2026-01-01 00:01:00", "click"),
+        # u3 view only
+        (3, "2026-01-01 00:00:00", "view"),
+        # u4 clicks without a prior view -> never enters the funnel
+        (4, "2026-01-01 00:01:00", "click"),
+        # u5 equal timestamps: strictness does NOT advance the funnel
+        (5, "2026-01-01 00:00:00", "view"),
+        (5, "2026-01-01 00:00:00", "click"),
+        # u6 purchase BEFORE click -> purchase step not credited
+        (6, "2026-01-01 00:00:00", "view"),
+        (6, "2026-01-01 00:02:00", "purchase"),
+        (6, "2026-01-01 00:03:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: string, event_type: string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.step_index: (r.step_name, r.n_users, r.conversion)
+        for r in funnel_conversion(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {
+        1: ("view", 5, 1.0),
+        2: ("click", 3, 3 / 5),   # u1, u2, u6
+        3: ("purchase", 1, 1 / 5),  # u1 only
+    }
+    # empty first step: conversion NULL, counts 0
+    out0 = {
+        r.step_index: (r.n_users, r.conversion)
+        for r in funnel_conversion(df, ["error", "view"]).collect()
+    }
+    assert out0 == {1: (0, None), 2: (0, None)}
+
+
 def test_transition_stats_single_scan_and_plan(spark):
     from okay_spark.relops import transition_stats
 
