@@ -1292,3 +1292,74 @@ def semantic_duplicates(
         .filter(F.col("_rn") == 1)
         .select("vec_id", "kept_id", "list_id", F.round("score", 6).alias("score"))
     )
+
+
+def corpus_group_jaccard(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Pairwise exact Jaccard similarity between the word-``shingle_k``-gram
+    SETS of corpus groups (languages, sources, dump snapshots) — the
+    corpus-level overlap matrix a mixing/decontamination pipeline reads
+    before deciding which sources to blend (a high source-pair Jaccard
+    means one of them is mostly redundant; a nonzero cross-language
+    overlap flags mislabeled or code-switched shards). Corpus-level — no
+    per-document counterpart in the reference (/root/reference/src/okay/
+    validator.py validates one document at a time).
+
+    Output, one row per unordered group pair with a nonempty
+    intersection: ``(ga, gb, n_inter, n_a, n_b, jaccard)`` with
+    ``ga < gb``; disjoint pairs are absent (their Jaccard is exactly 0).
+    Counts are exact distinct-shingle cardinalities; ``jaccard`` is ONE
+    int/int IEEE division ``n_inter / (n_a + n_b - n_inter)`` (integer
+    adds first), so the DuckDB twin is bit-identical.
+
+    Scale shape: the (group, shingle) frame is a map-side-combinable
+    DISTINCT bounded by groups x shingle-vocabulary, lazily
+    localCheckpoint-ed once — it feeds the size aggregate and BOTH sides
+    of the intersection join, and without pinning the tokenize/shingle
+    pipeline would evaluate three times. The intersection is an equi-join
+    on the shingle whose per-key fan-out is bounded by the number of
+    groups (each group contributes at most one row per shingle — the
+    posting list here can never flood the way a per-document one can);
+    group sizes broadcast back (rows = groups). No collect, no global
+    sort, no per-document state: safe at any corpus size with a bounded
+    group count."""
+    e = (
+        _spread(df)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = e.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = e.select(F.col("grp").alias("ga"), F.col("_sh").alias("_ka"))
+    b = e.select(F.col("grp").alias("gb"), F.col("_sh").alias("_kb"))
+    inter = (
+        a.join(b, F.col("_ka") == F.col("_kb"))
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("grp").alias("_sga"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("_sgb"), F.col("n_sh").alias("n_b"))
+    un = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(sa), F.col("ga") == F.col("_sga"))
+        .join(F.broadcast(sb), F.col("gb") == F.col("_sgb"))
+        .select(
+            "ga",
+            "gb",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter").cast("double") / un.cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )
