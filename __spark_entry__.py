@@ -2371,6 +2371,20 @@ def q_corpus_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_group_jaccard(_read(spark, sf_dir, "documents"), "lang")
 
 
+def q_log_odds_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin'-Words log-odds-ratio with informative Dirichlet prior
+    (okay_spark/textops.py log_odds_tokens): which tokens characterize
+    lang='en' against the rest of the corpus. One vocabulary-bounded
+    token aggregate (localCheckpoint-ed, corpus tokenized once), totals
+    broadcast back, TakeOrderedAndProject cut; ln/sqrt spelled as one
+    fixed IEEE expression so the DuckDB twin is bit-identical."""
+    from okay_spark.textops import log_odds_tokens
+
+    return log_odds_tokens(
+        _read(spark, sf_dir, "documents"), "lang", target="en", top_n=100
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2503,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_events": q_cohort_retention_events,
         "funnel_events": q_funnel_events,
         "corpus_jaccard_documents": q_corpus_jaccard_documents,
+        "log_odds_documents": q_log_odds_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -4942,9 +4957,52 @@ FROM i JOIN sz sa ON i.ga = sa.grp JOIN sz sb ON i.gb = sb.grp
 """
 
 
+# Fightin'-Words twin: the prior and both log terms spell the identical
+# IEEE op sequence (integer adds first, each count cast individually,
+# double literals explicitly cast — a bare 100.0 is DECIMAL in DuckDB);
+# ordering on the raw |z|, display rounded.
+_LOG_ODDS_SQL = """
+WITH base AS (
+  SELECT coalesce(lang = 'en', FALSE) AS t,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+         CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_rest
+  FROM base GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(n_target) AS BIGINT) AS n1,
+         CAST(sum(n_rest) AS BIGINT) AS n2
+  FROM cnt
+), cand AS (
+  SELECT tok, n_target, n_rest, n1, n2,
+         CAST(100 AS DOUBLE) * CAST(n_target + n_rest AS DOUBLE)
+           / CAST(n1 + n2 AS DOUBLE) AS ai
+  FROM cnt CROSS JOIN tot
+  WHERE n_target + n_rest >= 5
+), scored AS (
+  SELECT tok, n_target, n_rest,
+         ln((CAST(n_target AS DOUBLE) + ai)
+            / (CAST(n1 AS DOUBLE) + CAST(100 AS DOUBLE)
+               - CAST(n_target AS DOUBLE) - ai))
+         - ln((CAST(n_rest AS DOUBLE) + ai)
+              / (CAST(n2 AS DOUBLE) + CAST(100 AS DOUBLE)
+                 - CAST(n_rest AS DOUBLE) - ai)) AS delta,
+         CAST(1 AS DOUBLE) / (CAST(n_target AS DOUBLE) + ai)
+         + CAST(1 AS DOUBLE) / (CAST(n_rest AS DOUBLE) + ai) AS var
+  FROM cand
+)
+SELECT tok, n_target, n_rest, round(delta, 6) AS delta,
+       round(delta / sqrt(var), 6) AS z
+FROM scored ORDER BY abs(delta / sqrt(var)) DESC, tok LIMIT 100
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_jaccard_documents": _CORPUS_JACCARD_SQL,
+        "log_odds_documents": _LOG_ODDS_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

@@ -1072,3 +1072,87 @@ def boilerplate_lines(
         .filter((F.col("n_docs") >= min_docs) & (F.col("doc_frac") >= min_frac))
         .select(*grp, "line", "n_docs", "n_docs_group", "doc_frac")
     )
+
+
+def log_odds_tokens(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    *,
+    target: str = "en",
+    alpha0: float = 100.0,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Token-level log-odds-ratio with an informative Dirichlet prior
+    (Monroe/Colaresi/Quinn 2008, "Fightin' Words") comparing the
+    ``target`` group against the rest of the corpus — the standard
+    which-terms-characterize-this-source diagnostic a mixing pipeline
+    reads before reweighting, far more stable than raw frequency ratios
+    for rare terms because the corpus-wide prior shrinks them. Corpus
+    comparison — no per-document counterpart in the reference
+    (/root/reference/src/okay/validator.py).
+
+    Output, ``top_n`` rows by |z| (ties on the token): ``(tok, n_target,
+    n_rest, delta, z)`` — ``delta`` the prior-smoothed log-odds
+    difference, ``z = delta / sqrt(1/(y1+a) + 1/(y2+a))``. Display values
+    are rounded to 6dp but ORDERED on the raw doubles.
+
+    Exactness: counts are exact bigints from one (token, side) hash
+    aggregate; the prior and both log terms are spelled as ONE fixed
+    IEEE expression (integer adds first, each count cast to double
+    individually, left-associative +/-), so the DuckDB twin evaluates
+    the identical correctly-rounded op sequence — the PMI discipline.
+
+    Scale shape: one map-side-combinable token aggregate bounded by
+    vocabulary, lazily localCheckpoint-ed (it feeds the totals AND the
+    candidate frame — the corpus is tokenized once); totals re-aggregate
+    the bounded frame and broadcast back (the key_skew_stats
+    discipline); the cut is ``orderBy().limit()`` — physical
+    TakeOrderedAndProject, per-task top-N, never a global sort."""
+    toks = tokens(text_col)
+    is_t = F.coalesce(F.col(group_col) == F.lit(target), F.lit(False))
+    base = df.select(is_t.alias("_t"), F.explode(toks).alias("tok"))
+    cnt = (
+        base.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("bigint").alias("n_target"),
+            F.sum(F.when(~F.col("_t"), 1).otherwise(0)).cast("bigint").alias("n_rest"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.agg(
+        F.sum("n_target").cast("bigint").alias("_n1"),
+        F.sum("n_rest").cast("bigint").alias("_n2"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    a0 = F.lit(float(alpha0))
+    cand = (
+        cnt.filter((F.col("n_target") + F.col("n_rest")) >= min_count)
+        .crossJoin(F.broadcast(tot))
+    )
+    ai = a0 * d(F.col("n_target") + F.col("n_rest")) / d(F.col("_n1") + F.col("_n2"))
+    delta = F.log(
+        (d(F.col("n_target")) + ai)
+        / (d(F.col("_n1")) + a0 - d(F.col("n_target")) - ai)
+    ) - F.log(
+        (d(F.col("n_rest")) + ai)
+        / (d(F.col("_n2")) + a0 - d(F.col("n_rest")) - ai)
+    )
+    var = F.lit(1.0) / (d(F.col("n_target")) + ai) + F.lit(1.0) / (
+        d(F.col("n_rest")) + ai
+    )
+    z = delta / F.sqrt(var)
+    return (
+        cand.withColumn("_delta", delta)
+        .withColumn("_z", z)
+        .orderBy(F.abs(F.col("_z")).desc(), "tok")
+        .limit(top_n)
+        .select(
+            "tok",
+            "n_target",
+            "n_rest",
+            F.round("_delta", 6).alias("delta"),
+            F.round("_z", 6).alias("z"),
+        )
+    )

@@ -57,3 +57,51 @@ def test_corpus_jaccard_is_symmetric_in_input_order(spark):
     a = {tuple(r) for r in corpus_group_jaccard(df1, "lang").collect()}
     b = {tuple(r) for r in corpus_group_jaccard(df2, "lang").collect()}
     assert a == b and len(a) == 1
+
+
+class TestLogOddsTokens:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from okay_spark.textops import log_odds_tokens
+
+        df = spark.createDataFrame(
+            [
+                ("en", "aa aa aa bb bb cc"),
+                ("en", "aa aa bb cc cc dd"),
+                ("fr", "bb bb bb cc dd dd"),
+                (None, "dd dd cc cc bb aa"),  # null group counts as rest
+            ],
+            "lang string, text string",
+        )
+        return log_odds_tokens(
+            df, "lang", target="en", alpha0=10.0, min_count=2, top_n=10
+        ).collect()
+
+    def test_counts_exact(self, rows):
+        by_tok = {r["tok"]: r for r in rows}
+        assert (by_tok["aa"]["n_target"], by_tok["aa"]["n_rest"]) == (5, 1)
+        assert (by_tok["dd"]["n_target"], by_tok["dd"]["n_rest"]) == (1, 4)
+
+    def test_sign_direction(self, rows):
+        by_tok = {r["tok"]: r for r in rows}
+        assert by_tok["aa"]["z"] > 0  # target-associated
+        assert by_tok["dd"]["z"] < 0  # rest-associated
+
+    def test_matches_python_replay(self, rows):
+        import math
+
+        # replay the exact expression for 'aa': y1=5, y2=1, n1=12, n2=12
+        a0, y1, y2, n1, n2 = 10.0, 5.0, 1.0, 12.0, 12.0
+        ai = a0 * (5 + 1) / (12 + 12)
+        delta = math.log((y1 + ai) / (n1 + a0 - y1 - ai)) - math.log(
+            (y2 + ai) / (n2 + a0 - y2 - ai)
+        )
+        var = 1.0 / (y1 + ai) + 1.0 / (y2 + ai)
+        z = delta / math.sqrt(var)
+        by_tok = {r["tok"]: r for r in rows}
+        assert by_tok["aa"]["delta"] == pytest.approx(round(delta, 6), abs=1e-9)
+        assert by_tok["aa"]["z"] == pytest.approx(round(z, 6), abs=1e-9)
+
+    def test_ordered_by_abs_z(self, rows):
+        zs = [abs(r["z"]) for r in rows]
+        assert zs == sorted(zs, reverse=True)
