@@ -2385,6 +2385,17 @@ def q_log_odds_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily per-event-type counts
+    (okay_spark/checks.py ewma_anomalies). State bounded by calendar
+    days per group; the smoothing is a sequential fold replayed by the
+    DuckDB twin's list_reduce with a binary-exact alpha (0.25), so the
+    chart is bit-identical across engines."""
+    from okay_spark.checks import ewma_anomalies
+
+    return ewma_anomalies(_read(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2518,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "corpus_jaccard_documents": q_corpus_jaccard_documents,
         "log_odds_documents": q_log_odds_documents,
+        "ewma_events": q_ewma_events,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -4999,10 +5011,44 @@ FROM scored ORDER BY abs(delta / sqrt(var)) DESC, tok LIMIT 100
 """
 
 
+# EWMA twin: the smoothing fold is list_reduce over the day-sorted count
+# prefix (seed = first element, identical op sequence to F.aggregate);
+# alpha 0.25 / 0.75 are binary-exact so no literal-parsing seam; the
+# anomaly flag reads the RAW ratio.
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), per AS (
+  SELECT grp, list(day ORDER BY day) AS d, list(cnt ORDER BY day) AS c
+  FROM daily GROUP BY grp
+), idx AS (
+  SELECT grp, d, c, CAST(i AS INT) AS i
+  FROM per, UNNEST(range(1, len(c) + 1)) AS r(i)
+), scored AS (
+  SELECT grp, d[i] AS day, c[i] AS cnt,
+         CASE WHEN i = 1 THEN CAST(c[1] AS DOUBLE)
+              ELSE list_reduce([CAST(x AS DOUBLE) FOR x IN c[1:i-1]],
+                               (e, x) -> 0.25 * x + 0.75 * e)
+         END AS ew
+  FROM idx
+)
+SELECT grp, day, cnt, round(ew, 6) AS ewma_prev,
+       round(CAST(cnt AS DOUBLE) / ew, 6) AS ratio,
+       (CAST(cnt AS DOUBLE) / ew > CAST(2 AS DOUBLE)
+        OR CAST(cnt AS DOUBLE) / ew * CAST(2 AS DOUBLE) < CAST(1 AS DOUBLE))
+         AS is_anomaly
+FROM scored
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_jaccard_documents": _CORPUS_JACCARD_SQL,
         "log_odds_documents": _LOG_ODDS_SQL,
+        "ewma_events": _EWMA_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

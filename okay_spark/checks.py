@@ -2178,3 +2178,81 @@ def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             F.sqrt(F.col("_chi2") / (F.col("n").cast("double") * mink.cast("double"))),
         ).alias("cramers_v"),
     )
+
+
+def ewma_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    *,
+    alpha: float = 0.25,
+    k: float = 2.0,
+) -> DataFrame:
+    """EWMA control chart over daily per-group row counts — the classic
+    volume-anomaly monitor: each day's count is compared against the
+    exponentially-weighted moving average of all PRIOR days, and flagged
+    when it deviates by more than a factor of ``k`` in either direction.
+    Unlike :func:`volume_anomaly`'s global z-score, the EWMA adapts to
+    trends (a corpus that doubles every month is not "anomalous" daily).
+    Corpus-level monitor — no per-document counterpart in the reference
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per (group, day): ``(group, day, cnt, ewma_prev,
+    ratio, is_anomaly)`` — ``ewma_prev`` the EWMA of days strictly
+    before this one (the first day seeds the chart: ewma_prev = its own
+    count, ratio 1, never anomalous), ``ratio = cnt / ewma_prev``,
+    ``is_anomaly = ratio > k OR ratio * k < 1``.
+
+    Exactness: the EWMA is a SEQUENTIAL fold ``e <- a*x + (1-a)*e`` over
+    the day-sorted counts, seeded with the first day — Spark's
+    ``F.aggregate`` and DuckDB's ``list_reduce`` run the identical op
+    sequence, so with a binary-exact ``alpha`` (0.25, 0.5, ...) the twin
+    is bit-identical. The flag is computed from the RAW ratio; display
+    doubles are rounded to 6dp.
+
+    Scale shape: one map-side-combinable (group, day) count aggregate,
+    then one ``collect_list`` per group bounded by CALENDAR DAYS — a
+    control chart's state is inherently days-per-group (10 years =
+    3,653 elements), never row-counts; the prefix folds are O(days^2)
+    per group on that bounded array, row-local after the explode. No
+    unbounded reducer state, no global sort."""
+    af = float(alpha)
+    bf = float(1.0 - af)
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"), F.to_date(ts_col).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    per = daily.groupBy("grp").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("_s")
+    )
+    arr_d = F.transform(F.col("_s"), lambda x: x["cnt"].cast("double"))
+    rows = per.select(
+        "grp", arr_d.alias("_c"), F.posexplode("_s").alias("_p", "_e")
+    )
+    seed = F.element_at(F.col("_c"), 1)
+    fold = F.aggregate(
+        F.slice(F.col("_c"), 2, F.greatest(F.col("_p") - 1, F.lit(0))),
+        seed,
+        lambda e, x: F.lit(af) * x + F.lit(bf) * e,
+    )
+    ewma_prev = F.when(F.col("_p") == 0, seed).otherwise(fold)
+    out = rows.select(
+        "grp",
+        F.col("_e")["day"].alias("day"),
+        F.col("_e")["cnt"].alias("cnt"),
+        ewma_prev.alias("_ew"),
+    )
+    ratio = F.col("cnt").cast("double") / F.col("_ew")
+    return out.select(
+        "grp",
+        "day",
+        "cnt",
+        F.round("_ew", 6).alias("ewma_prev"),
+        F.round(ratio, 6).alias("ratio"),
+        ((ratio > F.lit(float(k))) | (ratio * F.lit(float(k)) < F.lit(1.0))).alias(
+            "is_anomaly"
+        ),
+    )

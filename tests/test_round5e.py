@@ -105,3 +105,53 @@ class TestLogOddsTokens:
     def test_ordered_by_abs_z(self, rows):
         zs = [abs(r["z"]) for r in rows]
         assert zs == sorted(zs, reverse=True)
+
+
+class TestEwmaAnomalies:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from datetime import datetime
+
+        from okay_spark.checks import ewma_anomalies
+
+        evs = []
+        # group A: steady 4/day for 4 days, then a 20-count spike, then 1
+        counts = {1: 4, 2: 4, 3: 4, 4: 4, 5: 20, 6: 1}
+        for day, n in counts.items():
+            for j in range(n):
+                evs.append((datetime(2024, 1, day, 8, j), "A"))
+        # group B: single day -> seeds only, never anomalous
+        evs.append((datetime(2024, 1, 1, 9, 0), "B"))
+        df = spark.createDataFrame(evs, "ts timestamp_ntz, event_type string")
+        out = ewma_anomalies(df, "ts", "event_type", alpha=0.25, k=2.0)
+        return {(r["grp"], r["day"].day): r for r in out.collect()}
+
+    def test_first_day_seeds(self, rows):
+        r = rows[("A", 1)]
+        assert r["ewma_prev"] == 4.0 and r["ratio"] == 1.0
+        assert not r["is_anomaly"]
+        assert not rows[("B", 1)]["is_anomaly"]
+
+    def test_steady_days_not_anomalous(self, rows):
+        for d in (2, 3, 4):
+            assert not rows[("A", d)]["is_anomaly"]
+            assert rows[("A", d)]["ewma_prev"] == 4.0
+
+    def test_spike_flagged_high(self, rows):
+        r = rows[("A", 5)]
+        assert r["ewma_prev"] == 4.0 and r["ratio"] == 5.0
+        assert r["is_anomaly"]
+
+    def test_drop_flagged_low_with_adapted_ewma(self, rows):
+        # EWMA after day 5: 0.25*20 + 0.75*4 = 8.0; day 6 count 1 -> 0.125
+        r = rows[("A", 6)]
+        assert r["ewma_prev"] == 8.0
+        assert r["ratio"] == pytest.approx(0.125)
+        assert r["is_anomaly"]
+
+    def test_python_fold_replay(self, rows):
+        # replay the sequential fold for day 6: seed 4, fold [4,4,4,20]
+        e = 4.0
+        for x in [4.0, 4.0, 4.0, 20.0]:
+            e = 0.25 * x + 0.75 * e
+        assert rows[("A", 6)]["ewma_prev"] == pytest.approx(round(e, 6))
