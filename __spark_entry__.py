@@ -2396,6 +2396,17 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_anomalies(_read(spark, sf_dir, "events"))
 
 
+def q_heaps_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (okay_spark/textops.py
+    heaps_fit): 32 id-range checkpoints, integer bucket arithmetic off
+    one bounded min/max collect, cumulative N/V as exact bigint window
+    sums over the 32-row frame, decimal(38,12) regression moments — the
+    zipf_fit discipline, so the DuckDB twin is bit-identical."""
+    from okay_spark.textops import heaps_fit
+
+    return heaps_fit(_read(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2530,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_jaccard_documents": q_corpus_jaccard_documents,
         "log_odds_documents": q_log_odds_documents,
         "ewma_events": q_ewma_events,
+        "heaps_fit_documents": q_heaps_fit_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5044,11 +5056,75 @@ FROM scored
 """
 
 
+# Heaps twin: integer bucket arithmetic (// == Spark's div for
+# non-negative operands), exact bigint cumulative sums, zipf-style
+# VARCHAR-routed decimal(38,12) regression moments.
+_HEAPS_FIT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), dt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, tok
+), mm AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS mn, CAST(max(doc_id) AS BIGINT) AS mx
+  FROM documents
+), db AS (
+  SELECT dt.tok, dt.cnt,
+         CASE WHEN mx = mn THEN CAST(1 AS BIGINT)
+              ELSE greatest(((CAST(doc_id AS BIGINT) - mn) * 32 + (mx - mn) - 1)
+                            // (mx - mn), 1) END AS b
+  FROM dt CROSS JOIN mm
+), pbt AS (
+  SELECT b, CAST(sum(cnt) AS BIGINT) AS toks FROM db GROUP BY b
+), fb AS (
+  SELECT fbk AS b, CAST(count(*) AS BIGINT) AS nw
+  FROM (SELECT tok, min(b) AS fbk FROM db GROUP BY tok) GROUP BY fbk
+), merged AS (
+  SELECT coalesce(pbt.b, fb.b) AS b, coalesce(toks, 0) AS toks,
+         coalesce(nw, 0) AS nw
+  FROM pbt FULL OUTER JOIN fb ON pbt.b = fb.b
+), cum AS (
+  SELECT CAST(sum(toks) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n,
+         CAST(sum(nw) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS v
+  FROM merged
+), xy AS (
+  SELECT LN(CAST(n AS DOUBLE)) AS x, LN(CAST(v AS DOUBLE)) AS y
+  FROM cum WHERE n > 0 AND v > 0
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+    CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(sum(CAST(CAST(y * y AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS syy
+  FROM xy
+)
+SELECT n_points,
+  CASE WHEN n_points >= 2 AND (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 0
+       THEN round((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_points AS DOUBLE) * sxx - sx * sx), 6) END AS beta,
+  CASE WHEN n_points >= 2 AND (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 0
+       THEN round((sy - ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n_points AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / CAST(n_points AS DOUBLE), 6) END AS intercept,
+  CASE WHEN n_points >= 2 AND (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 0
+            AND (CAST(n_points AS DOUBLE) * syy - sy * sy) > 0
+       THEN round(((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                   * (CAST(n_points AS DOUBLE) * sxy - sx * sy))
+                  / ((CAST(n_points AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n_points AS DOUBLE) * syy - sy * sy)), 6) END AS r2
+FROM m
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_jaccard_documents": _CORPUS_JACCARD_SQL,
         "log_odds_documents": _LOG_ODDS_SQL,
         "ewma_events": _EWMA_SQL,
+        "heaps_fit_documents": _HEAPS_FIT_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

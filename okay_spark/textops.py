@@ -1156,3 +1156,130 @@ def log_odds_tokens(
             F.round("_z", 6).alias("z"),
         )
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    buckets: int = 32,
+) -> DataFrame:
+    """Least-squares fit of Heaps' law ``V(N) = K * N^beta`` — vocabulary
+    growth against corpus size, the complement of :func:`zipf_fit`.
+    Natural text sits near beta 0.4-0.6; a template/boilerplate corpus
+    saturates (beta -> 0) and synthetic noise stays near 1 — a
+    whole-corpus health signal for dedup/mixing decisions that no
+    per-document rule can see (the reference validates one document at a
+    time, /root/reference/src/okay/validator.py).
+
+    The corpus is swept in ``buckets`` checkpoints along the ``id_col``
+    range: checkpoint j accumulates total tokens ``N_j`` and distinct
+    vocabulary ``V_j`` over all documents whose id falls in the first j
+    id-range buckets, and the regression runs on ``(ln N_j, ln V_j)``.
+    Output, ONE row: ``(n_points, beta, intercept, r2)`` (natural-log
+    space, 6dp; ``K = exp(intercept)``). Fewer than 2 usable checkpoints
+    -> NULL fit columns.
+
+    Exactness: bucket assignment is pure INTEGER arithmetic
+    ``((id - min) * B + span - 1) div span`` off one bounded min/max
+    collect (2 values — the histogram-bins discipline), a token's first
+    bucket is ``min(bucket)`` (bucket is monotonic in id), cumulative
+    N/V are exact bigint window sums over the B-row bucket frame, and
+    the five regression moments accumulate in decimal(38,12) (the
+    zipf_fit discipline) — the DuckDB twin is bit-identical.
+
+    Scale shape: one (doc, token) hash aggregate (map-side combinable,
+    lazily localCheckpoint-ed — it feeds both the per-bucket token sums
+    and the first-occurrence vocabulary pass, so the corpus tokenizes
+    once); both per-bucket frames are B rows, the cumulative window and
+    the regression run on <= B rows. ``(id-min)*B`` needs ids below
+    2^63/B — any practical id space."""
+    from pyspark.sql import Window
+
+    b = int(buckets)
+    mn, mx = df.agg(
+        F.min(F.col(id_col).cast("bigint")), F.max(F.col(id_col).cast("bigint"))
+    ).first()
+    if mn is None:
+        empty = df.sparkSession.createDataFrame(
+            [(0,)], "n_points bigint"
+        )
+        return empty.select(
+            "n_points",
+            F.lit(None).cast("double").alias("beta"),
+            F.lit(None).cast("double").alias("intercept"),
+            F.lit(None).cast("double").alias("r2"),
+        )
+    span = mx - mn
+    if span == 0:
+        bucket = F.lit(1).cast("bigint")
+    else:
+        bucket = F.greatest(
+            F.expr(
+                f"((CAST({id_col} AS BIGINT) - {mn}L) * {b}L + {span - 1}L)"
+                f" div {span}L"
+            ),
+            F.lit(1).cast("bigint"),
+        )
+    toks = tokens(text_col)
+    dt = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    per_bucket_tokens = (
+        dt.withColumn("_b", bucket)
+        .groupBy("_b")
+        .agg(F.sum("cnt").cast("bigint").alias("_toks"))
+    )
+    first_bucket = (
+        dt.withColumn("_b", bucket)
+        .groupBy("tok")
+        .agg(F.min("_b").alias("_fb"))
+        .groupBy(F.col("_fb").alias("_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_new"))
+    )
+    merged = per_bucket_tokens.join(
+        first_bucket, "_b", "full_outer"
+    ).select(
+        "_b",
+        F.coalesce(F.col("_toks"), F.lit(0)).cast("bigint").alias("_toks"),
+        F.coalesce(F.col("_new"), F.lit(0)).cast("bigint").alias("_new"),
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = merged.select(
+        F.sum("_toks").over(w).cast("bigint").alias("_n"),
+        F.sum("_new").over(w).cast("bigint").alias("_v"),
+    ).filter((F.col("_n") > 0) & (F.col("_v") > 0))
+    xy = pts.select(
+        F.log(F.col("_n").cast("double")).alias("_x"),
+        F.log(F.col("_v").cast("double")).alias("_y"),
+    )
+
+    def dec(c: Column) -> Column:
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    m = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        dec(F.col("_x")).alias("_sx"),
+        dec(F.col("_y")).alias("_sy"),
+        dec(F.col("_x") * F.col("_x")).alias("_sxx"),
+        dec(F.col("_x") * F.col("_y")).alias("_sxy"),
+        dec(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_points").cast("double")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = cov / vx
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = (cov * cov) / (vx * vy)
+    fit_ok = (F.col("n_points") >= 2) & (vx > 0)
+    return m.select(
+        "n_points",
+        F.when(fit_ok, F.round(slope, 6)).alias("beta"),
+        F.when(fit_ok, F.round(intercept, 6)).alias("intercept"),
+        F.when(fit_ok & (vy > 0), F.round(r2, 6)).alias("r2"),
+    )

@@ -155,3 +155,91 @@ class TestEwmaAnomalies:
         for x in [4.0, 4.0, 4.0, 20.0]:
             e = 0.25 * x + 0.75 * e
         assert rows[("A", 6)]["ewma_prev"] == pytest.approx(round(e, 6))
+
+
+class TestHeapsFit:
+    def _replay(self, docs, buckets):
+        """Pure-Python replay of the checkpoint + regression algorithm."""
+        import math
+
+        ids = [i for i, _ in docs]
+        mn, mx = min(ids), max(ids)
+        span = mx - mn
+
+        def bkt(i):
+            if span == 0:
+                return 1
+            return max(((i - mn) * buckets + span - 1) // span, 1)
+
+        toks_in = {}
+        first = {}
+        for i, text in docs:
+            b = bkt(i)
+            ts = [t for t in text.split(" ") if t]
+            toks_in[b] = toks_in.get(b, 0) + len(ts)
+            for t in ts:
+                first[t] = min(first.get(t, b), b)
+        new_in = {}
+        for t, b in first.items():
+            new_in[b] = new_in.get(b, 0) + 1
+        pts, n, v = [], 0, 0
+        for b in sorted(set(toks_in) | set(new_in)):
+            n += toks_in.get(b, 0)
+            v += new_in.get(b, 0)
+            if n > 0 and v > 0:
+                pts.append((math.log(n), math.log(v)))
+        k = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        vx = k * sxx - sx * sx
+        cov = k * sxy - sx * sy
+        beta = cov / vx
+        intercept = (sy - beta * sx) / k
+        return k, beta, intercept
+
+    def test_matches_python_replay(self, spark):
+        from okay_spark.textops import heaps_fit
+
+        docs = [
+            (1, "a b c d"),
+            (2, "a b e f g"),
+            (3, "a h i"),
+            (4, "b c j k l m"),
+            (5, "a b c n"),
+            (6, "o p"),
+            (7, "a q r s"),
+            (8, "b t"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        row = heaps_fit(df, buckets=4).first()
+        k, beta, intercept = self._replay(docs, 4)
+        assert row["n_points"] == k
+        assert row["beta"] == pytest.approx(round(beta, 6), abs=1e-6)
+        assert row["intercept"] == pytest.approx(round(intercept, 6), abs=1e-6)
+        assert 0.0 < row["beta"] <= 1.0
+
+    def test_saturating_corpus_flattens(self, spark):
+        from okay_spark.textops import heaps_fit
+
+        # same 3 tokens repeated: vocabulary saturates at the first bucket
+        docs = [(i, "x y z") for i in range(1, 33)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        row = heaps_fit(df, buckets=8).first()
+        assert row["beta"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_single_doc_degenerate(self, spark):
+        from okay_spark.textops import heaps_fit
+
+        df = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+        row = heaps_fit(df).first()
+        assert row["n_points"] == 1
+        assert row["beta"] is None and row["r2"] is None
+
+    def test_empty_corpus(self, spark):
+        from okay_spark.textops import heaps_fit
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        row = heaps_fit(df).first()
+        assert row["n_points"] == 0 and row["beta"] is None
