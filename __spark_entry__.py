@@ -2407,6 +2407,17 @@ def q_heaps_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_fit(_read(spark, sf_dir, "documents"))
 
 
+def q_dup_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-3-gram ratio (okay_spark/dedup.py
+    duplicated_ngram_ratio — the CCNet/Dolma dup_ngram signal). The
+    distinct (doc, gram) frame is localCheckpoint-ed once; the per-gram
+    count IS the doc frequency (no posting list); ratio is one int/int
+    IEEE division so the DuckDB twin is bit-identical."""
+    from okay_spark.dedup import duplicated_ngram_ratio
+
+    return duplicated_ngram_ratio(_read(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2542,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_odds_documents": q_log_odds_documents,
         "ewma_events": q_ewma_events,
         "heaps_fit_documents": q_heaps_fit_documents,
+        "dup_ngram_documents": q_dup_ngram_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5119,12 +5131,42 @@ FROM m
 """
 
 
+# dup-ngram twin: per-doc distinct shingles (list_distinct mirrors
+# word_shingles), per-gram count == doc frequency, one int/int division;
+# shingle-less docs keep their row via the ids LEFT JOIN.
+_DUP_NGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(s) AS gram FROM sh WHERE len(s) > 0
+), d AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS dfq FROM e GROUP BY gram
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM e JOIN d USING (gram) GROUP BY doc_id
+), ids AS (SELECT doc_id FROM documents GROUP BY doc_id)
+SELECT ids.doc_id, coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_dup, 0) AS n_dup,
+       CASE WHEN n_grams > 0
+            THEN round(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+       END AS dup_ratio
+FROM ids LEFT JOIN per USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_jaccard_documents": _CORPUS_JACCARD_SQL,
         "log_odds_documents": _LOG_ODDS_SQL,
         "ewma_events": _EWMA_SQL,
         "heaps_fit_documents": _HEAPS_FIT_SQL,
+        "dup_ngram_documents": _DUP_NGRAM_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

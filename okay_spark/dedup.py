@@ -1363,3 +1363,64 @@ def corpus_group_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def duplicated_ngram_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document duplicated-n-gram ratio — the CCNet/Dolma
+    ``dup_ngram`` quality signal: the fraction of a document's DISTINCT
+    word ``shingle_k``-grams that occur in at least one OTHER document.
+    High ratios mark boilerplate/template documents that survive exact
+    dedup because of small edits; pipelines threshold on it before
+    training. Per-corpus signal — the reference
+    (/root/reference/src/okay/validator.py) sees one document at a time.
+
+    Output, one row per input document: ``(doc_id, n_grams, n_dup,
+    dup_ratio)``; documents shorter than ``shingle_k`` tokens have no
+    grams and keep their row with ``n_grams 0`` and a NULL ratio (the
+    unigram_logprob discipline — never silently drop rows). Counts are
+    exact bigints; ``dup_ratio`` is ONE int/int IEEE division, so the
+    DuckDB twin is bit-identical.
+
+    Scale shape: ``word_shingles`` is per-document distinct, so the
+    exploded (doc, gram) frame has one row per (doc, gram) and its
+    per-gram ``count`` IS the document frequency — a scalar
+    map-side-combinable aggregate, never a posting list. The frame is
+    lazily localCheckpoint-ed (it feeds the frequency build AND the
+    probe side — the corpus shingles once); the frequency joins back by
+    gram with 1:1 fan-out (each (doc, gram) row picks up one df value;
+    AQE skew-split handles a boilerplate gram's probe side). No collect,
+    no window, bounded state everywhere."""
+    rows = (
+        _shingled(df, text_col, id_col, shingle_k)
+        .select(F.col(id_col), F.explode("_sh").alias("gram"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = rows.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    per = (
+        rows.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(per, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_grams").cast("double"), 6
+            ),
+        ).alias("dup_ratio"),
+    )

@@ -243,3 +243,51 @@ class TestHeapsFit:
         df = spark.createDataFrame([], "doc_id long, text string")
         row = heaps_fit(df).first()
         assert row["n_points"] == 0 and row["beta"] is None
+
+
+class TestDuplicatedNgramRatio:
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        from okay_spark.dedup import duplicated_ngram_ratio
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e"),      # grams: abc bcd cde
+                (2, "a b c x y"),      # grams: abc bcx cxy -> shares abc
+                (3, "p q r s"),        # grams: pqr qrs -> unique
+                (4, "a b c d q"),      # abc bcd cdq -> shares abc, bcd
+                (5, "hi"),             # < 3 tokens -> no grams
+            ],
+            "doc_id long, text string",
+        )
+        return {r["doc_id"]: r for r in duplicated_ngram_ratio(df).collect()}
+
+    def test_all_docs_keep_rows(self, out):
+        assert set(out) == {1, 2, 3, 4, 5}
+
+    def test_ratios_exact(self, out):
+        # doc1: abc(df3) bcd(df2) cde(df1) -> 2/3
+        assert out[1]["n_grams"] == 3 and out[1]["n_dup"] == 2
+        assert out[1]["dup_ratio"] == pytest.approx(round(2 / 3, 6))
+        # doc2: abc shared only -> 1/3
+        assert out[2]["n_dup"] == 1
+        # doc3: nothing shared
+        assert out[3]["n_dup"] == 0 and out[3]["dup_ratio"] == 0.0
+        # doc4: abc, bcd shared -> 2/3
+        assert out[4]["n_dup"] == 2
+
+    def test_short_doc_null_ratio(self, out):
+        r = out[5]
+        assert r["n_grams"] == 0 and r["n_dup"] == 0 and r["dup_ratio"] is None
+
+    def test_within_doc_repetition_not_counted(self, spark):
+        from okay_spark.dedup import duplicated_ngram_ratio
+
+        # the same gram repeated inside ONE doc is not "duplicated"
+        df = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "z z z z")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in duplicated_ngram_ratio(df).collect()}
+        assert out[1]["n_dup"] == 0
+        assert out[2]["n_dup"] == 0
