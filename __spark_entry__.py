@@ -2418,6 +2418,17 @@ def q_dup_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_ngram_ratio(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_curve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate along the corpus in 32 id-range checkpoints
+    (okay_spark/dedup.py dedup_curve). Integer bucket arithmetic, exact
+    first-occurrence counts (min(bucket) per text — no posting list),
+    bigint cumulative sums over the 32-row frame; dup_rate is one
+    int/int IEEE division so the DuckDB twin is bit-identical."""
+    from okay_spark.dedup import dedup_curve
+
+    return dedup_curve(_read(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2554,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_events": q_ewma_events,
         "heaps_fit_documents": q_heaps_fit_documents,
         "dup_ngram_documents": q_dup_ngram_documents,
+        "dedup_curve_documents": q_dedup_curve_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5131,6 +5143,43 @@ FROM m
 """
 
 
+# dedup-curve twin: same integer bucket arithmetic as the heaps twin,
+# first occurrence = min(bucket) per raw text, exact cumulative counts,
+# one int/int division (integer subtract first).
+_DEDUP_CURVE_SQL = """
+WITH mm AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS mn, CAST(max(doc_id) AS BIGINT) AS mx
+  FROM documents
+), base AS (
+  SELECT text AS t,
+         CASE WHEN mx = mn THEN CAST(1 AS BIGINT)
+              ELSE greatest(((CAST(doc_id AS BIGINT) - mn) * 32 + (mx - mn) - 1)
+                            // (mx - mn), 1) END AS b
+  FROM documents CROSS JOIN mm
+), dp AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS docs FROM base GROUP BY b
+), np AS (
+  SELECT fb AS b, CAST(count(*) AS BIGINT) AS nw
+  FROM (SELECT t, min(b) AS fb FROM base GROUP BY t) GROUP BY fb
+), merged AS (
+  SELECT coalesce(dp.b, np.b) AS b, coalesce(docs, 0) AS docs,
+         coalesce(nw, 0) AS nw
+  FROM dp FULL OUTER JOIN np ON dp.b = np.b
+), cum AS (
+  SELECT b AS bucket,
+         CAST(sum(docs) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n_docs,
+         CAST(sum(nw) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS n_distinct
+  FROM merged
+)
+SELECT bucket, n_docs, n_distinct,
+       round(CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS dup_rate
+FROM cum WHERE n_docs > 0
+"""
+
+
 # dup-ngram twin: per-doc distinct shingles (list_distinct mirrors
 # word_shingles), per-gram count == doc frequency, one int/int division;
 # shingle-less docs keep their row via the ids LEFT JOIN.
@@ -5167,6 +5216,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_events": _EWMA_SQL,
         "heaps_fit_documents": _HEAPS_FIT_SQL,
         "dup_ngram_documents": _DUP_NGRAM_SQL,
+        "dedup_curve_documents": _DEDUP_CURVE_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

@@ -1424,3 +1424,90 @@ def duplicated_ngram_ratio(
             ),
         ).alias("dup_ratio"),
     )
+
+
+def dedup_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact-duplicate rate as a function of corpus size — the "dedup
+    curve" a pipeline reads to decide whether collecting more of a
+    source is worth it (duplicate rate rising along the curve means the
+    source is exhausting its novelty). The corpus is swept in
+    ``buckets`` checkpoints along the ``id_col`` range (the
+    :func:`okay_spark.textops.heaps_fit` discipline); checkpoint j
+    reports cumulative documents, cumulative distinct texts, and the
+    exact duplicate rate over the first j buckets.
+
+    Output, one row per non-empty checkpoint: ``(bucket, n_docs,
+    n_distinct, dup_rate)`` with ``dup_rate = (n_docs - n_distinct) /
+    n_docs`` — integer subtract first, ONE int/int IEEE division, so
+    the DuckDB twin is bit-identical. Grouping is on the raw text
+    (exact — no hash seam); NULL texts form their own group in both
+    engines.
+
+    Scale shape: bucket assignment is integer arithmetic off one
+    bounded min/max collect (2 values); per-bucket doc counts and
+    first-occurrence text counts are map-side-combinable aggregates
+    (``min(bucket)`` per text — bucket is monotonic in id, never a
+    posting list); the cumulative window runs over <= ``buckets``
+    rows. The text groupBy shuffles document texts once — the same
+    width as exact dedup itself."""
+    b = int(buckets)
+    mn, mx = df.agg(
+        F.min(F.col(id_col).cast("bigint")), F.max(F.col(id_col).cast("bigint"))
+    ).first()
+    if mn is None:
+        return df.sparkSession.createDataFrame(
+            [], "bucket bigint, n_docs bigint, n_distinct bigint, dup_rate double"
+        )
+    span = mx - mn
+    if span == 0:
+        bucket = F.lit(1).cast("bigint")
+    else:
+        bucket = F.greatest(
+            F.expr(
+                f"((CAST({id_col} AS BIGINT) - {mn}L) * {b}L + {span - 1}L)"
+                f" div {span}L"
+            ),
+            F.lit(1).cast("bigint"),
+        )
+    base = df.select(F.col(text_col).alias("_t"), bucket.alias("_b"))
+    docs_per = base.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_docs")
+    )
+    new_per = (
+        base.groupBy("_t")
+        .agg(F.min("_b").alias("_fb"))
+        .groupBy(F.col("_fb").alias("_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_new"))
+    )
+    merged = docs_per.join(new_per, "_b", "full_outer").select(
+        "_b",
+        F.coalesce(F.col("_docs"), F.lit(0)).cast("bigint").alias("_docs"),
+        F.coalesce(F.col("_new"), F.lit(0)).cast("bigint").alias("_new"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        merged.select(
+            F.col("_b").alias("bucket"),
+            F.sum("_docs").over(w).cast("bigint").alias("n_docs"),
+            F.sum("_new").over(w).cast("bigint").alias("n_distinct"),
+        )
+        .filter(F.col("n_docs") > 0)
+        .select(
+            "bucket",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

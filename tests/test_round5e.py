@@ -291,3 +291,44 @@ class TestDuplicatedNgramRatio:
         out = {r["doc_id"]: r for r in duplicated_ngram_ratio(df).collect()}
         assert out[1]["n_dup"] == 0
         assert out[2]["n_dup"] == 0
+
+
+class TestDedupCurve:
+    def test_known_curve(self, spark):
+        from okay_spark.dedup import dedup_curve
+
+        # ids 1..8, buckets=4 -> two docs per bucket; texts engineered so
+        # duplicates concentrate late
+        docs = [
+            (1, "u1"), (2, "u2"),     # bucket 1: 2 docs, 2 new
+            (3, "u3"), (4, "u1"),     # bucket 2: 1 new (u1 dup)
+            (5, "u2"), (6, "u2"),     # bucket 3: 0 new
+            (7, "u4"), (8, "u1"),     # bucket 4: 1 new
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {r["bucket"]: r for r in dedup_curve(df, buckets=4).collect()}
+        assert (rows[1]["n_docs"], rows[1]["n_distinct"]) == (2, 2)
+        assert rows[1]["dup_rate"] == 0.0
+        assert (rows[2]["n_docs"], rows[2]["n_distinct"]) == (4, 3)
+        assert rows[2]["dup_rate"] == 0.25
+        assert (rows[3]["n_docs"], rows[3]["n_distinct"]) == (6, 3)
+        assert rows[3]["dup_rate"] == 0.5
+        assert (rows[4]["n_docs"], rows[4]["n_distinct"]) == (8, 4)
+        assert rows[4]["dup_rate"] == 0.5
+
+    def test_monotone_docs_and_rate_bounds(self, spark):
+        from okay_spark.dedup import dedup_curve
+
+        docs = [(i, f"t{i % 5}") for i in range(1, 41)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = dedup_curve(df, buckets=8).orderBy("bucket").collect()
+        n = [r["n_docs"] for r in rows]
+        assert n == sorted(n)
+        assert all(0.0 <= r["dup_rate"] < 1.0 for r in rows)
+        assert rows[-1]["n_distinct"] == 5 and rows[-1]["n_docs"] == 40
+
+    def test_empty_input(self, spark):
+        from okay_spark.dedup import dedup_curve
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        assert dedup_curve(df).count() == 0
