@@ -2429,6 +2429,25 @@ def q_dedup_curve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_curve(_read(spark, sf_dir, "documents"))
 
 
+def q_filter_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter evaluation (okay_spark/checks.py binary_filter_eval): does
+    the stopword-hit language-ID heuristic (okay_spark/textops.py
+    language_id) agree with the gold ``lang`` column on predicting
+    English? One scalar aggregate — four conditional counts — then
+    precision/recall/F1/MCC as fixed IEEE expressions over the counts;
+    the DuckDB twin replays the heuristic and the metrics
+    bit-identically."""
+    from okay_spark.checks import binary_filter_eval
+    from okay_spark.textops import language_id
+
+    scored = language_id(_read(spark, sf_dir, "documents"))
+    return binary_filter_eval(
+        scored,
+        F.col("lang_pred") == F.lit("en"),
+        F.col("lang") == F.lit("en"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2566,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit_documents": q_heaps_fit_documents,
         "dup_ngram_documents": q_dup_ngram_documents,
         "dedup_curve_documents": q_dedup_curve_documents,
+        "filter_eval_documents": q_filter_eval_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5209,6 +5229,53 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Filter-eval twin: replays the stopword language-ID ladder (en wins
+# ties, zero hits -> 'und'), then the confusion aggregate; every metric
+# spells the identical IEEE expression over the four bigint counts.
+_FILTER_EVAL_SQL = f"""
+WITH t AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), h AS (
+  SELECT lang,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_EN)}, lower(x)))) AS h_en,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_FR)}, lower(x)))) AS h_fr,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_DE)}, lower(x)))) AS h_de,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_ES)}, lower(x)))) AS h_es
+  FROM t
+), pl AS (
+  SELECT (CASE WHEN GREATEST(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+               WHEN h_en = GREATEST(h_en, h_fr, h_de, h_es) THEN 'en'
+               WHEN h_fr = GREATEST(h_en, h_fr, h_de, h_es) THEN 'fr'
+               WHEN h_de = GREATEST(h_en, h_fr, h_de, h_es) THEN 'de'
+               ELSE 'es' END) = 'en' AS p,
+         coalesce(lang = 'en', FALSE) AS l
+  FROM h
+), c AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN p AND l THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+    CAST(coalesce(sum(CASE WHEN p AND NOT l THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+    CAST(coalesce(sum(CASE WHEN NOT p AND l THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+    CAST(coalesce(sum(CASE WHEN NOT p AND NOT l THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+  FROM pl
+)
+SELECT tp, fp, fn, tn,
+  CASE WHEN tp + fp > 0
+       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+  CASE WHEN tp + fn > 0
+       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0
+       THEN round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1,
+  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+       THEN round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                   - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                  / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                         * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6)
+  END AS mcc
+FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_jaccard_documents": _CORPUS_JACCARD_SQL,
@@ -5217,6 +5284,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_fit_documents": _HEAPS_FIT_SQL,
         "dup_ngram_documents": _DUP_NGRAM_SQL,
         "dedup_curve_documents": _DEDUP_CURVE_SQL,
+        "filter_eval_documents": _FILTER_EVAL_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

@@ -2256,3 +2256,63 @@ def ewma_anomalies(
             "is_anomaly"
         ),
     )
+
+
+def binary_filter_eval(df: DataFrame, pred: Column, label: Column) -> DataFrame:
+    """Confusion matrix + precision / recall / F1 / Matthews correlation
+    for a candidate boolean filter ``pred`` against a reference boolean
+    ``label`` — the evaluate-the-cheap-heuristic-before-trusting-it step
+    of a filtering pipeline (e.g. does the stopword language-ID agree
+    with the gold label; does a quality score predict duplicate
+    membership). NULL predicate/label values count as False on both
+    sides (``coalesce``), so partial columns never crash the evaluation.
+
+    Output, ONE row: ``(tp, fp, fn, tn, precision, recall, f1, mcc)`` —
+    counts exact bigints, metrics guarded NULL when their denominator is
+    zero. Every metric is spelled as one fixed IEEE expression over the
+    four counts (integer adds first, each operand cast to double
+    individually, products left-associative), so the DuckDB twin is
+    bit-identical; display values are rounded to 6dp.
+
+    Scale shape: ONE map-side-combinable scalar aggregate over the
+    input — four conditional counts, no shuffle beyond the final
+    single-row reduce, no Python, no collect."""
+    p = F.coalesce(pred, F.lit(False))
+    lab = F.coalesce(label, F.lit(False))
+    agg = df.agg(
+        F.coalesce(F.sum(F.when(p & lab, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.coalesce(F.sum(F.when(p & ~lab, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.coalesce(F.sum(F.when(~p & lab, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.coalesce(F.sum(F.when(~p & ~lab, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    prec = F.when(tp + fp > 0, d(tp) / d(tp + fp))
+    rec = F.when(tp + fn > 0, d(tp) / d(tp + fn))
+    f1 = F.when(
+        F.lit(2) * tp + fp + fn > 0,
+        d(F.lit(2) * tp) / d(F.lit(2) * tp + fp + fn),
+    )
+    mcc_den = F.sqrt(d(tp + fp) * d(tp + fn) * d(tn + fp) * d(tn + fn))
+    mcc = F.when(
+        (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0),
+        (d(tp) * d(tn) - d(fp) * d(fn)) / mcc_den,
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(mcc, 6).alias("mcc"),
+    )

@@ -332,3 +332,60 @@ class TestDedupCurve:
 
         df = spark.createDataFrame([], "doc_id long, text string")
         assert dedup_curve(df).count() == 0
+
+
+class TestBinaryFilterEval:
+    def test_known_confusion_matrix(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from okay_spark.checks import binary_filter_eval
+
+        # tp=3 fp=1 fn=2 tn=4
+        rows = (
+            [(True, True)] * 3
+            + [(True, False)] * 1
+            + [(False, True)] * 2
+            + [(False, False)] * 4
+        )
+        df = spark.createDataFrame(rows, "p boolean, l boolean")
+        r = binary_filter_eval(df, F.col("p"), F.col("l")).first()
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 2, 4)
+        assert r["precision"] == pytest.approx(0.75)
+        assert r["recall"] == pytest.approx(0.6)
+        assert r["f1"] == pytest.approx(round(6 / 9, 6))
+        mcc = (3 * 4 - 1 * 2) / math.sqrt(4 * 5 * 5 * 6)
+        assert r["mcc"] == pytest.approx(round(mcc, 6))
+
+    def test_nulls_count_as_false(self, spark):
+        from pyspark.sql import functions as F
+
+        from okay_spark.checks import binary_filter_eval
+
+        df = spark.createDataFrame(
+            [(None, True), (True, None), (None, None)], "p boolean, l boolean"
+        )
+        r = binary_filter_eval(df, F.col("p"), F.col("l")).first()
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 1, 1, 1)
+
+    def test_degenerate_denominators_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from okay_spark.checks import binary_filter_eval
+
+        # predictor never fires: precision undefined, recall 0
+        df = spark.createDataFrame([(False, True), (False, False)], "p boolean, l boolean")
+        r = binary_filter_eval(df, F.col("p"), F.col("l")).first()
+        assert r["precision"] is None and r["mcc"] is None
+        assert r["recall"] == 0.0
+
+    def test_empty_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from okay_spark.checks import binary_filter_eval
+
+        df = spark.createDataFrame([], "p boolean, l boolean")
+        r = binary_filter_eval(df, F.col("p"), F.col("l")).first()
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 0)
+        assert r["f1"] is None
