@@ -1063,6 +1063,93 @@ def main() -> None:
         "partition exchange, not hashpartitioning — never the fact table)",
     )
 
+    from okay_spark.dedup import corpus_group_jaccard, dedup_curve, duplicated_ngram_ratio
+
+    audit(
+        "corpus_group_jaccard",
+        corpus_group_jaccard(docs, "lang"),
+        max_shuffles=5,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="the (group, shingle) DISTINCT is the one corpus-width "
+        "shuffle (localCheckpoint-ed — shingling runs once, feeding the "
+        "size aggregate and both intersection sides); intersection is an "
+        "equi-join on the shingle with per-key fan-out bounded by the "
+        "group count; group sizes broadcast back (#groups rows)",
+    )
+    audit(
+        "duplicated_ngram_ratio",
+        duplicated_ngram_ratio(docs),
+        max_shuffles=7,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="per-doc-distinct (doc, gram) frame localCheckpoint-ed once; "
+        "the per-gram count IS the doc frequency (scalar aggregate, no "
+        "posting list); the frequency joins back 1:1 by gram (AQE "
+        "skew-split covers boilerplate grams); short docs re-enter via an "
+        "id-distinct left join",
+    )
+    audit(
+        "dedup_curve",
+        dedup_curve(docs),
+        max_shuffles=7,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="integer bucket arithmetic off one bounded min/max collect; "
+        "per-bucket doc counts and min(bucket)-per-text first occurrences "
+        "are map-side-combinable aggregates (the text groupBy is the same "
+        "width as exact dedup itself); cumulative window runs over "
+        "<= buckets rows",
+    )
+    from okay_spark.textops import heaps_fit, log_odds_tokens
+
+    audit(
+        "log_odds_tokens",
+        log_odds_tokens(docs, "lang", target="en"),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE vocabulary-bounded token aggregate (localCheckpoint-ed; "
+        "the corpus tokenizes once), totals re-aggregate that bounded "
+        "frame and broadcast back; the cut is TakeOrderedAndProject — "
+        "per-task top-N, never a global sort",
+    )
+    audit(
+        "heaps_fit",
+        heaps_fit(docs),
+        max_shuffles=8,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="one (doc, token) hash aggregate localCheckpoint-ed (corpus "
+        "tokenizes once), two bucket-bounded aggregates (first occurrence "
+        "= min(bucket), never a posting list), cumulative window + "
+        "decimal regression moments over <= 32 rows; collect_list absent "
+        "by construction, min/max collect bounded at 2 values",
+    )
+    from okay_spark.checks import binary_filter_eval
+    from okay_spark.textops import language_id
+
+    audit(
+        "binary_filter_eval",
+        binary_filter_eval(
+            language_id(docs),
+            F.col("lang_pred") == F.lit("en"),
+            F.col("lang") == F.lit("en"),
+        ),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE map-side-combinable scalar aggregate — four conditional "
+        "counts reduced to a single row (SinglePartition exchange only); "
+        "all metrics are row-local expressions over the four counts",
+    )
+    from okay_spark.checks import ewma_anomalies
+
+    audit(
+        "ewma_anomalies",
+        ewma_anomalies(events),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="one (group, day) count aggregate, then one collect_list per "
+        "group bounded by CALENDAR DAYS (a control chart's state is "
+        "inherently days-per-group); the EWMA prefix folds are row-local "
+        "HOF expressions on that bounded array",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
