@@ -2448,6 +2448,17 @@ def q_filter_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_separation_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-style per-label cluster separation
+    (okay_spark/embedops.py centroid_separation): decimal(38,12)
+    centroids, double-cast vectors, zero-seeded sequential-fold cosines
+    (the LSH-twin discipline), broadcast #labels-row centroid frame —
+    the DuckDB twin replays the whole scoring bit-for-bit."""
+    from okay_spark.embedops import centroid_separation
+
+    return centroid_separation(_read(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2586,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_documents": q_dup_ngram_documents,
         "dedup_curve_documents": q_dedup_curve_documents,
         "filter_eval_documents": q_filter_eval_documents,
+        "centroid_separation_embeddings": q_centroid_separation_embeddings,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5229,6 +5241,52 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Centroid-separation twin: decimal(38,12) centroid means, DOUBLE[]-cast
+# vectors, [0.0]-seeded list_reduce folds for every dot/norm (== Spark's
+# zero-seeded F.aggregate), decimal-routed cross-row means, one int/int
+# division for the separated fraction.
+_CENTROID_SEP_SQL = """
+WITH cl AS (
+  SELECT label AS cgrp, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), cent_long AS (
+  SELECT cgrp, pos,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(x) AS cv
+  FROM cl GROUP BY cgrp, pos
+), cents AS (
+  SELECT cgrp, list(cv ORDER BY pos) AS cent FROM cent_long GROUP BY cgrp
+), e AS (
+  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS vv
+  FROM embeddings
+), pairs AS (
+  SELECT id, label, cgrp,
+    CASE WHEN sqrt(list_reduce([0.0] + [vv[i] * vv[i] FOR i IN range(1, len(vv) + 1)], (a,b) -> a + b))
+            * sqrt(list_reduce([0.0] + [cent[i] * cent[i] FOR i IN range(1, len(cent) + 1)], (a,b) -> a + b)) > 0
+         THEN list_reduce([0.0] + [vv[i] * cent[i] FOR i IN range(1, len(vv) + 1)], (a,b) -> a + b)
+              / (sqrt(list_reduce([0.0] + [vv[i] * vv[i] FOR i IN range(1, len(vv) + 1)], (a,b) -> a + b))
+                 * sqrt(list_reduce([0.0] + [cent[i] * cent[i] FOR i IN range(1, len(cent) + 1)], (a,b) -> a + b)))
+         ELSE 0.0 END AS s
+  FROM e CROSS JOIN cents
+), per AS (
+  SELECT id, label,
+         max(CASE WHEN cgrp = label THEN s END) AS own,
+         max(CASE WHEN cgrp <> label THEN s END) AS oth
+  FROM pairs GROUP BY id, label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(SUM(CAST(own AS DECIMAL(38,12))) AS DOUBLE) / COUNT(own), 6)
+    AS mean_own,
+  round(CAST(SUM(CAST(oth AS DECIMAL(38,12))) AS DOUBLE) / COUNT(oth), 6)
+    AS mean_other,
+  round(CAST(SUM(CAST(own - oth AS DECIMAL(38,12))) AS DOUBLE)
+        / COUNT(own - oth), 6) AS mean_margin,
+  round(CAST(sum(CASE WHEN own - oth > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS frac_separated
+FROM per GROUP BY label
+"""
+
+
 # Filter-eval twin: replays the stopword language-ID ladder (en wins
 # ties, zero hits -> 'und'), then the confusion aggregate; every metric
 # spells the identical IEEE expression over the four bigint counts.
@@ -5285,6 +5343,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_documents": _DUP_NGRAM_SQL,
         "dedup_curve_documents": _DEDUP_CURVE_SQL,
         "filter_eval_documents": _FILTER_EVAL_SQL,
+        "centroid_separation_embeddings": _CENTROID_SEP_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

@@ -128,3 +128,86 @@ def normalized_self_cosine_check(df: DataFrame, vec_col: str = "embedding") -> D
     return df.select("*", selfdot.alias("_selfdot")).filter(
         (F.col("_selfdot") < 0.999) | (F.col("_selfdot") > 1.001) | F.isnan("_selfdot")
     )
+
+
+def centroid_separation(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label cluster-separation quality — a silhouette-style margin
+    over label centroids: for every vector, its cosine to its OWN label
+    centroid versus the best cosine to any OTHER label centroid; per
+    label, the mean own/other similarities, the mean margin, and the
+    fraction of vectors sitting closer to their own centroid. Labels
+    whose margin hovers near zero are entangled — the signal a pipeline
+    reads before trusting label-stratified sampling or classifier-based
+    filtering. No counterpart in the reference (single-document
+    validator, /root/reference/src/okay/validator.py).
+
+    Output, one row per label: ``(label, n, mean_own, mean_other,
+    mean_margin, frac_separated)``. With a single label in the corpus
+    ``mean_other``/``mean_margin`` are NULL and ``frac_separated`` 0.
+
+    Exactness: vectors are cast to ``array<double>`` up front (every
+    product is a double multiply — the LSH-twin discipline); centroids
+    are decimal(38,12)-summed means (partial-aggregation-order-free);
+    cosines are zero-seeded SEQUENTIAL folds (DuckDB ``list_reduce``
+    with a ``[0.0]`` seed element replays them bit-for-bit); cross-row
+    means go through :func:`okay_spark.relops.decimal_avg`; the
+    separated fraction is one int/int IEEE division.
+
+    Scale shape: the centroid build is one posexplode + (label, pos)
+    hash aggregate (shuffle keys = labels x dim regardless of rows),
+    assembled into per-label arrays via a collect_list bounded by
+    ``dim``; the scoring pass broadcasts the #labels-row centroid frame
+    and fans out each vector by #labels (bounded), then reduces per
+    vector and per label — no posting lists, no global sort, one
+    corpus-width shuffle for the per-vector reduce."""
+    from .dedup import cosine
+
+    v = F.col(vec_col).cast("array<double>")
+    exploded = df.select(
+        F.col(label_col).alias("_cl"), F.posexplode(v).alias("pos", "_x")
+    )
+    cents_long = exploded.groupBy("_cl", "pos").agg(
+        decimal_avg(F.col("_x")).alias("_cv")
+    )
+    cents = cents_long.groupBy("_cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_cv"))),
+            lambda s: s["_cv"],
+        ).alias("_cent")
+    )
+    pairs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("label"),
+            v.alias("_v"),
+        )
+        .join(F.broadcast(cents))
+        .select(
+            "_id",
+            "label",
+            "_cl",
+            cosine(F.col("_v"), F.col("_cent")).alias("_s"),
+        )
+    )
+    per_vec = pairs.groupBy("_id", "label").agg(
+        F.max(F.when(F.col("_cl") == F.col("label"), F.col("_s"))).alias("_own"),
+        F.max(F.when(F.col("_cl") != F.col("label"), F.col("_s"))).alias("_oth"),
+    )
+    margin = F.col("_own") - F.col("_oth")
+    n_sep = F.sum(F.when(margin > 0, 1).otherwise(0)).cast("bigint")
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(decimal_avg("_own"), round_to).alias("mean_own"),
+        F.round(decimal_avg("_oth"), round_to).alias("mean_other"),
+        F.round(decimal_avg(margin), round_to).alias("mean_margin"),
+        F.round(
+            n_sep.cast("double") / F.count(F.lit(1)).cast("double"), round_to
+        ).alias("frac_separated"),
+    )

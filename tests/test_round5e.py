@@ -389,3 +389,56 @@ class TestBinaryFilterEval:
         r = binary_filter_eval(df, F.col("p"), F.col("l")).first()
         assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 0)
         assert r["f1"] is None
+
+
+class TestCentroidSeparation:
+    def test_separated_clusters(self, spark):
+        from okay_spark.embedops import centroid_separation
+
+        rows = [
+            (1, "a", [1.0, 0.0, 0.1]),
+            (2, "a", [0.9, 0.1, 0.0]),
+            (3, "a", [1.0, 0.1, 0.1]),
+            (4, "b", [0.0, 1.0, 0.1]),
+            (5, "b", [0.1, 0.9, 0.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<float>"
+        )
+        out = {r["label"]: r for r in centroid_separation(df).collect()}
+        assert out["a"]["n"] == 3 and out["b"]["n"] == 2
+        for lab in ("a", "b"):
+            r = out[lab]
+            assert r["mean_own"] > r["mean_other"]
+            assert r["mean_margin"] > 0
+            assert r["frac_separated"] == 1.0
+
+    def test_entangled_labels_low_margin(self, spark):
+        from okay_spark.embedops import centroid_separation
+
+        # identical distributions -> centroids coincide, margins ~ 0
+        rows = [
+            (1, "a", [1.0, 1.0]),
+            (2, "b", [1.0, 1.0]),
+            (3, "a", [1.0, 1.0]),
+            (4, "b", [1.0, 1.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<float>"
+        )
+        out = centroid_separation(df).collect()
+        for r in out:
+            assert r["mean_margin"] == pytest.approx(0.0, abs=1e-9)
+            assert r["frac_separated"] == 0.0
+
+    def test_single_label_null_other(self, spark):
+        from okay_spark.embedops import centroid_separation
+
+        df = spark.createDataFrame(
+            [(1, "a", [1.0, 2.0]), (2, "a", [2.0, 1.0])],
+            "vec_id long, label string, embedding array<float>",
+        )
+        r = centroid_separation(df).first()
+        assert r["mean_own"] is not None
+        assert r["mean_other"] is None and r["mean_margin"] is None
+        assert r["frac_separated"] == 0.0
