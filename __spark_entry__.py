@@ -2459,6 +2459,17 @@ def q_centroid_separation_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
     return centroid_separation(_read(spark, sf_dir, "embeddings"))
 
 
+def q_bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed bigram LM quality score per document
+    (okay_spark/textops.py bigram_logprob_score). Row-local zip_with
+    pairing, one lazily-checkpointed (doc, bigram) aggregate feeding
+    model and probe, bounded context/vocab re-aggregates, decimal(38,12)
+    per-doc sums — the DuckDB twin replays it bit-for-bit."""
+    from okay_spark.textops import bigram_logprob_score
+
+    return bigram_logprob_score(_read(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2598,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_curve_documents": q_dedup_curve_documents,
         "filter_eval_documents": q_filter_eval_documents,
         "centroid_separation_embeddings": q_centroid_separation_embeddings,
+        "bigram_logprob_documents": q_bigram_logprob_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5241,6 +5253,41 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Bigram-LM twin: Laplace term spelled with integer adds first and ONE
+# IEEE division; per-doc sums VARCHAR-routed through decimal(38,12) (the
+# unigram twin discipline); short docs keep rows via the ids LEFT JOIN.
+_BIGRAM_LOGPROB_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), prs AS (
+  SELECT doc_id, w[CAST(j AS INT)] AS w1, w[CAST(j + 1 AS INT)] AS w2
+  FROM t, UNNEST(range(1, CAST(coalesce(len(w), 0) AS BIGINT))) AS r(j)
+), db AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM prs GROUP BY doc_id, w1, w2
+), bc AS (
+  SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS bcc FROM db GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(sum(bcc) AS BIGINT) AS ctxc FROM bc GROUP BY w1
+), vs AS (
+  SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc
+), per AS (
+  SELECT db.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+    CAST(CAST(sum(CAST(CAST(
+        CAST(cnt AS DOUBLE)
+        * LN(CAST(bcc + 1 AS DOUBLE) / CAST(ctxc + v AS DOUBLE))
+      AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS slp
+  FROM db JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vs
+  GROUP BY db.doc_id
+), ids AS (SELECT doc_id FROM documents GROUP BY doc_id)
+SELECT ids.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+       CASE WHEN n_bigrams > 0
+            THEN round(slp / CAST(n_bigrams AS DOUBLE), 6) END AS avg_logprob
+FROM ids LEFT JOIN per USING (doc_id)
+"""
+
+
 # Centroid-separation twin: decimal(38,12) centroid means, DOUBLE[]-cast
 # vectors, [0.0]-seeded list_reduce folds for every dot/norm (== Spark's
 # zero-seeded F.aggregate), decimal-routed cross-row means, one int/int
@@ -5344,6 +5391,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_curve_documents": _DEDUP_CURVE_SQL,
         "filter_eval_documents": _FILTER_EVAL_SQL,
         "centroid_separation_embeddings": _CENTROID_SEP_SQL,
+        "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

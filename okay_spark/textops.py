@@ -1283,3 +1283,89 @@ def heaps_fit(
         F.when(fit_ok, F.round(intercept, 6)).alias("intercept"),
         F.when(fit_ok & (vy > 0), F.round(r2, 6)).alias("r2"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model quality score — the conditional complement
+    of :func:`unigram_logprob_score`: each document's mean bigram
+    log-probability under the corpus's own Laplace-smoothed bigram model
+    ``P(w2|w1) = (c(w1 w2) + 1) / (ctx(w1) + V)`` with ``ctx(w1)`` the
+    bigram-context total and ``V`` the distinct-successor vocabulary.
+    Shuffled/scrambled text keeps its unigram score but collapses here —
+    the pair separates fluent text from bag-of-words spam. Corpus-level
+    model — no per-document counterpart in the reference
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per document: ``(doc_id, n_bigrams, avg_logprob)``;
+    documents with fewer than 2 tokens keep their row with
+    ``n_bigrams 0`` and NULL score.
+
+    Exactness: counts are exact bigints; the probability is spelled
+    ``ln(CAST(bc+1) / CAST(ctx+V))`` with integer adds first and ONE
+    IEEE division; the per-doc sum runs through decimal(38,12) casts
+    (the unigram discipline) so the DuckDB twin is bit-identical.
+
+    Scale shape: bigrams pair up row-locally (``zip_with`` over shifted
+    slices — no window, no shuffle); the per-(doc, bigram) count frame
+    is lazily localCheckpoint-ed (it feeds the model build AND the probe
+    side — the corpus pairs once); the model frame is lazily
+    localCheckpoint-ed too (it feeds the context totals, the successor
+    vocabulary count, and the probe join); context totals and V are
+    bounded re-aggregates of the model frame (never a posting list);
+    the probe joins are equi-joins with one build row per (bigram) /
+    (context) key — AQE skew-split covers stopword contexts."""
+    toks = tokens(text_col)
+    width = F.greatest(F.size(toks) - 1, F.lit(0))
+    pair_struct = F.zip_with(
+        F.slice(toks, 1, width),
+        F.slice(toks, 2, width),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    base = df.select(F.col(id_col), F.explode_outer(pair_struct).alias("_p")).select(
+        F.col(id_col), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    db = (
+        base.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bc = (
+        db.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").cast("bigint").alias("bcc"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = bc.groupBy("w1").agg(F.sum("bcc").cast("bigint").alias("ctxc"))
+    vs = bc.agg(F.count_distinct(F.col("w2")).cast("bigint").alias("_v"))
+    probed = (
+        db.join(bc, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vs))
+    )
+    term = F.col("cnt").cast("double") * F.log(
+        (F.col("bcc") + 1).cast("double") / (F.col("ctxc") + F.col("_v")).cast("double")
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.sum(F.when(F.col("w1").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("w1").isNotNull(), term)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("_slp"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("_slp") / F.col("n_bigrams").cast("double"), 6),
+        ).alias("avg_logprob"),
+    )

@@ -442,3 +442,59 @@ class TestCentroidSeparation:
         assert r["mean_own"] is not None
         assert r["mean_other"] is None and r["mean_margin"] is None
         assert r["frac_separated"] == 0.0
+
+
+class TestBigramLogprobScore:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from okay_spark.textops import bigram_logprob_score
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),   # fluent in this tiny corpus
+                (2, "b a b a"),
+                (3, "b b a a"),       # scrambled: rare transitions
+                (4, "solo"),          # one token -> no bigrams
+                (5, ""),              # empty
+            ],
+            "doc_id long, text string",
+        )
+        return {r["doc_id"]: r for r in bigram_logprob_score(df).collect()}
+
+    def test_all_rows_kept(self, rows):
+        assert set(rows) == {1, 2, 3, 4, 5}
+
+    def test_short_docs_null(self, rows):
+        for d in (4, 5):
+            assert rows[d]["n_bigrams"] == 0 and rows[d]["avg_logprob"] is None
+
+    def test_bigram_counts(self, rows):
+        assert rows[1]["n_bigrams"] == 5
+        assert rows[2]["n_bigrams"] == 3
+        assert rows[3]["n_bigrams"] == 3
+
+    def test_scrambled_scores_below_fluent(self, rows):
+        assert rows[3]["avg_logprob"] < rows[1]["avg_logprob"]
+
+    def test_python_replay(self, rows):
+        import math
+        from collections import Counter
+
+        docs = {1: "a b a b a b", 2: "b a b a", 3: "b b a a"}
+        bi = Counter()
+        for text in docs.values():
+            w = text.split()
+            for i in range(len(w) - 1):
+                bi[(w[i], w[i + 1])] += 1
+        ctx = Counter()
+        for (w1, _), c in bi.items():
+            ctx[w1] += c
+        v = len({w2 for _, w2 in bi})
+        for d, text in docs.items():
+            w = text.split()
+            terms = [
+                math.log((bi[(w[i], w[i + 1])] + 1) / (ctx[w[i]] + v))
+                for i in range(len(w) - 1)
+            ]
+            expected = sum(terms) / len(terms)
+            assert rows[d]["avg_logprob"] == pytest.approx(round(expected, 6), abs=1e-6)
