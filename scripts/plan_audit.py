@@ -1150,6 +1150,35 @@ def main() -> None:
         "HOF expressions on that bounded array",
     )
 
+    from okay_spark.embedops import centroid_separation
+
+    embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    audit(
+        "centroid_separation",
+        centroid_separation(embeddings),
+        max_shuffles=5,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="centroid build is one posexplode + (label, pos) aggregate "
+        "(shuffle keys = labels x dim regardless of rows) assembled into "
+        "per-label arrays (collect_list bounded by dim); scoring "
+        "broadcasts the #labels-row centroid frame, fans each vector out "
+        "by #labels, and reduces per vector then per label — the one "
+        "corpus-width shuffle is the per-vector reduce",
+    )
+    from okay_spark.textops import bigram_logprob_score
+
+    audit(
+        "bigram_logprob_score",
+        bigram_logprob_score(docs),
+        max_shuffles=6,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="bigrams pair row-locally (zip_with over shifted slices — no "
+        "window); the (doc, bigram) count frame localCheckpoints once and "
+        "feeds model + probe; context totals and the successor vocabulary "
+        "are bounded re-aggregates of the model frame; probe joins have "
+        "one build row per key (AQE skew-split covers stopword contexts)",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
