@@ -5,7 +5,11 @@ switching: schema validation plus the corpus operators okay never had.
 
     ingest (JSONL w/ reject capture)  ->  validate + quarantine split
     (clean docs continue; quarantined docs sink with a reasons digest)
-    ->  quality gate (expectation suite)  ->  exact + near dedup
+    ->  quality gate (expectation suite)
+    ->  corpus profiles (shuffle-key skew, source concentration,
+    lang~source association, source-overlap Jaccard matrix, lang-ID
+    filter calibration, dedup curve + Heaps' vocabulary growth)
+    ->  exact + near dedup
     (SimHash -> connected components -> canonical keep)
     ->  corpus line-dedup (cross-doc boilerplate lines removed in place)
     ->  duplicated-span strip (cross-doc token n-grams removed in place)
@@ -124,6 +128,32 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     chi = chi2_independence(clean, "lang", "source").first()
     stats["lang_source_v_millis"] = int(round((chi["cramers_v"] or 0.0) * 1000))
 
+    # 2b'''. source-overlap matrix: pairwise shingle-set Jaccard between
+    #        sources — a high pair means one source is mostly redundant
+    #        with another, the signal read together with the domain cap
+    #        (stage 5b); reported, not acted on automatically
+    from okay_spark.dedup import corpus_group_jaccard
+
+    overlap = corpus_group_jaccard(clean, "source")
+    overlap.write.mode("overwrite").parquet(f"{out}/source_overlap")
+    max_overlap = overlap.agg(F.max("jaccard")).first()[0]
+    stats["max_source_jaccard_millis"] = int(round((max_overlap or 0.0) * 1000))
+
+    # 2b''''. cheap-filter calibration: before TRUSTING the stopword
+    #         language-ID anywhere downstream, measure it against the gold
+    #         lang column (Matthews correlation; a near-zero MCC says the
+    #         heuristic is uninformative on this corpus and lang-based
+    #         routing must use the gold column)
+    from okay_spark.checks import binary_filter_eval
+    from okay_spark.textops import language_id
+
+    cal = binary_filter_eval(
+        language_id(clean),
+        F.col("lang_pred") == F.lit("en"),
+        F.col("lang") == F.lit("en"),
+    ).first()
+    stats["langid_mcc_millis"] = int(round((cal["mcc"] or 0.0) * 1000))
+
     # 2c. catalog referential check (bloom-pruned): every document's source
     #     must exist in the source catalog. The catalog here is derived
     #     minus one entry so the check has real violations to carry; the
@@ -149,6 +179,18 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     )
     cat_viol.write.mode("overwrite").parquet(f"{out}/catalog_violations")
     stats["catalog_violations"] = cat_viol.count()
+
+    # 2d. dedup curve + vocabulary growth: is dedup worth its shuffle on
+    #     this corpus, and is the source still adding novelty? The exact
+    #     duplicate rate at the last checkpoint and the Heaps' beta are the
+    #     two one-row answers (beta ~ 0 = saturated vocabulary)
+    from okay_spark.dedup import dedup_curve
+    from okay_spark.textops import heaps_fit
+
+    curve = dedup_curve(clean).orderBy(F.col("bucket").desc()).first()
+    stats["final_dup_rate_millis"] = int(round((curve["dup_rate"] or 0.0) * 1000))
+    heaps = heaps_fit(clean).first()
+    stats["heaps_beta_millis"] = int(round((heaps["beta"] or 0.0) * 1000))
 
     # 3. near-dedup: SimHash candidates -> connected components -> keep the
     #    canonical doc per cluster
@@ -220,6 +262,18 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
         .select(*deduped.columns)
     )
     stats["after_span_strip"] = deduped.count()
+
+    # 3c. residual cross-document duplication AFTER the strip passes: the
+    #     per-doc duplicated-3-gram ratio (CCNet dup_ngram) averaged over
+    #     the corpus — the number that says whether the line/span strikes
+    #     actually removed the boilerplate or merely trimmed it
+    from okay_spark.dedup import duplicated_ngram_ratio
+    from okay_spark.relops import decimal_avg
+
+    residual = duplicated_ngram_ratio(deduped).agg(
+        decimal_avg("dup_ratio").alias("m")
+    ).first()
+    stats["residual_dup_ngram_millis"] = int(round((residual["m"] or 0.0) * 1000))
 
     # 4. document quality + repetition + rare-token filters (Gopher-style)
     from okay_spark.textops import rare_token_stats
