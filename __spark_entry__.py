@@ -2470,6 +2470,19 @@ def q_bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(_read(spark, sf_dir, "documents"))
 
 
+def q_gopher_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule bundle (okay_spark/textops.py
+    gopher_quality_flags; min_words lowered to 20 so the fixture carries
+    both classes). Zero shuffles, zero Python — row-local integer counts
+    + one IEEE division per ratio; flags read the RAW values; the DuckDB
+    twin replays the identical op sequence."""
+    from okay_spark.textops import gopher_quality_flags
+
+    return gopher_quality_flags(
+        _read(spark, sf_dir, "documents"), min_words=20
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2610,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_eval_documents": q_filter_eval_documents,
         "centroid_separation_embeddings": q_centroid_separation_embeddings,
         "bigram_logprob_documents": q_bigram_logprob_documents,
+        "gopher_flags_documents": q_gopher_flags_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5253,6 +5267,56 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Gopher-flags twin: exact integer counts, one IEEE division per ratio,
+# flags on the RAW values (display rounded); NULL text == empty text via
+# the coalesced token list.
+_GOPHER_FLAGS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         coalesce(list_filter(string_split(text, ' '), x -> x <> ''), []) AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+      AS wchars,
+    CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...')))
+      AS BIGINT) AS sym,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+      AS alp,
+    CAST(len(list_filter(w, x -> list_contains(
+      ['the','be','to','of','and','that','have','with'], lower(x))))
+      AS BIGINT) AS stop_hits
+  FROM t
+), r AS (
+  SELECT doc_id, n_words, stop_hits,
+    CASE WHEN n_words > 0
+         THEN CAST(wchars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mwl,
+    CASE WHEN n_words > 0
+         THEN CAST(sym AS DOUBLE) / CAST(n_words AS DOUBLE) END AS sr,
+    CASE WHEN n_words > 0
+         THEN CAST(alp AS DOUBLE) / CAST(n_words AS DOUBLE) END AS ar
+  FROM m
+)
+SELECT doc_id, n_words,
+  round(mwl, 6) AS mean_word_len, round(sr, 6) AS symbol_ratio,
+  round(ar, 6) AS alpha_ratio, stop_hits,
+  (n_words >= 20 AND n_words <= 100000) AS words_ok,
+  (coalesce(mwl >= CAST(3 AS DOUBLE), FALSE)
+   AND coalesce(mwl <= CAST(10 AS DOUBLE), FALSE)) AS word_len_ok,
+  coalesce(sr <= CAST(0.1 AS DOUBLE), FALSE) AS symbol_ok,
+  coalesce(ar >= CAST(0.8 AS DOUBLE), FALSE) AS alpha_ok,
+  (stop_hits >= 2) AS stopword_ok,
+  ((n_words >= 20 AND n_words <= 100000)
+   AND (coalesce(mwl >= CAST(3 AS DOUBLE), FALSE)
+        AND coalesce(mwl <= CAST(10 AS DOUBLE), FALSE))
+   AND coalesce(sr <= CAST(0.1 AS DOUBLE), FALSE)
+   AND coalesce(ar >= CAST(0.8 AS DOUBLE), FALSE)
+   AND stop_hits >= 2) AS passes_gopher
+FROM r
+"""
+
+
 # Bigram-LM twin: Laplace term spelled with integer adds first and ONE
 # IEEE division; per-doc sums VARCHAR-routed through decimal(38,12) (the
 # unigram twin discipline); short docs keep rows via the ids LEFT JOIN.
@@ -5392,6 +5456,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_eval_documents": _FILTER_EVAL_SQL,
         "centroid_separation_embeddings": _CENTROID_SEP_SQL,
         "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
+        "gopher_flags_documents": _GOPHER_FLAGS_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

@@ -1369,3 +1369,93 @@ def bigram_logprob_score(
             F.round(F.col("_slp") / F.col("n_bigrams").cast("double"), 6),
         ).alias("avg_logprob"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule bundle (Rae et al 2021, table A1)
+    as one row-local expression set: word-count window, mean word length
+    window, symbol-to-word ratio (``#`` / ``...``), fraction of words
+    with an alphabetic character, and a minimum stop-word hit count —
+    the standard pre-training keep/drop gate. Per-document and
+    corpus-free (no aggregate state), so it composes with any upstream
+    filter; the reference's per-document rules
+    (/root/reference/src/okay/validator.py) have no text-quality
+    analogue.
+
+    Output, one row per document: the five measures ``(n_words,
+    mean_word_len, symbol_ratio, alpha_ratio, stop_hits)``, their five
+    boolean flags, and ``passes_gopher`` (AND of the flags). Empty
+    documents report ``n_words 0``, NULL ratios, and fail.
+
+    Exactness: every measure is exact integer counting followed by at
+    most ONE int/int IEEE division (mean word length = non-space chars /
+    words; ratios likewise), rounded to 6dp for display but FLAGGED on
+    the raw values; thresholds compare against double literals the
+    caller controls. The DuckDB twin replays the identical op sequence.
+
+    Scale shape: zero shuffles, zero Python, whole-stage codegen over
+    one projection — the rule-battery discipline applied to text
+    quality."""
+    # NULL text behaves like empty text (n_words 0, fails) on both engines
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    n_words = F.size(toks).cast("bigint")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    symbol_words = F.size(
+        F.filter(toks, lambda w: w.contains("#") | w.contains("..."))
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))
+    ).cast("bigint")
+    mean_wl = F.when(
+        n_words > 0, word_chars.cast("double") / n_words.cast("double")
+    )
+    sym_ratio = F.when(
+        n_words > 0, symbol_words.cast("double") / n_words.cast("double")
+    )
+    alpha_ratio = F.when(
+        n_words > 0, alpha_words.cast("double") / n_words.cast("double")
+    )
+    f_words = (n_words >= min_words) & (n_words <= max_words)
+    f_wl = (
+        F.coalesce(mean_wl >= F.lit(float(min_mean_word_len)), F.lit(False))
+        & F.coalesce(mean_wl <= F.lit(float(max_mean_word_len)), F.lit(False))
+    )
+    f_sym = F.coalesce(sym_ratio <= F.lit(float(max_symbol_ratio)), F.lit(False))
+    f_alpha = F.coalesce(
+        alpha_ratio >= F.lit(float(min_alpha_ratio)), F.lit(False)
+    )
+    f_stop = stop_hits >= min_stop_hits
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        f_words.alias("words_ok"),
+        f_wl.alias("word_len_ok"),
+        f_sym.alias("symbol_ok"),
+        f_alpha.alias("alpha_ok"),
+        f_stop.alias("stopword_ok"),
+        (f_words & f_wl & f_sym & f_alpha & f_stop).alias("passes_gopher"),
+    )

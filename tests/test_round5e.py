@@ -498,3 +498,56 @@ class TestBigramLogprobScore:
             ]
             expected = sum(terms) / len(terms)
             assert rows[d]["avg_logprob"] == pytest.approx(round(expected, 6), abs=1e-6)
+
+
+class TestGopherQualityFlags:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from okay_spark.textops import gopher_quality_flags
+
+        df = spark.createDataFrame(
+            [
+                # passes everything (5+ words, stopwords, alphabetic)
+                (1, "the cat and the dog have fun with a ball"),
+                # too few words
+                (2, "the of"),
+                # no stopword hits
+                (3, "alpha beta gamma delta epsilon zeta"),
+                # symbol-heavy
+                (4, "the #tag #x #y and #z of #a #b #c #d"),
+                # numeric words fail the alpha ratio
+                (5, "the 1 2 3 4 5 6 7 8 of"),
+                (6, ""),
+                (7, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = gopher_quality_flags(df, min_words=5, min_stop_hits=2)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_passing_doc(self, rows):
+        r = rows[1]
+        assert r["passes_gopher"]
+        assert r["n_words"] == 10 and r["stop_hits"] == 5
+
+    def test_word_count_gate(self, rows):
+        assert not rows[2]["words_ok"] and not rows[2]["passes_gopher"]
+
+    def test_stopword_gate(self, rows):
+        assert rows[3]["stop_hits"] == 0 and not rows[3]["stopword_ok"]
+
+    def test_symbol_gate(self, rows):
+        r = rows[4]
+        assert r["symbol_ratio"] == pytest.approx(round(8 / 11, 6))
+        assert not r["symbol_ok"] and not r["passes_gopher"]
+
+    def test_alpha_gate(self, rows):
+        r = rows[5]
+        assert r["alpha_ratio"] == pytest.approx(0.2)
+        assert not r["alpha_ok"]
+
+    def test_empty_and_null_fail_identically(self, rows):
+        for d in (6, 7):
+            r = rows[d]
+            assert r["n_words"] == 0 and r["mean_word_len"] is None
+            assert not r["passes_gopher"]
