@@ -2483,6 +2483,17 @@ def q_gopher_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend verdict per event type
+    (okay_spark/checks.py mann_kendall_trend). Everything after the
+    (group, day) count aggregate is bounded by calendar days; S and the
+    tie-corrected variance are exact bigint arithmetic with single IEEE
+    divisions, so the DuckDB twin is bit-identical."""
+    from okay_spark.checks import mann_kendall_trend
+
+    return mann_kendall_trend(_read(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2624,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_separation_embeddings": q_centroid_separation_embeddings,
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
+        "mann_kendall_events": q_mann_kendall_events,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5267,6 +5279,61 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Mann-Kendall twin: exact bigint S / tie terms over the bounded daily
+# frame, one /18 division, continuity-corrected z as the same CASE; the
+# trend verdict reads the RAW z.
+_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), s AS (
+  SELECT a.grp,
+         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                       WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b ON a.grp = b.grp AND a.day < b.day
+  GROUP BY a.grp
+), n AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY grp
+), ties AS (
+  SELECT grp, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+  FROM (SELECT grp, cnt, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY grp, cnt)
+  GROUP BY grp
+), j AS (
+  SELECT n.grp, n_days, coalesce(s_stat, 0) AS s_stat, coalesce(tt, 0) AS tt
+  FROM n LEFT JOIN s ON n.grp = s.grp LEFT JOIN ties ON n.grp = ties.grp
+), c AS (
+  SELECT grp, n_days, s_stat,
+         n_days * (n_days - 1) * (2 * n_days + 5) - tt AS vn
+  FROM j
+), m AS (
+  SELECT grp, n_days, s_stat, vn,
+         CAST(vn AS DOUBLE) / CAST(18 AS DOUBLE) AS var_s,
+         CASE WHEN s_stat > 0
+              THEN CAST(s_stat - 1 AS DOUBLE)
+                   / sqrt(CAST(vn AS DOUBLE) / CAST(18 AS DOUBLE))
+              WHEN s_stat < 0
+              THEN CAST(s_stat + 1 AS DOUBLE)
+                   / sqrt(CAST(vn AS DOUBLE) / CAST(18 AS DOUBLE))
+              ELSE 0.0 END AS z,
+         CAST(2 * s_stat AS DOUBLE)
+           / CAST(n_days * (n_days - 1) AS DOUBLE) AS tau
+  FROM c
+)
+SELECT grp, n_days, s_stat,
+  CASE WHEN n_days >= 2 THEN round(var_s, 6) END AS var_s,
+  CASE WHEN n_days >= 2 THEN round(tau, 6) END AS tau,
+  CASE WHEN n_days >= 2 AND vn > 0 THEN round(z, 6) END AS z,
+  CASE WHEN n_days >= 2 AND vn > 0 AND z > 1.96 THEN 'increasing'
+       WHEN n_days >= 2 AND vn > 0 AND z < -1.96 THEN 'decreasing'
+       ELSE 'none' END AS trend
+FROM m
+"""
+
+
 # Gopher-flags twin: exact integer counts, one IEEE division per ratio,
 # flags on the RAW values (display rounded); NULL text == empty text via
 # the coalesced token list.
@@ -5457,6 +5524,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_separation_embeddings": _CENTROID_SEP_SQL,
         "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
         "gopher_flags_documents": _GOPHER_FLAGS_SQL,
+        "mann_kendall_events": _MANN_KENDALL_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

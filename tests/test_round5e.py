@@ -551,3 +551,59 @@ class TestGopherQualityFlags:
             r = rows[d]
             assert r["n_words"] == 0 and r["mean_word_len"] is None
             assert not r["passes_gopher"]
+
+
+class TestMannKendallTrend:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from datetime import datetime
+
+        from okay_spark.checks import mann_kendall_trend
+
+        evs = []
+        # "up": strictly increasing counts 1..8 -> S = 28, strong trend
+        for day in range(1, 9):
+            for j in range(day):
+                evs.append((datetime(2024, 1, day, 6, j), "up"))
+        # "down": strictly decreasing 8..1
+        for day in range(1, 9):
+            for j in range(9 - day):
+                evs.append((datetime(2024, 1, day, 7, j), "down"))
+        # "flat": all days identical -> all ties, var 0
+        for day in range(1, 9):
+            for j in range(3):
+                evs.append((datetime(2024, 1, day, 8, j), "flat"))
+        # "one": a single day
+        evs.append((datetime(2024, 1, 1, 9, 0), "one"))
+        df = spark.createDataFrame(evs, "ts timestamp_ntz, event_type string")
+        return {r["grp"]: r for r in mann_kendall_trend(df).collect()}
+
+    def test_increasing(self, rows):
+        import math
+
+        r = rows["up"]
+        assert r["n_days"] == 8 and r["s_stat"] == 28
+        assert r["tau"] == 1.0
+        var = 8 * 7 * 21 / 18
+        z = (28 - 1) / math.sqrt(var)
+        assert r["var_s"] == pytest.approx(round(var, 6))
+        assert r["z"] == pytest.approx(round(z, 6))
+        assert r["trend"] == "increasing"
+
+    def test_decreasing(self, rows):
+        r = rows["down"]
+        assert r["s_stat"] == -28 and r["tau"] == -1.0
+        assert r["trend"] == "decreasing"
+
+    def test_all_ties_zero_variance(self, rows):
+        r = rows["flat"]
+        assert r["s_stat"] == 0
+        # tie term: one value with t=8 -> 8*7*21 == n-term -> var 0
+        assert r["var_s"] == 0.0
+        assert r["z"] is None and r["trend"] == "none"
+
+    def test_single_day_group(self, rows):
+        r = rows["one"]
+        assert r["n_days"] == 1 and r["s_stat"] == 0
+        assert r["var_s"] is None and r["tau"] is None and r["z"] is None
+        assert r["trend"] == "none"
