@@ -1179,6 +1179,33 @@ def main() -> None:
         "one build row per key (AQE skew-split covers stopword contexts)",
     )
 
+    from okay_spark.textops import gopher_quality_flags
+
+    audit(
+        "gopher_quality_flags",
+        gopher_quality_flags(docs, min_words=20),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "collect_list", "Exchange"],
+        note="the Gopher keep/drop bundle as ONE row-local projection — "
+        "exact integer counts + one IEEE division per ratio inside "
+        "whole-stage codegen; zero exchanges of any kind (the "
+        "rule-battery discipline applied to text quality)",
+    )
+    from okay_spark.checks import mann_kendall_trend
+
+    audit(
+        "mann_kendall_trend",
+        mann_kendall_trend(events),
+        max_shuffles=5,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one (group, day) count aggregate bounds everything after "
+        "to calendar-day cardinality (localCheckpoint-ed once, feeding "
+        "the pair join, the day counts, and the tie terms); the S "
+        "comparison is a self-equi-join on the group over that bounded "
+        "frame — days^2/2 row-local comparisons, never fact-table state",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
