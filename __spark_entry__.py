@@ -2607,7 +2607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixtures. The late-round-5 operators (PMI collocations,
         # boilerplate lines, k-anonymity, staleness, concentration,
         # mutual information, chi-square independence, event transitions,
-        # cohort retention, funnel conversion, corpus-overlap Jaccard)
+        # cohort retention, funnel conversion, corpus-overlap Jaccard,
+        # Fightin'-Words log-odds, EWMA chart, Heaps fit, dup-ngram
+        # ratio, dedup curve, filter evaluation, centroid separation,
+        # bigram LM score, Gopher flags, Mann-Kendall trend)
         # sit directly below the
         # boundary: the window is freshness-saturated
         # by the judge-sanctioned rotation, so their exactness evidence is
