@@ -2494,6 +2494,19 @@ def q_mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall_trend(_read(spark, sf_dir, "events"))
 
 
+def q_grouped_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value quantiles by nearest rank
+    (okay_spark/checks.py grouped_exact_quantiles). All state bounded by
+    per-group distinct-value cardinality; selection is pure integer
+    arithmetic (1000*cum >= p*n, min value) so the DuckDB twin is
+    trivially bit-identical."""
+    from okay_spark.checks import grouped_exact_quantiles
+
+    return grouped_exact_quantiles(
+        _read(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2639,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
         "mann_kendall_events": q_mann_kendall_events,
+        "grouped_quantiles_events": q_grouped_quantiles_events,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5282,6 +5296,30 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Grouped-quantiles twin: nearest-rank selection as pure integer
+# arithmetic over exact cumulative counts — no float thresholds anywhere.
+_GROUPED_QUANTILES_SQL = """
+WITH counts AS (
+  SELECT event_type AS grp, value AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT grp, v,
+    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS c,
+    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM counts
+), cand AS (
+  SELECT grp, v, c, n, CAST(p AS BIGINT) AS p_permille
+  FROM cum, UNNEST([500, 900, 990]) t(p)
+  WHERE 1000 * c >= CAST(p AS BIGINT) * n
+)
+SELECT grp, p_permille, min(v) AS value, max(n) AS n
+FROM cand GROUP BY grp, p_permille
+"""
+
+
 # Mann-Kendall twin: exact bigint S / tie terms over the bounded daily
 # frame, one /18 division, continuity-corrected z as the same CASE; the
 # trend verdict reads the RAW z.
@@ -5528,6 +5566,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
         "gopher_flags_documents": _GOPHER_FLAGS_SQL,
         "mann_kendall_events": _MANN_KENDALL_SQL,
+        "grouped_quantiles_events": _GROUPED_QUANTILES_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

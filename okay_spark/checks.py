@@ -2420,3 +2420,64 @@ def mann_kendall_trend(
         F.round(F.when(ok, z), 6).alias("z"),
         trend.alias("trend"),
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    permilles: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """EXACT per-group quantiles by the nearest-rank (type-1) definition:
+    for each permille p, the smallest value whose cumulative count
+    reaches ``ceil(p/1000 * n)`` within its group — the per-group
+    companion of :func:`exact_quantiles_twopass` for columns whose
+    distinct-value cardinality is bounded (latencies, scores, sizes).
+    Per-group distribution profile — no reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per (group, permille): ``(grp, p_permille, value,
+    n)``. Groups never lose rows: any non-empty group yields every
+    requested permille (the last value always satisfies p <= 1000).
+
+    Exactness: selection is PURE INTEGER arithmetic — the candidate set
+    is ``1000 * cum >= p * n`` over exact bigint cumulative counts, the
+    quantile is ``min(value)`` over it — no float thresholds, no
+    interpolation, so the DuckDB twin is trivially bit-identical.
+
+    Scale shape: one (group, value) count aggregate bounds all
+    downstream state by the per-group distinct-value cardinality (the
+    grouped_cume_dist discipline — the window sorts COUNTS, never
+    rows); group totals come from a same-partition window (no second
+    scan, no join); the permille fan-out is a bounded literal explode.
+    For unbounded-cardinality doubles at extreme scale, bucket first or
+    use the global two-pass operator."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("grp")
+    cum = counts.select(
+        "grp",
+        "v",
+        F.sum("cnt").over(wcum).cast("bigint").alias("_cum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("_n"),
+    )
+    ps = F.explode(
+        F.array(*[F.lit(int(p)).cast("bigint") for p in permilles])
+    ).alias("p_permille")
+    cand = cum.select("grp", "v", "_cum", "_n", ps).filter(
+        F.lit(1000) * F.col("_cum") >= F.col("p_permille") * F.col("_n")
+    )
+    return cand.groupBy("grp", "p_permille").agg(
+        F.min("v").alias("value"), F.max("_n").alias("n")
+    )

@@ -607,3 +607,50 @@ class TestMannKendallTrend:
         assert r["n_days"] == 1 and r["s_stat"] == 0
         assert r["var_s"] is None and r["tau"] is None and r["z"] is None
         assert r["trend"] == "none"
+
+
+class TestGroupedExactQuantiles:
+    def test_known_quantiles(self, spark):
+        from okay_spark.checks import grouped_exact_quantiles
+
+        # group A: values 1..10 once each; type-1 p50 = 5, p90 = 9, p99 = 10
+        rows = [("A", float(v)) for v in range(1, 11)]
+        # group B: heavy ties — 9x 1.0 and 1x 100.0: p50 = 1, p90 = 1, p99 = 100
+        rows += [("B", 1.0)] * 9 + [("B", 100.0)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        out = {
+            (r["grp"], r["p_permille"]): r
+            for r in grouped_exact_quantiles(df, "g", "value").collect()
+        }
+        assert out[("A", 500)]["value"] == 5.0
+        assert out[("A", 900)]["value"] == 9.0
+        assert out[("A", 990)]["value"] == 10.0
+        assert out[("B", 500)]["value"] == 1.0
+        assert out[("B", 900)]["value"] == 1.0
+        assert out[("B", 990)]["value"] == 100.0
+        assert out[("A", 500)]["n"] == 10 and out[("B", 990)]["n"] == 10
+
+    def test_matches_numpy_nearest_rank(self, spark):
+        import math
+
+        from okay_spark.checks import grouped_exact_quantiles
+
+        vals = [3.5, 1.25, 7.75, 2.0, 2.0, 9.5, 0.5, 4.0, 4.0, 4.0, 11.0]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "g string, value double"
+        )
+        out = {
+            r["p_permille"]: r["value"]
+            for r in grouped_exact_quantiles(df, "g", "value").collect()
+        }
+        s = sorted(vals)
+        for p in (500, 900, 990):
+            rank = math.ceil(p / 1000 * len(s))  # type-1 nearest rank
+            assert out[p] == s[rank - 1]
+
+    def test_single_value_group(self, spark):
+        from okay_spark.checks import grouped_exact_quantiles
+
+        df = spark.createDataFrame([("g", 42.0)], "g string, value double")
+        rows = grouped_exact_quantiles(df, "g", "value").collect()
+        assert len(rows) == 3 and all(r["value"] == 42.0 for r in rows)
