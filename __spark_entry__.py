@@ -2507,6 +2507,19 @@ def q_grouped_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class evaluation of the stopword language-ID against the
+    gold lang column (okay_spark/checks.py classification_eval) — every
+    class scored, not just English. One (pred, label) aggregate bounds
+    everything by |classes|^2; metrics are single int/int divisions; the
+    DuckDB twin replays the heuristic and the metrics bit-identically."""
+    from okay_spark.checks import classification_eval
+    from okay_spark.textops import language_id
+
+    scored = language_id(_read(spark, sf_dir, "documents"))
+    return classification_eval(scored, F.col("lang_pred"), F.col("lang"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2653,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_flags_documents": q_gopher_flags_documents,
         "mann_kendall_events": q_mann_kendall_events,
         "grouped_quantiles_events": q_grouped_quantiles_events,
+        "langid_eval_documents": q_langid_eval_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5296,6 +5310,53 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Multi-class lang-ID eval twin: replays the stopword ladder, then the
+# (pred, label) confusion counts with per-class one-vs-rest metrics as
+# single int/int divisions.
+_LANGID_EVAL_SQL = f"""
+WITH t AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), h AS (
+  SELECT lang,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_EN)}, lower(x)))) AS h_en,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_FR)}, lower(x)))) AS h_fr,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_DE)}, lower(x)))) AS h_de,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list(STOP_ES)}, lower(x)))) AS h_es
+  FROM t
+), pl AS (
+  SELECT CASE WHEN GREATEST(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+              WHEN h_en = GREATEST(h_en, h_fr, h_de, h_es) THEN 'en'
+              WHEN h_fr = GREATEST(h_en, h_fr, h_de, h_es) THEN 'fr'
+              WHEN h_de = GREATEST(h_en, h_fr, h_de, h_es) THEN 'de'
+              ELSE 'es' END AS p,
+         coalesce(lang, '(null)') AS l
+  FROM h
+), counts AS (
+  SELECT p, l, CAST(count(*) AS BIGINT) AS c FROM pl GROUP BY p, l
+), pm AS (SELECT p AS pc, CAST(sum(c) AS BIGINT) AS n_pred FROM counts GROUP BY p),
+lm AS (SELECT l AS lc, CAST(sum(c) AS BIGINT) AS n_label FROM counts GROUP BY l),
+diag AS (SELECT p AS dc, c AS tp FROM counts WHERE p = l),
+classes AS (
+  SELECT coalesce(pc, lc) AS cls,
+         coalesce(n_pred, 0) AS n_pred, coalesce(n_label, 0) AS n_label
+  FROM pm FULL OUTER JOIN lm ON pm.pc = lm.lc
+), m AS (
+  SELECT cls, n_label, n_pred, CAST(coalesce(tp, 0) AS BIGINT) AS tp
+  FROM classes LEFT JOIN diag ON classes.cls = diag.dc
+)
+SELECT cls, n_label, n_pred, tp,
+  CASE WHEN n_pred > 0
+       THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
+  CASE WHEN n_label > 0
+       THEN round(CAST(tp AS DOUBLE) / CAST(n_label AS DOUBLE), 6) END AS recall,
+  CASE WHEN n_pred + n_label > 0
+       THEN round(CAST(2 * tp AS DOUBLE) / CAST(n_pred + n_label AS DOUBLE), 6)
+  END AS f1
+FROM m
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -5567,6 +5628,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_flags_documents": _GOPHER_FLAGS_SQL,
         "mann_kendall_events": _MANN_KENDALL_SQL,
         "grouped_quantiles_events": _GROUPED_QUANTILES_SQL,
+        "langid_eval_documents": _LANGID_EVAL_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

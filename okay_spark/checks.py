@@ -2481,3 +2481,70 @@ def grouped_exact_quantiles(
     return cand.groupBy("grp", "p_permille").agg(
         F.min("v").alias("value"), F.max("_n").alias("n")
     )
+
+
+def classification_eval(df: DataFrame, pred: Column, label: Column) -> DataFrame:
+    """Multi-class classifier evaluation: per-class one-vs-rest
+    precision / recall / F1 from the exact confusion counts of a
+    predicted class column against a reference label — the multi-class
+    generalization of :func:`binary_filter_eval` (evaluate the lang-ID
+    router or a quality-bucket classifier across ALL its classes, not
+    one threshold). NULL predictions/labels become the literal class
+    ``'(null)'`` so they are scored, never silently dropped.
+
+    Output, one row per class present on either side: ``(cls, n_label,
+    n_pred, tp, precision, recall, f1)`` — counts exact bigints,
+    metrics single int/int IEEE divisions (``f1 = 2*tp / (n_pred +
+    n_label)``, the harmonic-mean identity), guarded NULL when a
+    denominator is zero. The DuckDB twin is bit-identical.
+
+    Scale shape: ONE (pred, label) hash aggregate bounds every
+    downstream frame by |classes|^2; marginals, the diagonal, and the
+    class union are re-aggregates/joins of that bounded frame
+    (localCheckpoint-ed once — the input is scanned once). No collect,
+    no window, no posting list."""
+    p = F.coalesce(pred, F.lit("(null)"))
+    lab = F.coalesce(label, F.lit("(null)"))
+    counts = (
+        df.select(p.alias("_p"), lab.alias("_l"))
+        .groupBy("_p", "_l")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    pm = counts.groupBy(F.col("_p").alias("_pc")).agg(
+        F.sum("_c").cast("bigint").alias("n_pred")
+    )
+    lm = counts.groupBy(F.col("_l").alias("_lc")).agg(
+        F.sum("_c").cast("bigint").alias("n_label")
+    )
+    diag = counts.filter(F.col("_p") == F.col("_l")).select(
+        F.col("_p").alias("_dc"), F.col("_c").alias("tp")
+    )
+    classes = (
+        pm.join(lm, F.col("_pc") == F.col("_lc"), "full_outer")
+        .select(
+            F.coalesce(F.col("_pc"), F.col("_lc")).alias("cls"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce(F.col("n_label"), F.lit(0)).cast("bigint").alias("n_label"),
+        )
+        .join(diag, F.col("cls") == F.col("_dc"), "left")
+        .select(
+            "cls",
+            "n_label",
+            "n_pred",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    tp, npred, nlab = F.col("tp"), F.col("n_pred"), F.col("n_label")
+    return classes.select(
+        "cls",
+        "n_label",
+        "n_pred",
+        "tp",
+        F.round(F.when(npred > 0, d(tp) / d(npred)), 6).alias("precision"),
+        F.round(F.when(nlab > 0, d(tp) / d(nlab)), 6).alias("recall"),
+        F.round(
+            F.when(npred + nlab > 0, d(2 * tp) / d(npred + nlab)), 6
+        ).alias("f1"),
+    )

@@ -654,3 +654,44 @@ class TestGroupedExactQuantiles:
         df = spark.createDataFrame([("g", 42.0)], "g string, value double")
         rows = grouped_exact_quantiles(df, "g", "value").collect()
         assert len(rows) == 3 and all(r["value"] == 42.0 for r in rows)
+
+
+class TestClassificationEval:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from pyspark.sql import functions as F
+
+        from okay_spark.checks import classification_eval
+
+        pairs = (
+            [("a", "a")] * 3      # a: 3 tp
+            + [("a", "b")] * 2    # a predicted, b true
+            + [("b", "b")] * 4    # b: 4 tp
+            + [("c", "b")] * 1    # c predicted never true
+            + [(None, "a")] * 1   # null prediction
+        )
+        df = spark.createDataFrame(pairs, "p string, l string")
+        out = classification_eval(df, F.col("p"), F.col("l"))
+        return {r["cls"]: r for r in out.collect()}
+
+    def test_class_union_covers_all(self, rows):
+        assert set(rows) == {"a", "b", "c", "(null)"}
+
+    def test_counts(self, rows):
+        a = rows["a"]
+        assert (a["tp"], a["n_pred"], a["n_label"]) == (3, 5, 4)
+        b = rows["b"]
+        assert (b["tp"], b["n_pred"], b["n_label"]) == (4, 4, 7)
+
+    def test_metrics(self, rows):
+        a = rows["a"]
+        assert a["precision"] == pytest.approx(0.6)
+        assert a["recall"] == pytest.approx(0.75)
+        assert a["f1"] == pytest.approx(round(6 / 9, 6))
+        c = rows["c"]
+        assert c["precision"] == 0.0 and c["recall"] is None
+
+    def test_null_prediction_is_a_class(self, rows):
+        n = rows["(null)"]
+        assert n["n_pred"] == 1 and n["n_label"] == 0 and n["tp"] == 0
+        assert n["recall"] is None and n["precision"] == 0.0
