@@ -1206,6 +1206,35 @@ def main() -> None:
         "frame — days^2/2 row-local comparisons, never fact-table state",
     )
 
+    from okay_spark.checks import grouped_exact_quantiles
+
+    audit(
+        "grouped_exact_quantiles",
+        grouped_exact_quantiles(events, "event_type", "value"),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one (group, value) count aggregate bounds all downstream "
+        "state by per-group distinct-value cardinality (the "
+        "grouped_cume_dist discipline — the window sorts COUNTS, never "
+        "rows); totals come from a same-partition window, the permille "
+        "fan-out is a bounded literal explode, selection is pure integer "
+        "arithmetic",
+    )
+    from okay_spark.checks import classification_eval
+
+    audit(
+        "classification_eval",
+        classification_eval(
+            language_id(docs), F.col("lang_pred"), F.col("lang")
+        ),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE (pred, label) hash aggregate bounds everything by "
+        "|classes|^2 (localCheckpoint-ed — the input is scanned once); "
+        "marginals, diagonal, and the class union are re-aggregates/"
+        "joins of that bounded frame",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
