@@ -198,6 +198,25 @@ def main() -> None:
             lambda c=corpus: winnow_shared_pairs(c, min_shared=2, max_doc_freq=1000).count(),
             repeats=1,
         )
+        # round-5 late addition: the per-document duplicated-ngram ratio —
+        # the widest JOIN-BACK added since (the (doc, gram) frame
+        # localCheckpoints once, the per-gram count IS the doc frequency,
+        # and the probe join is 1:1 per (doc, gram) row; the ~1%
+        # boilerplate gram's probe side is AQE skew-split). Result column
+        # counts docs with any cross-doc duplication (the boilerplate and
+        # twin docs).
+        from pyspark.sql import functions as _F
+
+        from okay_spark.dedup import duplicated_ngram_ratio
+
+        timed(
+            f"dup_ngram_{scale}",
+            n_sub,
+            lambda c=corpus: duplicated_ngram_ratio(c)
+            .filter(_F.col("n_dup") > 0)
+            .count(),
+            repeats=1,
+        )
 
     md = [
         f"# SOAK — {N:,} documents on local[{CPUS}] (vs the {6_000_000:,}-doc bench fixture)",
@@ -221,7 +240,8 @@ def main() -> None:
     ]
     for name, (dt, n_docs, out) in results.items():
         md.append(f"| {name} | {n_docs:,} | {dt:.2f} | {n_docs / dt:,.0f} | {out:,} |")
-    for op in ("minhash_capped", "token_budget", "line_dedup", "winnow_pairs"):
+    for op in ("minhash_capped", "token_budget", "line_dedup", "winnow_pairs",
+               "dup_ngram"):
         tq, nq, _ = results[f"{op}_quarter"]
         tf, nf, _ = results[f"{op}_full"]
         ratio = (nf / tf) / (nq / tq)
