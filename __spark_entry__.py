@@ -2520,6 +2520,17 @@ def q_langid_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classification_eval(scored, F.col("lang_pred"), F.col("lang"))
 
 
+def q_streaming_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA volume monitor (okay_spark/streaming.py
+    stream_ewma): the daily-count state maintained as one Structured
+    Streaming stateful aggregate, the EWMA finisher applied to the final
+    state. Bit-identical to the batch ewma_anomalies, so the SAME DuckDB
+    twin certifies both executions (the streaming_hll discipline)."""
+    from okay_spark.streaming import stream_ewma
+
+    return stream_ewma(spark, _read(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2667,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall_events": q_mann_kendall_events,
         "grouped_quantiles_events": q_grouped_quantiles_events,
         "langid_eval_documents": q_langid_eval_documents,
+        "streaming_ewma_events": q_streaming_ewma_events,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5629,6 +5641,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall_events": _MANN_KENDALL_SQL,
         "grouped_quantiles_events": _GROUPED_QUANTILES_SQL,
         "langid_eval_documents": _LANGID_EVAL_SQL,
+        "streaming_ewma_events": _EWMA_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

@@ -2216,15 +2216,37 @@ def ewma_anomalies(
     3,653 elements), never row-counts; the prefix folds are O(days^2)
     per group on that bounded array, row-local after the explode. No
     unbounded reducer state, no global sort."""
-    af = float(alpha)
-    bf = float(1.0 - af)
-    daily = (
+    daily = ewma_daily_counts(df, ts_col, group_col)
+    return ewma_from_daily(daily, alpha=alpha, k=k)
+
+
+def ewma_daily_counts(
+    df: DataFrame, ts_col: str = "ts", group_col: str = "event_type"
+) -> DataFrame:
+    """The (grp, day, cnt) daily-count state behind
+    :func:`ewma_anomalies` — factored out because it is a SINGLE
+    map-side-combinable aggregate, which makes it directly maintainable
+    as a Structured Streaming stateful aggregate (state = groups x
+    calendar days; see :func:`okay_spark.streaming.stream_ewma`)."""
+    return (
         df.filter(F.col(ts_col).isNotNull() & F.col(group_col).isNotNull())
         .groupBy(
             F.col(group_col).alias("grp"), F.to_date(ts_col).alias("day")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def ewma_from_daily(
+    daily: DataFrame, *, alpha: float = 0.25, k: float = 2.0
+) -> DataFrame:
+    """The EWMA finisher over a (grp, day, cnt) frame — the row-local
+    prefix folds of :func:`ewma_anomalies`, applied to either the batch
+    daily aggregate or a streaming-maintained daily-count state (same
+    expression, bit-identical result — one DuckDB twin certifies
+    both)."""
+    af = float(alpha)
+    bf = float(1.0 - af)
     per = daily.groupBy("grp").agg(
         F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("_s")
     )

@@ -351,3 +351,38 @@ def stream_stateful_parity(
         return spark.table(name)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def stream_ewma(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    alpha: float = 0.25,
+    k: float = 2.0,
+) -> DataFrame:
+    """Streaming EWMA volume monitor with exact batch parity: the
+    (group, day) daily-count state is maintained as ONE Structured
+    Streaming stateful aggregate (state = groups x calendar days — the
+    same bounded-state argument as the streaming sketches), and the
+    EWMA prefix folds (:func:`okay_spark.checks.ewma_from_daily`) run as
+    the finisher over the final state. The result equals the batch
+    :func:`okay_spark.checks.ewma_anomalies` bit-for-bit — the same
+    DuckDB twin certifies both (the streaming_hll discipline).
+
+    Mechanics: `stream_stateful_parity` streams the input through the
+    daily-count aggregate with Trigger.AvailableNow in complete mode;
+    any real deployment replaces the memory sink with a per-trigger
+    sink and applies the same finisher to each emitted state snapshot
+    (the finisher is a pure function of the state, so parity holds at
+    every trigger, not just the last)."""
+    from .checks import ewma_daily_counts, ewma_from_daily
+
+    daily = stream_stateful_parity(
+        spark,
+        batch_df,
+        lambda s: ewma_daily_counts(s, ts_col, group_col),
+        name_prefix="stream_ewma",
+    )
+    return ewma_from_daily(daily, alpha=alpha, k=k)

@@ -198,17 +198,31 @@ def main() -> None:
             lambda c=corpus: winnow_shared_pairs(c, min_shared=2, max_doc_freq=1000).count(),
             repeats=1,
         )
-        # round-5 late addition: the per-document duplicated-ngram ratio —
-        # the widest JOIN-BACK added since (the (doc, gram) frame
-        # localCheckpoints once, the per-gram count IS the doc frequency,
-        # and the probe join is 1:1 per (doc, gram) row; the ~1%
-        # boilerplate gram's probe side is AQE skew-split). Result column
-        # counts docs with any cross-doc duplication (the boilerplate and
-        # twin docs).
-        from pyspark.sql import functions as _F
 
-        from okay_spark.dedup import duplicated_ngram_ratio
+    # round-5 late addition: the per-document duplicated-ngram ratio — the
+    # widest JOIN-BACK added since (the (doc, gram) frame localCheckpoints
+    # once, the per-gram count IS the doc frequency, and the probe join is
+    # 1:1 per (doc, gram) row; the ~1% boilerplate gram's probe side is
+    # AQE skew-split). Its pair runs at N/8 -> N/2 instead of N/4 -> N:
+    # this corpus is ~95% unique 14-word texts, so the (doc, gram) frame
+    # carries ~12 DISTINCT grams per doc (~240M at N=20M) and the pinned
+    # checkpoint plus the gram aggregate exceed ONE 32g JVM's unified
+    # memory (measured: AGGREGATE_OUT_OF_MEMORY at N). Per-reducer state
+    # is scalar (bounded) — the pressure is total storage in a single
+    # process, which a real cluster spreads across executors; the 4x
+    # internal linearity ratio is preserved at the shifted sizes. Result
+    # column counts docs with any cross-doc duplication (boilerplate +
+    # twin docs).
+    from pyspark.sql import functions as _F
 
+    from okay_spark.dedup import duplicated_ngram_ratio
+
+    for scale, n_sub in (("quarter", N // 8), ("full", N // 2)):
+        cpath = f"/tmp/okay_spark_bench/corpus_v3_{n_sub}"
+        if not os.path.exists(cpath + "/_SUCCESS"):
+            _corpus(spark, n_sub).write.mode("overwrite").parquet(cpath)
+        corpus = spark.read.parquet(cpath)
+        corpus.count()  # page-cache warm
         timed(
             f"dup_ngram_{scale}",
             n_sub,

@@ -695,3 +695,24 @@ class TestClassificationEval:
         n = rows["(null)"]
         assert n["n_pred"] == 1 and n["n_label"] == 0 and n["tp"] == 0
         assert n["recall"] is None and n["precision"] == 0.0
+
+
+def test_stream_ewma_exact_batch_parity(spark):
+    """The streaming daily-count state + EWMA finisher must equal the
+    batch operator bit-for-bit (same rows, same doubles)."""
+    from datetime import datetime
+
+    from okay_spark.checks import ewma_anomalies
+    from okay_spark.streaming import stream_ewma
+
+    evs = []
+    counts = {1: 4, 2: 7, 3: 2, 4: 9, 5: 20, 6: 1}
+    for day, n in counts.items():
+        for j in range(n):
+            evs.append((datetime(2024, 1, day, 8, j), "A"))
+            if day % 2:
+                evs.append((datetime(2024, 1, day, 9, j), "B"))
+    df = spark.createDataFrame(evs, "ts timestamp_ntz, event_type string")
+    batch = {tuple(r) for r in ewma_anomalies(df).collect()}
+    streamed = {tuple(r) for r in stream_ewma(spark, df).collect()}
+    assert streamed == batch and len(batch) > 0
