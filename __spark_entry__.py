@@ -2531,6 +2531,17 @@ def q_streaming_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ewma(spark, _read(spark, sf_dir, "events"))
 
 
+def q_cooccurrence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association between event types across users
+    (okay_spark/relops.py cooccurrence_lift). One DISTINCT (user, type)
+    aggregate feeds everything (localCheckpoint-ed); pair fan-out per
+    user is bounded by the type vocabulary; lift spelled with bigint
+    products first and one double division — bit-identical twin."""
+    from okay_spark.relops import cooccurrence_lift
+
+    return cooccurrence_lift(_read(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2679,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles_events": q_grouped_quantiles_events,
         "langid_eval_documents": q_langid_eval_documents,
         "streaming_ewma_events": q_streaming_ewma_events,
+        "cooccurrence_events": q_cooccurrence_events,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5322,6 +5334,36 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Co-occurrence twin: DISTINCT (entity, item) baskets, pair self-join on
+# the entity, lift with bigint products first and ONE double division.
+_COOCCURRENCE_SQL = """
+WITH e AS (
+  SELECT DISTINCT user_id AS ent, event_type AS it
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), pairs AS (
+  SELECT a.it AS item_a, b.it AS item_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM e a JOIN e b ON a.ent = b.ent AND a.it < b.it
+  GROUP BY 1, 2
+), marg AS (
+  SELECT it, CAST(count(*) AS BIGINT) AS n_it FROM e GROUP BY it
+), tot AS (
+  SELECT CAST(count(DISTINCT ent) AS BIGINT) AS n_ent FROM e
+)
+SELECT item_a, item_b, n_both, ma.n_it AS n_a, mb.n_it AS n_b,
+       n_ent AS n_entities,
+       round(CAST(n_both AS DOUBLE) / CAST(ma.n_it AS DOUBLE), 6)
+         AS conf_a_to_b,
+       round(CAST(n_both AS DOUBLE) / CAST(mb.n_it AS DOUBLE), 6)
+         AS conf_b_to_a,
+       round(CAST(n_both * n_ent AS DOUBLE)
+             / CAST(ma.n_it * mb.n_it AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN marg ma ON pairs.item_a = ma.it
+JOIN marg mb ON pairs.item_b = mb.it
+CROSS JOIN tot
+"""
+
+
 # Multi-class lang-ID eval twin: replays the stopword ladder, then the
 # (pred, label) confusion counts with per-class one-vs-rest metrics as
 # single int/int divisions.
@@ -5642,6 +5684,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles_events": _GROUPED_QUANTILES_SQL,
         "langid_eval_documents": _LANGID_EVAL_SQL,
         "streaming_ewma_events": _EWMA_SQL,
+        "cooccurrence_events": _COOCCURRENCE_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

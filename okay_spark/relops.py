@@ -488,3 +488,70 @@ def grouped_cume_dist(
         "cnt",
         (F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_tot)).alias("cume"),
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket association between item pairs across entities:
+    for every unordered pair of items that co-occur in at least one
+    entity's basket, the exact support counts, confidence in both
+    directions, and lift ``P(a,b) / (P(a) P(b))`` — the which-behaviors-
+    travel-together profile (event types per user here; tags per
+    document, sources per author equally). Corpus-level association —
+    no reference counterpart (/root/reference/src/okay/validator.py).
+
+    Output, one row per co-occurring pair (``item_a < item_b``):
+    ``(item_a, item_b, n_both, n_a, n_b, n_entities, conf_a_to_b,
+    conf_b_to_a, lift)``. Confidences are single int/int IEEE
+    divisions; lift is spelled ``(n_both * n) / (n_a * n_b)`` with the
+    bigint products first and ONE double division, so the DuckDB twin
+    is bit-identical (products bigint-safe to ~3B entities).
+
+    Scale shape: the DISTINCT (entity, item) frame is the only
+    corpus-width aggregate (lazily localCheckpoint-ed — it feeds the
+    pair join's both sides, the item marginals, and the entity count);
+    the pair generation is a self-equi-join on the entity whose per-key
+    fan-out is bounded by the ITEM VOCABULARY (an entity contributes at
+    most |items| rows — never a posting list over entities); marginals
+    and the entity total are bounded re-aggregates broadcast back."""
+    e = (
+        df.filter(F.col(entity_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(entity_col).alias("_ent"), F.col(item_col).alias("_it"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = e.select(F.col("_ent").alias("_ea"), F.col("_it").alias("item_a"))
+    b = e.select(F.col("_ent").alias("_eb"), F.col("_it").alias("item_b"))
+    pairs = (
+        a.join(b, F.col("_ea") == F.col("_eb"))
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    marg = e.groupBy(F.col("_it")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_it")
+    )
+    tot = e.agg(F.count_distinct(F.col("_ent")).cast("bigint").alias("_n_ent"))
+    ma = marg.select(F.col("_it").alias("_ia"), F.col("_n_it").alias("n_a"))
+    mb = marg.select(F.col("_it").alias("_ib"), F.col("_n_it").alias("n_b"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    joined = (
+        pairs.join(F.broadcast(ma), F.col("item_a") == F.col("_ia"))
+        .join(F.broadcast(mb), F.col("item_b") == F.col("_ib"))
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = d(F.col("n_both") * F.col("_n_ent")) / d(F.col("n_a") * F.col("n_b"))
+    return joined.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.col("_n_ent").alias("n_entities"),
+        F.round(d(F.col("n_both")) / d(F.col("n_a")), 6).alias("conf_a_to_b"),
+        F.round(d(F.col("n_both")) / d(F.col("n_b")), 6).alias("conf_b_to_a"),
+        F.round(lift, 6).alias("lift"),
+    )

@@ -716,3 +716,50 @@ def test_stream_ewma_exact_batch_parity(spark):
     batch = {tuple(r) for r in ewma_anomalies(df).collect()}
     streamed = {tuple(r) for r in stream_ewma(spark, df).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+class TestCooccurrenceLift:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        from okay_spark.relops import cooccurrence_lift
+
+        baskets = {
+            1: ["x", "y"],
+            2: ["x", "y"],
+            3: ["x", "z"],
+            4: ["y"],
+            5: ["w"],
+        }
+        data = [(u, it) for u, its in baskets.items() for it in its]
+        # repeats must not matter (distinct baskets)
+        data += [(1, "x"), (1, "y")]
+        df = spark.createDataFrame(data, "user_id long, event_type string")
+        out = cooccurrence_lift(df)
+        return {(r["item_a"], r["item_b"]): r for r in out.collect()}
+
+    def test_pairs_present(self, rows):
+        assert set(rows) == {("x", "y"), ("x", "z")}
+
+    def test_counts_and_metrics(self, rows):
+        r = rows[("x", "y")]
+        assert (r["n_both"], r["n_a"], r["n_b"], r["n_entities"]) == (2, 3, 3, 5)
+        assert r["conf_a_to_b"] == pytest.approx(round(2 / 3, 6))
+        assert r["conf_b_to_a"] == pytest.approx(round(2 / 3, 6))
+        assert r["lift"] == pytest.approx(round(2 * 5 / (3 * 3), 6))
+
+    def test_lift_exact_replay(self, spark):
+        from okay_spark.relops import cooccurrence_lift
+
+        # evens have 'a' (50), multiples of 5 have 'b' (20); the entity
+        # universe is users with ANY item: 50 + 10 odd-multiples-of-5 = 60.
+        # n_both = multiples of 10 = 10 -> lift = 10*60/(50*20) = 0.6
+        data = []
+        for u in range(100):
+            if u % 2 == 0:
+                data.append((u, "a"))
+            if u % 5 == 0:
+                data.append((u, "b"))
+        df = spark.createDataFrame(data, "user_id long, event_type string")
+        r = cooccurrence_lift(df).first()
+        assert (r["n_both"], r["n_a"], r["n_b"], r["n_entities"]) == (10, 50, 20, 60)
+        assert r["lift"] == pytest.approx(0.6)
