@@ -2542,6 +2542,16 @@ def q_cooccurrence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_lift(_read(spark, sf_dir, "events"))
 
 
+def q_embedding_dims_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health stats (okay_spark/embedops.py
+    embedding_dim_stats). One posexplode + pos-keyed aggregate (shuffle
+    cardinality = dim); variance in the fixed s2/n - (s1/n)^2 order with
+    decimal(38,12) sums — the moment discipline, bit-identical twin."""
+    from okay_spark.embedops import embedding_dim_stats
+
+    return embedding_dim_stats(_read(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2691,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_eval_documents": q_langid_eval_documents,
         "streaming_ewma_events": q_streaming_ewma_events,
         "cooccurrence_events": q_cooccurrence_events,
+        "embedding_dims_embeddings": q_embedding_dims_embeddings,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5334,6 +5345,31 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Embedding-dim-stats twin: decimal(38,12) first/second moments, variance
+# in the fixed s2/n - (s1/n)^2 order, one int/int zero fraction.
+_EMBEDDING_DIMS_SQL = """
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), agg AS (
+  SELECT pos, CAST(count(x) AS BIGINT) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+    min(x) AS mn, max(x) AS mx,
+    CAST(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
+  FROM e GROUP BY pos
+)
+SELECT CAST(pos AS INT) AS pos, n,
+  round(s1 / CAST(n AS DOUBLE), 6) AS mean,
+  round(s2 / CAST(n AS DOUBLE)
+        - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)), 6) AS var,
+  round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+  round(CAST(nz AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_zero
+FROM agg
+"""
+
+
 # Co-occurrence twin: DISTINCT (entity, item) baskets, pair self-join on
 # the entity, lift with bigint products first and ONE double division.
 _COOCCURRENCE_SQL = """
@@ -5685,6 +5721,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_eval_documents": _LANGID_EVAL_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
+        "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

@@ -211,3 +211,56 @@ def centroid_separation(
             n_sep.cast("double") / F.count(F.lit(1)).cast("double"), round_to
         ).alias("frac_separated"),
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension embedding health profile: mean, variance, extrema,
+    and the exact zero fraction for every vector position — the check
+    that catches dead dimensions (variance ~ 0), collapsed encoders
+    (all dimensions near-constant), and sparsity shifts after a model
+    swap. Complements :func:`label_centroids` (per-label means) with
+    corpus-wide second moments. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per dimension: ``(pos, n, mean, var, vmin, vmax,
+    frac_zero)``. ``var`` is the population variance spelled in a FIXED
+    order — ``s2/n - (s1/n)*(s1/n)`` with both sums accumulated in
+    decimal(38,12) and cast back to double (the moment discipline), so
+    the result is partial-aggregation-order-free and the DuckDB twin is
+    bit-identical; ``frac_zero`` is one int/int IEEE division.
+
+    Scale shape: one posexplode + hash aggregate keyed on ``pos`` —
+    shuffle-key cardinality = dim regardless of row count, map-side
+    combined; no collect, no window, no join."""
+    v = _c(vec_col).cast("array<double>")
+    e = df.select(F.posexplode(v).alias("pos", "_x"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    agg = e.groupBy("pos").agg(
+        F.count("_x").cast("bigint").alias("n"),
+        F.sum(F.col("_x").cast("decimal(38,12)")).cast("double").alias("_s1"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("_s2"),
+        F.min("_x").alias("_mn"),
+        F.max("_x").alias("_mx"),
+        F.sum(F.when(F.col("_x") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_nz"),
+    )
+    n = d(F.col("n"))
+    mean = F.col("_s1") / n
+    var = F.col("_s2") / n - (F.col("_s1") / n) * (F.col("_s1") / n)
+    return agg.select(
+        "pos",
+        "n",
+        F.round(mean, round_to).alias("mean"),
+        F.round(var, round_to).alias("var"),
+        F.round(F.col("_mn"), round_to).alias("vmin"),
+        F.round(F.col("_mx"), round_to).alias("vmax"),
+        F.round(d(F.col("_nz")) / n, round_to).alias("frac_zero"),
+    )

@@ -763,3 +763,36 @@ class TestCooccurrenceLift:
         r = cooccurrence_lift(df).first()
         assert (r["n_both"], r["n_a"], r["n_b"], r["n_entities"]) == (10, 50, 20, 60)
         assert r["lift"] == pytest.approx(0.6)
+
+
+class TestEmbeddingDimStats:
+    def test_known_stats(self, spark):
+        from okay_spark.embedops import embedding_dim_stats
+
+        rows = [
+            (1, [1.0, 0.0, 2.0]),
+            (2, [3.0, 0.0, 2.0]),
+            (3, [5.0, 4.0, 2.0]),
+            (4, [7.0, 0.0, 2.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["pos"]: r for r in embedding_dim_stats(df).collect()}
+        # dim 0: mean 4, var E[x^2]-16 = (1+9+25+49)/4 - 16 = 5
+        assert out[0]["mean"] == 4.0 and out[0]["var"] == 5.0
+        assert (out[0]["vmin"], out[0]["vmax"]) == (1.0, 7.0)
+        assert out[0]["frac_zero"] == 0.0
+        # dim 1: sparse (3/4 zeros)
+        assert out[1]["frac_zero"] == 0.75
+        assert out[1]["mean"] == 1.0 and out[1]["var"] == 3.0
+        # dim 2: dead dimension — constant
+        assert out[2]["var"] == 0.0 and out[2]["vmin"] == out[2]["vmax"] == 2.0
+
+    def test_partition_invariance(self, spark):
+        from okay_spark.embedops import embedding_dim_stats
+
+        rows = [(i, [float(i % 7) / 3.0, float(i % 3) - 1.5]) for i in range(200)]
+        df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        df2 = spark.createDataFrame(rows[::-1], "vec_id long, embedding array<float>").repartition(7)
+        a = {tuple(r) for r in embedding_dim_stats(df1).collect()}
+        b = {tuple(r) for r in embedding_dim_stats(df2).collect()}
+        assert a == b
