@@ -1235,6 +1235,31 @@ def main() -> None:
         "joins of that bounded frame",
     )
 
+    from okay_spark.relops import cooccurrence_lift
+
+    audit(
+        "cooccurrence_lift",
+        cooccurrence_lift(events),
+        max_shuffles=5,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="the DISTINCT (entity, item) basket frame is the one "
+        "corpus-width aggregate (localCheckpoint-ed — it feeds both pair "
+        "sides, the marginals, and the entity total); the pair join's "
+        "per-entity fan-out is bounded by the item vocabulary; marginals "
+        "and the total broadcast back",
+    )
+    from okay_spark.embedops import embedding_dim_stats
+
+    audit(
+        "embedding_dim_stats",
+        embedding_dim_stats(embeddings),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one posexplode + pos-keyed hash aggregate — shuffle-key "
+        "cardinality = dim regardless of row count, map-side combined; "
+        "decimal(38,12) moments, no collect/window/join",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
