@@ -261,6 +261,23 @@ def bench_queries(spark) -> dict[str, dict]:
             id_cols=["l_orderkey", "l_partkey"],
         ).count()
 
+    # round-5 late additions, appended to keep earlier per-query rows
+    # aligned across rounds: the duplicated-ngram ratio (the widest
+    # join-back among the new profile operators — shingle explode, df
+    # count, 1:1 probe join) and the per-language corpus-overlap matrix
+    # (group-level DISTINCT + bounded-fan-out intersection join).
+    def dup_ngram():
+        from okay_spark.dedup import duplicated_ngram_ratio
+
+        docs = spark.read.parquet(split["documents"])
+        return duplicated_ngram_ratio(docs).filter(F.col("n_dup") > 0).count()
+
+    def corpus_jaccard():
+        from okay_spark.dedup import corpus_group_jaccard
+
+        docs = spark.read.parquet(split["documents"])
+        return corpus_group_jaccard(docs, "lang").count()
+
     suite = {
         "battery_interleaved": (battery_interleaved, BATTERY_DOCS),
         "summary_interleaved": (summary_interleaved, BATTERY_DOCS),
@@ -276,6 +293,8 @@ def bench_queries(spark) -> dict[str, dict]:
         "aggregate_consistency_orders": (agg_consistency, None),
         "referential_bloom_lineitem": (referential_bloom, None),
         "referential_plain_truncated": (referential_plain_truncated, None),
+        "dup_ngram_documents": (dup_ngram, None),
+        "corpus_jaccard_documents": (corpus_jaccard, None),
     }
     if "--battery-only" in sys.argv:
         suite = {k: suite[k] for k in ("battery_interleaved",)}
