@@ -2552,6 +2552,21 @@ def q_embedding_dims_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dim_stats(_read(spark, sf_dir, "embeddings"))
 
 
+def q_benchmark_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-coverage of the held-out src5 slice by the rest of the
+    corpus (okay_spark/textops.py benchmark_coverage — the complement of
+    the contamination scan). Both sides reduce to DISTINCT shingle sets
+    before the left-semi membership join; coverage is one int/int IEEE
+    division so the DuckDB twin is bit-identical."""
+    from okay_spark.textops import benchmark_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    return benchmark_coverage(
+        docs.filter(F.col("source") != "src5"),
+        docs.filter(F.col("source") == "src5"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2702,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma_events": q_streaming_ewma_events,
         "cooccurrence_events": q_cooccurrence_events,
         "embedding_dims_embeddings": q_embedding_dims_embeddings,
+        "benchmark_coverage_documents": q_benchmark_coverage_documents,
         "uniqueness_spans_doc_id": q_uniqueness_spans_doc_id,
         "battery_documents": q_battery_documents,
         "battery_events": q_battery_events,
@@ -5345,6 +5361,39 @@ FROM ids LEFT JOIN per USING (doc_id)
 """
 
 
+# Benchmark-coverage twin: both sides reduced to DISTINCT shingle sets,
+# membership via IN (== the left-semi join), one int/int division. The
+# corpus filter `source <> 'src5'` drops NULL sources exactly as Spark's
+# != does.
+_BENCHMARK_COVERAGE_SQL = """
+WITH bt AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents WHERE source = 'src5'
+), bsh AS (
+  SELECT DISTINCT
+    unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS sh
+  FROM bt
+), ct AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents WHERE source <> 'src5'
+), csh AS (
+  SELECT DISTINCT
+    unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS sh
+  FROM ct
+), c AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM bsh) AS n_bench_grams,
+    (SELECT CAST(count(*) AS BIGINT) FROM bsh
+      WHERE sh IN (SELECT sh FROM csh)) AS n_covered
+)
+SELECT n_bench_grams, n_covered,
+       CASE WHEN n_bench_grams > 0
+            THEN round(CAST(n_covered AS DOUBLE)
+                       / CAST(n_bench_grams AS DOUBLE), 6) END AS coverage
+FROM c
+"""
+
+
 # Embedding-dim-stats twin: decimal(38,12) first/second moments, variance
 # in the fixed s2/n - (s1/n)^2 order, one int/int zero fraction.
 _EMBEDDING_DIMS_SQL = """
@@ -5722,6 +5771,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,
+        "benchmark_coverage_documents": _BENCHMARK_COVERAGE_SQL,
         "snapshot_diff_documents": _SNAPSHOT_DIFF_SQL,
         "fd_source_lang_documents": _FD_SOURCE_LANG_SQL,
         "iqr_outliers_events": _IQR_OUTLIERS_SQL,

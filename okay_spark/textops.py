@@ -1459,3 +1459,57 @@ def gopher_quality_flags(
         f_stop.alias("stopword_ok"),
         (f_words & f_wl & f_sym & f_alpha & f_stop).alias("passes_gopher"),
     )
+
+
+def benchmark_coverage(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Domain-coverage score — the complement of
+    :func:`ngram_contamination`: what fraction of the BENCHMARK's
+    distinct word ``k``-gram shingles occur anywhere in the corpus.
+    Contamination asks "did the eval leak into training"; coverage asks
+    "does the training corpus speak the eval's language at all" — the
+    number a curation pipeline reads when deciding whether a source is
+    worth adding for a target domain. Corpus-level — no reference
+    counterpart (/root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(n_bench_grams, n_covered, coverage)`` with
+    counts over the benchmark's DISTINCT shingle set and ``coverage``
+    ONE int/int IEEE division — the DuckDB twin is bit-identical.
+    Empty benchmark -> zero counts, NULL coverage.
+
+    Scale shape: both sides reduce to DISTINCT shingle sets first (hash
+    aggregates bounded by each side's shingle vocabulary — the corpus's
+    row count never reaches the join); membership is a left-semi join
+    on the shingle (uniformly distributed key; each build row is one
+    distinct corpus shingle), then two scalar counts. No posting lists,
+    no collect."""
+    b_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, k)).alias("_sh"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    c_sh = corpus.select(
+        F.explode(word_shingles(text_col, k)).alias("_sh")
+    ).distinct()
+    covered = b_sh.join(c_sh, "_sh", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_covered")
+    )
+    total = b_sh.agg(F.count(F.lit(1)).cast("bigint").alias("n_bench_grams"))
+    out = total.crossJoin(covered)
+    return out.select(
+        "n_bench_grams",
+        "n_covered",
+        F.when(
+            F.col("n_bench_grams") > 0,
+            F.round(
+                F.col("n_covered").cast("double")
+                / F.col("n_bench_grams").cast("double"),
+                6,
+            ),
+        ).alias("coverage"),
+    )

@@ -796,3 +796,39 @@ class TestEmbeddingDimStats:
         a = {tuple(r) for r in embedding_dim_stats(df1).collect()}
         b = {tuple(r) for r in embedding_dim_stats(df2).collect()}
         assert a == b
+
+
+class TestBenchmarkCoverage:
+    def test_known_coverage(self, spark):
+        from okay_spark.textops import benchmark_coverage
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x y z")],  # grams: {abc, bcd, xyz}
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            # bench grams: {abc, pqr, qrs} -> covered: abc only
+            [(10, "a b c"), (11, "p q r s")],
+            "doc_id long, text string",
+        )
+        r = benchmark_coverage(corpus, bench).first()
+        assert (r["n_bench_grams"], r["n_covered"]) == (3, 1)
+        assert r["coverage"] == pytest.approx(round(1 / 3, 6))
+
+    def test_full_and_zero_coverage(self, spark):
+        from okay_spark.textops import benchmark_coverage
+
+        corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        full = benchmark_coverage(corpus, corpus).first()
+        assert full["coverage"] == 1.0
+        disjoint = spark.createDataFrame([(2, "p q r")], "doc_id long, text string")
+        z = benchmark_coverage(corpus, disjoint).first()
+        assert z["n_covered"] == 0 and z["coverage"] == 0.0
+
+    def test_empty_benchmark_null_coverage(self, spark):
+        from okay_spark.textops import benchmark_coverage
+
+        corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        r = benchmark_coverage(corpus, empty).first()
+        assert r["n_bench_grams"] == 0 and r["coverage"] is None
