@@ -300,9 +300,33 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     ).select(*deduped.columns)
     stats["after_quality"] = filtered.count()
 
+    # 4b. Gopher keep/drop bundle as a REPORT: the canonical thresholds
+    #     are tuned for web prose, so on this synthetic corpus the pass
+    #     rate is a profile number, not a filter — a real pipeline reads
+    #     it per source before deciding to enforce
+    from okay_spark.textops import gopher_quality_flags
+
+    gopher = gopher_quality_flags(filtered, min_words=20)
+    n_pass = gopher.filter(F.col("passes_gopher")).count()
+    stats["gopher_pass_millis"] = int(
+        round(n_pass * 1000 / max(stats["after_quality"], 1))
+    )
+
     # 5. benchmark decontamination: drop docs overlapping the held-out slice
     benchmark = docs.filter(F.col("source") == "src5")
     corpus = filtered.filter(F.col("source") != "src5")
+
+    # 5-pre. domain coverage the OTHER way: does the surviving corpus
+    #        still speak the benchmark's language (shared shingle
+    #        fraction)? Read together with the contamination scan — high
+    #        contamination with LOW coverage means verbatim leakage, high
+    #        coverage with low contamination means healthy domain match
+    from okay_spark.textops import benchmark_coverage
+
+    cov = benchmark_coverage(corpus, benchmark).first()
+    stats["benchmark_coverage_millis"] = int(
+        round((cov["coverage"] or 0.0) * 1000)
+    )
     contam = ngram_contamination(corpus, benchmark, k=3)
     ok_ids = contam.filter(F.col("contamination") <= 0.8).select("doc_id")
     decontaminated = corpus.join(ok_ids, on="doc_id", how="left_semi")

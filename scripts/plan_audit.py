@@ -1260,6 +1260,22 @@ def main() -> None:
         "decimal(38,12) moments, no collect/window/join",
     )
 
+    from okay_spark.textops import benchmark_coverage
+
+    audit(
+        "benchmark_coverage",
+        benchmark_coverage(
+            docs.filter(F.col("source") != "src5"),
+            docs.filter(F.col("source") == "src5"),
+        ),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="both sides reduce to DISTINCT shingle sets before the "
+        "left-semi membership join (vocabulary-bounded build sides — the "
+        "corpus row count never reaches the join), then two scalar "
+        "counts; no posting lists, no collect",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
