@@ -2567,6 +2567,34 @@ def q_benchmark_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_roc_auc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based ROC-AUC of document length as an is-English predictor
+    (okay_spark/checks.py roc_auc). State bounded by distinct-score
+    cardinality (n_chars <= 500 values); 2*ranksum is exact bigint over
+    the counts frame, AUC one bigint/bigint IEEE division — the DuckDB
+    twin replays the Mann-Whitney identity bit-for-bit."""
+    from okay_spark.checks import roc_auc
+
+    return roc_auc(
+        _read(spark, sf_dir, "documents"),
+        F.col("n_chars"),
+        F.col("lang") == F.lit("en"),
+    )
+
+
+def q_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected lang-ID agreement (okay_spark/checks.py
+    cohens_kappa over textops.language_id vs the gold lang column). One
+    (pred, label) aggregate bounds everything by |classes|^2; kappa =
+    (n*agree - sum(rowmarg*colmarg)) / (n^2 - sum(rowmarg*colmarg)) —
+    exact bigint products, one IEEE division, bit-identical twin."""
+    from okay_spark.checks import cohens_kappa
+    from okay_spark.textops import language_id
+
+    scored = language_id(_read(spark, sf_dir, "documents"))
+    return cohens_kappa(scored, F.col("lang_pred"), F.col("lang"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2801,6 +2829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_documents": q_dedup_keep_best_documents,
         "approx_distinct_events": q_approx_distinct_events,
         "battery_interleaved": q_battery_interleaved,
+        "roc_auc_documents": q_roc_auc_documents,
+        "kappa_documents": q_kappa_documents,
     }
 
 
@@ -5496,6 +5526,84 @@ FROM m
 """
 
 
+# ROC-AUC twin: the Mann-Whitney rank-sum identity with average-rank ties —
+# 2*R_pos exact bigint over per-distinct-score counts, one final division.
+_ROC_AUC_SQL = """
+WITH c AS (
+  SELECT n_chars AS s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(coalesce(sum(CASE WHEN coalesce(lang = 'en', FALSE)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS pos
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars
+), r AS (
+  SELECT cnt, pos,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY s ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+  FROM c
+), a AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+         CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(sum(pos * (2 * cumb + cnt + 1)), 0) AS BIGINT) AS r2
+  FROM r
+)
+SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+  CASE WHEN n_pos > 0 AND n - n_pos > 0
+       THEN round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / CAST(2 * n_pos * (n - n_pos) AS DOUBLE), 6) END AS auc
+FROM a
+"""
+
+
+# Cohen's-kappa twin: replays the stopword lang-ID, then kappa =
+# (n*agree - sum(rowmarg*colmarg)) / (n^2 - sum(...)) in exact bigints.
+_KAPPA_SQL = f"""
+WITH t AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), h AS (
+  SELECT lang,
+    len(list_filter(toks, x -> list_contains({{en}}, lower(x)))) AS h_en,
+    len(list_filter(toks, x -> list_contains({{fr}}, lower(x)))) AS h_fr,
+    len(list_filter(toks, x -> list_contains({{de}}, lower(x)))) AS h_de,
+    len(list_filter(toks, x -> list_contains({{es}}, lower(x)))) AS h_es
+  FROM t
+), pl AS (
+  SELECT CASE WHEN GREATEST(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+              WHEN h_en = GREATEST(h_en, h_fr, h_de, h_es) THEN 'en'
+              WHEN h_fr = GREATEST(h_en, h_fr, h_de, h_es) THEN 'fr'
+              WHEN h_de = GREATEST(h_en, h_fr, h_de, h_es) THEN 'de'
+              ELSE 'es' END AS p,
+         coalesce(lang, '(null)') AS l
+  FROM h
+), counts AS (
+  SELECT p, l, CAST(count(*) AS BIGINT) AS c FROM pl GROUP BY p, l
+), tot AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN p = l THEN c ELSE 0 END), 0) AS BIGINT)
+           AS n_agree
+  FROM counts
+), pm AS (SELECT p AS k, CAST(sum(c) AS BIGINT) AS rm FROM counts GROUP BY p),
+lm AS (SELECT l AS k, CAST(sum(c) AS BIGINT) AS cm FROM counts GROUP BY l),
+pe AS (
+  SELECT CAST(coalesce(sum(rm * cm), 0) AS BIGINT) AS pe_num
+  FROM pm JOIN lm ON pm.k = lm.k
+)
+SELECT n, n_agree,
+  CASE WHEN n > 0
+       THEN round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS po,
+  CASE WHEN n > 0
+       THEN round(CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE), 6) END AS pe,
+  CASE WHEN n * n != pe_num
+       THEN round(CAST(n * n_agree - pe_num AS DOUBLE)
+                  / CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
+FROM tot, pe
+""".format(
+    en=_sql_stop_list(STOP_EN),
+    fr=_sql_stop_list(STOP_FR),
+    de=_sql_stop_list(STOP_DE),
+    es=_sql_stop_list(STOP_ES),
+)
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -5768,6 +5876,8 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall_events": _MANN_KENDALL_SQL,
         "grouped_quantiles_events": _GROUPED_QUANTILES_SQL,
         "langid_eval_documents": _LANGID_EVAL_SQL,
+        "roc_auc_documents": _ROC_AUC_SQL,
+        "kappa_documents": _KAPPA_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

@@ -2570,3 +2570,148 @@ def classification_eval(df: DataFrame, pred: Column, label: Column) -> DataFrame
             F.when(npred + nlab > 0, d(2 * tp) / d(npred + nlab)), 6
         ).alias("f1"),
     )
+
+
+def roc_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """Threshold-free ranking quality of a numeric score against a boolean
+    label — the exact ROC-AUC via the rank-sum (Mann-Whitney U) identity
+    with the standard average-rank tie treatment: AUC = P(score_pos >
+    score_neg) + P(score_pos = score_neg)/2. The calibration companion of
+    :func:`binary_filter_eval` (which scores ONE threshold; this scores
+    the whole ranking before a threshold is chosen). NULL labels count as
+    False (the filter-eval convention); NULL scores are excluded — an
+    unranked row has no place in a ranking metric. No reference
+    counterpart (/root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(n, n_pos, n_neg, auc)`` — counts exact bigints,
+    ``auc`` NULL when either class is empty, else ONE bigint/bigint IEEE
+    division rounded to 6dp.
+
+    Exactness: with ascending average ranks, ``2*R_pos = sum_v pos(v) *
+    (2*cum_before(v) + cnt(v) + 1)`` is EXACT bigint arithmetic over the
+    per-distinct-score counts, and ``auc = (2*R_pos - n_pos*(n_pos+1)) /
+    (2*n_pos*n_neg)`` is one division — the DuckDB twin replays it
+    bit-for-bit. Bigint-safe to ~1.5e9 scored rows (2*R_pos <= 2n^2).
+
+    Scale shape: one (score) count aggregate bounds all downstream state
+    by the distinct-score cardinality (the grouped_exact_quantiles
+    discipline — the cumulative window sorts COUNTS, never rows); then
+    one scalar reduce. For unbounded-cardinality continuous scores at
+    extreme scale, round/bucket the score first — AUC over a quantized
+    score is the quantized ranking's true AUC, not an approximation."""
+    lab = F.coalesce(label, F.lit(False))
+    counts = (
+        df.filter(score.isNotNull())
+        .groupBy(score.alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+            F.sum(F.when(lab, 1).otherwise(0)).cast("bigint").alias("_pos"),
+        )
+    )
+    wcum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.select(
+        "_cnt",
+        "_pos",
+        F.coalesce(F.sum("_cnt").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("_cumb"),
+    )
+    agg = ranked.agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(
+            F.sum(
+                F.col("_pos")
+                * (F.lit(2) * F.col("_cumb") + F.col("_cnt") + F.lit(1))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("_r2"),
+    )
+    n, npos, r2 = F.col("n"), F.col("n_pos"), F.col("_r2")
+    nneg = n - npos
+    auc = F.when(
+        (npos > 0) & (nneg > 0),
+        (r2 - npos * (npos + F.lit(1))).cast("double")
+        / (F.lit(2) * npos * nneg).cast("double"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        nneg.cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+def cohens_kappa(df: DataFrame, pred: Column, label: Column) -> DataFrame:
+    """Chance-corrected agreement between two categorical columns —
+    Cohen's kappa (Cohen 1960): ``(p_o - p_e) / (1 - p_e)`` where p_o is
+    the observed agreement rate and p_e the agreement expected from the
+    marginals alone. The is-my-cheap-classifier-actually-informative
+    check that raw accuracy can't answer under class imbalance (a lang-ID
+    router that always says 'en' scores 80% accuracy on an 80%-English
+    corpus but kappa ~ 0). Complements :func:`classification_eval`
+    (per-class P/R/F1) with one chance-corrected scalar. NULL values on
+    either side become the literal class ``'(null)'`` — scored, never
+    dropped. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(n, n_agree, po, pe, kappa)``. ``kappa`` is NULL
+    when the marginal product concentrates all mass (n*n == pe_num —
+    e.g. both sides constant), where chance correction is undefined.
+
+    Exactness: ``kappa = (n*n_agree - pe_num) / (n*n - pe_num)`` with
+    ``pe_num = sum_k rowmarg(k) * colmarg(k)`` — every term exact bigint
+    (products first), ONE IEEE division; ``po``/``pe`` are single
+    divisions for display. Bigint-safe to ~3e9 rows (n^2 bound). The
+    DuckDB twin replays it bit-for-bit.
+
+    Scale shape: ONE (pred, label) hash aggregate bounds everything by
+    |classes|^2 (localCheckpoint-ed — the input is scanned once);
+    marginals and the expected-agreement term are re-aggregates and a
+    |classes|-row join of that bounded frame. No collect, no window."""
+    p = F.coalesce(pred, F.lit("(null)"))
+    lab = F.coalesce(label, F.lit("(null)"))
+    counts = (
+        df.select(p.alias("_p"), lab.alias("_l"))
+        .groupBy("_p", "_l")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_p") == F.col("_l"), F.col("_c")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    pm = counts.groupBy(F.col("_p").alias("_k")).agg(
+        F.sum("_c").cast("bigint").alias("_rm")
+    )
+    lm = counts.groupBy(F.col("_l").alias("_k2")).agg(
+        F.sum("_c").cast("bigint").alias("_cm")
+    )
+    pe_num = (
+        pm.join(lm, F.col("_k") == F.col("_k2"))
+        .agg(
+            F.coalesce(F.sum(F.col("_rm") * F.col("_cm")), F.lit(0))
+            .cast("bigint")
+            .alias("_pe_num")
+        )
+    )
+    joined = totals.crossJoin(pe_num)
+    n, agree, pe_n = F.col("n"), F.col("n_agree"), F.col("_pe_num")
+    d = lambda c: c.cast("double")  # noqa: E731
+    kappa = F.when(
+        n * n != pe_n, d(n * agree - pe_n) / d(n * n - pe_n)
+    )
+    return joined.select(
+        "n",
+        "n_agree",
+        F.round(F.when(n > 0, d(agree) / d(n)), 6).alias("po"),
+        F.round(F.when(n > 0, d(pe_n) / d(n * n)), 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -1276,6 +1276,31 @@ def main() -> None:
         "counts; no posting lists, no collect",
     )
 
+    from okay_spark.checks import cohens_kappa, roc_auc
+
+    audit(
+        "roc_auc",
+        roc_auc(docs, F.col("n_chars"), F.col("lang") == F.lit("en")),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one (score) count aggregate bounds all downstream state by "
+        "distinct-score cardinality (the grouped-quantiles discipline — "
+        "the cumulative window sorts COUNTS, never rows), then one "
+        "scalar reduce; 2*ranksum is exact bigint, AUC one division",
+    )
+    audit(
+        "cohens_kappa",
+        cohens_kappa(
+            language_id(docs), F.col("lang_pred"), F.col("lang")
+        ),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE (pred, label) hash aggregate bounds everything by "
+        "|classes|^2 (localCheckpoint-ed — input scanned once); the "
+        "expected-agreement term is a |classes|-row join of marginals; "
+        "kappa = (n*agree - pe_num)/(n^2 - pe_num) in exact bigints",
+    )
+
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()
     print(f"\n{len(CHECKS)-len(bad)}/{len(CHECKS)} plans OK -> SCALE.md")
