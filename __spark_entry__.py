@@ -2595,6 +2595,37 @@ def q_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(scored, F.col("lang_pred"), F.col("lang"))
 
 
+def q_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier for the stopword-share pseudo-
+    probability of English vs the gold label (okay_spark/checks.py
+    calibration_bins). p = en_hits / max(total_hits, 1) is one int/int
+    division both engines evaluate identically; the bin index is a fixed
+    floor(p*10) clamp; ONE <=10-group aggregate with decimal(38,12)
+    moment sums — the DuckDB twin replays it bit-for-bit."""
+    from okay_spark.checks import calibration_bins
+    from okay_spark.textops import STOPWORDS, _stop_hits, tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokens("text")
+    hits = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
+    total = hits["en"] + hits["fr"] + hits["de"] + hits["es"]
+    p = hits["en"].cast("double") / F.greatest(total, F.lit(1)).cast("double")
+    return calibration_bins(docs, p, F.col("lang") == F.lit("en"))
+
+
+def q_spearman_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of document char-length vs token count
+    (okay_spark/checks.py spearman_corr). Average ranks as 2*cum_before
+    + cnt + 1 exact bigints over per-value counts frames (state bounded
+    by distinct-value cardinality), decimal(38,0) product sums, rho one
+    fixed IEEE expression — the DuckDB twin is bit-identical."""
+    from okay_spark.checks import spearman_corr
+
+    docs = _read(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    return spearman_corr(docs, F.col("n_chars"), n_tok.cast("bigint"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2831,6 +2862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "battery_interleaved": q_battery_interleaved,
         "roc_auc_documents": q_roc_auc_documents,
         "kappa_documents": q_kappa_documents,
+        "calibration_documents": q_calibration_documents,
+        "spearman_documents": q_spearman_documents,
     }
 
 
@@ -5604,6 +5637,97 @@ FROM tot, pe
 )
 
 
+# Calibration twin: fixed floor(p*10) clamp bin, decimal(38,12) moment sums
+# direct-cast to double (the embedding-dims route), one division per metric.
+_CALIBRATION_SQL = """
+WITH t AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), h AS (
+  SELECT lang,
+    len(list_filter(toks, x -> list_contains({en}, lower(x)))) AS h_en,
+    len(list_filter(toks, x -> list_contains({fr}, lower(x)))) AS h_fr,
+    len(list_filter(toks, x -> list_contains({de}, lower(x)))) AS h_de,
+    len(list_filter(toks, x -> list_contains({es}, lower(x)))) AS h_es
+  FROM t
+), pb AS (
+  SELECT CAST(h_en AS DOUBLE)
+           / CAST(GREATEST(h_en + h_fr + h_de + h_es, 1) AS DOUBLE) AS p,
+         CASE WHEN coalesce(lang = 'en', FALSE) THEN 1.0 ELSE 0.0 END AS y
+  FROM h
+), b AS (
+  SELECT CAST(LEAST(GREATEST(floor(p * 10.0), 0), 9) AS INT) AS bin, p, y
+  FROM pb WHERE p IS NOT NULL
+), agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+    CAST(coalesce(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS pos,
+    CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(38,12))) AS DOUBLE) AS sq
+  FROM b GROUP BY bin
+)
+SELECT bin, round(CAST(bin AS DOUBLE) / 10.0, 6) AS p_lo, n,
+  round(sp / CAST(n AS DOUBLE), 6) AS mean_p,
+  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+  round(sq / CAST(n AS DOUBLE), 6) AS brier
+FROM agg
+""".format(
+    en=_sql_stop_list(STOP_EN),
+    fr=_sql_stop_list(STOP_FR),
+    de=_sql_stop_list(STOP_DE),
+    es=_sql_stop_list(STOP_ES),
+)
+
+
+# Spearman twin: per-value average ranks as 2*cum_before + cnt + 1 exact
+# bigints, decimal(38,0) product sums, rho one fixed IEEE expression.
+_SPEARMAN_SQL = """
+WITH base AS (
+  SELECT x, y FROM (
+    SELECT n_chars AS x,
+           CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+                AS BIGINT) AS y
+    FROM documents
+  ) WHERE x IS NOT NULL AND y IS NOT NULL
+), rx AS (
+  SELECT x AS kx,
+    CAST(2 * coalesce(sum(cnt) OVER (ORDER BY x ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cnt + 1 AS BIGINT) AS rxv
+  FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY x)
+), ry AS (
+  SELECT y AS ky,
+    CAST(2 * coalesce(sum(cnt) OVER (ORDER BY y ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cnt + 1 AS BIGINT) AS ryv
+  FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY y)
+), ranked AS (
+  SELECT rxv, ryv
+  FROM base JOIN rx ON base.x = rx.kx JOIN ry ON base.y = ry.ky
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(rxv), 0) AS BIGINT) AS sx,
+    CAST(coalesce(sum(ryv), 0) AS BIGINT) AS sy,
+    CAST(sum(CAST(rxv * rxv AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(ryv * ryv AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(rxv * ryv AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM ranked
+)
+SELECT n,
+  CASE WHEN (CAST(n AS DOUBLE) * sxx
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(n AS DOUBLE) * syy
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN round((CAST(n AS DOUBLE) * sxy
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  END AS rho
+FROM m
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -5878,6 +6002,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_eval_documents": _LANGID_EVAL_SQL,
         "roc_auc_documents": _ROC_AUC_SQL,
         "kappa_documents": _KAPPA_SQL,
+        "calibration_documents": _CALIBRATION_SQL,
+        "spearman_documents": _SPEARMAN_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

@@ -2715,3 +2715,135 @@ def cohens_kappa(df: DataFrame, pred: Column, label: Column) -> DataFrame:
         F.round(F.when(n > 0, d(pe_n) / d(n * n)), 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def calibration_bins(
+    df: DataFrame, p: Column, label: Column, *, bins: int = 10
+) -> DataFrame:
+    """Reliability diagram + Brier decomposition for a probability-like
+    score in [0, 1] against a boolean outcome: per score-decile, the mean
+    predicted probability vs the observed positive rate, and the bin's
+    Brier contribution (mean squared error). The calibration companion
+    of :func:`roc_auc` — AUC says the ranking is right, this says the
+    VALUES are honest (a quality classifier that says "0.9" should be
+    right ~90% of the time before its scores are used as sampling
+    weights). NULL scores are excluded; NULL labels count as False.
+    No reference counterpart (/root/reference/src/okay/validator.py).
+
+    Output, one row per non-empty bin: ``(bin, p_lo, n, mean_p,
+    frac_pos, brier)`` — ``bin`` in [0, bins), ``p_lo`` the bin's lower
+    edge for display.
+
+    Exactness: the bin index is ``least(greatest(floor(p * bins), 0),
+    bins-1)`` — one double multiply + floor, a FIXED IEEE expression both
+    engines evaluate identically (no data-dependent thresholds);
+    ``mean_p`` and ``brier`` accumulate per-row decimal(38,12) casts (the
+    moment discipline) with ONE double division each; ``frac_pos`` is one
+    int/int division. The DuckDB twin replays every op in order.
+
+    Scale shape: ONE hash aggregate keyed on the bin index — at most
+    ``bins`` groups, fully map-side combined; no window, no join, no
+    collect."""
+    y = F.when(F.coalesce(label, F.lit(False)), F.lit(1.0)).otherwise(F.lit(0.0))
+    b = F.least(
+        F.greatest(F.floor(p * F.lit(float(bins))), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    base = df.filter(p.isNotNull()).select(
+        b.alias("bin"), p.alias("_p"), y.alias("_y")
+    )
+    sq = (F.col("_p") - F.col("_y")) * (F.col("_p") - F.col("_y"))
+    agg = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_p").cast("decimal(38,12)")).cast("double").alias("_sp"),
+        F.sum(F.when(F.col("_y") == 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_pos"),
+        F.sum(sq.cast("decimal(38,12)")).cast("double").alias("_sq"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return agg.select(
+        "bin",
+        F.round(d(F.col("bin")) / F.lit(float(bins)), 6).alias("p_lo"),
+        "n",
+        F.round(F.col("_sp") / d(F.col("n")), 6).alias("mean_p"),
+        F.round(d(F.col("_pos")) / d(F.col("n")), 6).alias("frac_pos"),
+        F.round(F.col("_sq") / d(F.col("n")), 6).alias("brier"),
+    )
+
+
+def spearman_corr(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — Pearson
+    over average ranks, the monotonic-association check that is robust
+    to outliers and nonlinearity where :func:`pairwise_corr`'s Pearson
+    is not (score-vs-length sanity, feature redundancy before mixing).
+    Rows with a NULL on either side are excluded. No reference
+    counterpart (/root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(n, rho)`` — ``rho`` NULL when either side is
+    constant (zero rank variance) or n == 0.
+
+    Exactness: per-value average ranks come from the per-distinct-value
+    counts frame as ``2*avgrank = 2*cum_before + cnt + 1`` — EXACT
+    bigint, joined back to rows by value (Spearman is invariant under
+    the common factor 2); the five moments accumulate exact integers
+    (``sx``/``sy`` bigint, the three products per-row cast to
+    decimal(38,0) before summing — bigint-safe products to ~1.5e9 rows,
+    overflow-free sums to ~2e9 rows); ``rho`` is ONE fixed IEEE
+    expression over the double-cast moments. The DuckDB twin replays it
+    bit-for-bit (decimal sums direct-cast to double — the
+    embedding-dim-stats route).
+
+    Scale shape: the base projection localCheckpoints ONCE (it feeds
+    both value-count frames and the probe — without it the input scans
+    three times); each rank frame is bounded by that column's
+    distinct-value cardinality (the cumulative window sorts COUNTS,
+    never rows); the rank join-backs have one build row per key; then
+    one scalar reduce. For unbounded-cardinality doubles at extreme
+    scale, bucket/round first (the roc_auc guidance)."""
+    base = (
+        df.select(x.alias("_x"), y.alias("_y"))
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+
+    def rank_frame(col: str, key: str, rank: str):
+        counts = base.groupBy(F.col(col).alias(key)).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cnt")
+        )
+        wcum = (
+            Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return counts.select(
+            key,
+            (
+                F.lit(2) * F.coalesce(F.sum("_cnt").over(wcum), F.lit(0))
+                + F.col("_cnt")
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias(rank),
+        )
+    rx = rank_frame("_x", "_kx", "_rx")
+    ry = rank_frame("_y", "_ky", "_ry")
+    ranked = base.join(rx, F.col("_x") == F.col("_kx")).join(
+        ry, F.col("_y") == F.col("_ky")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("_rx"), F.lit(0)).cast("bigint").alias("_sx"),
+        F.coalesce(F.sum("_ry"), F.lit(0)).cast("bigint").alias("_sy"),
+        F.sum(dec(F.col("_rx") * F.col("_rx"))).cast("double").alias("_sxx"),
+        F.sum(dec(F.col("_ry") * F.col("_ry"))).cast("double").alias("_syy"),
+        F.sum(dec(F.col("_rx") * F.col("_ry"))).cast("double").alias("_sxy"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    n, sx, sy = F.col("n"), F.col("_sx"), F.col("_sy")
+    num = d(n) * F.col("_sxy") - d(sx) * d(sy)
+    denx = d(n) * F.col("_sxx") - d(sx) * d(sx)
+    deny = d(n) * F.col("_syy") - d(sy) * d(sy)
+    rho = F.when(
+        (denx > 0) & (deny > 0), num / (F.sqrt(denx) * F.sqrt(deny))
+    )
+    return agg.select("n", F.round(rho, 6).alias("rho"))

@@ -1300,6 +1300,42 @@ def main() -> None:
         "expected-agreement term is a |classes|-row join of marginals; "
         "kappa = (n*agree - pe_num)/(n^2 - pe_num) in exact bigints",
     )
+    from okay_spark.checks import calibration_bins, spearman_corr
+    from okay_spark.textops import STOPWORDS, _stop_hits, tokens as _tokens
+
+    _toks = _tokens("text")
+    _hits = {lang: _stop_hits(_toks, lang) for lang in STOPWORDS}
+    _tot = _hits["en"] + _hits["fr"] + _hits["de"] + _hits["es"]
+    audit(
+        "calibration_bins",
+        calibration_bins(
+            docs,
+            _hits["en"].cast("double") / F.greatest(_tot, F.lit(1)).cast("double"),
+            F.col("lang") == F.lit("en"),
+        ),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE hash aggregate keyed on the bin index — at most `bins` "
+        "groups, fully map-side combined; decimal(38,12) moment sums; "
+        "no window, no join, no collect",
+    )
+    audit(
+        "spearman_corr",
+        spearman_corr(
+            docs,
+            F.col("n_chars"),
+            F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).cast(
+                "bigint"
+            ),
+        ),
+        max_shuffles=5,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="base projection localCheckpoints once (input scanned once); "
+        "each average-rank frame is bounded by its column's distinct-value "
+        "cardinality (the cumulative window sorts COUNTS, never rows); "
+        "rank join-backs have one build row per key; then one scalar "
+        "reduce with exact integer/decimal moments",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

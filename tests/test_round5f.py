@@ -100,3 +100,80 @@ class TestCohensKappa:
         rows = [("x", "x")] * 9 + [("x", "y")] * 9 + [("y", "x")] * 9 + [("y", "y")] * 9
         df = spark.createDataFrame(rows, "p string, l string")
         assert cohens_kappa(df, F.col("p"), F.col("l")).collect()[0]["kappa"] == 0.0
+
+
+class TestCalibrationBins:
+    def test_bins_and_brier(self, spark):
+        from okay_spark.checks import calibration_bins
+
+        df = spark.createDataFrame(
+            [(0.05, False), (0.15, True), (0.95, True), (1.0, True), (0.12, False), (None, True)],
+            "p double, y boolean",
+        )
+        rows = {r["bin"]: r for r in calibration_bins(df, F.col("p"), F.col("y")).collect()}
+        # p=1.0 clamps into bin 9; NULL p excluded
+        assert set(rows) == {0, 1, 9}
+        assert rows[9]["n"] == 2 and rows[9]["frac_pos"] == 1.0
+        assert rows[0]["brier"] == pytest.approx(0.0025)
+        b1 = rows[1]
+        # bin 1: p in {0.15 (pos), 0.12 (neg)} -> mean_p .135, frac_pos .5
+        assert (b1["n"], b1["mean_p"], b1["frac_pos"]) == (2, 0.135, 0.5)
+        assert b1["brier"] == pytest.approx(((0.15 - 1) ** 2 + 0.12**2) / 2, abs=1e-5)
+
+    def test_out_of_range_clamped(self, spark):
+        from okay_spark.checks import calibration_bins
+
+        df = spark.createDataFrame([(-0.2, False), (1.7, True)], "p double, y boolean")
+        bins = sorted(r["bin"] for r in calibration_bins(df, F.col("p"), F.col("y")).collect())
+        assert bins == [0, 9]
+
+    def test_null_label_counts_false(self, spark):
+        from okay_spark.checks import calibration_bins
+
+        df = spark.createDataFrame([(0.55, None)], "p double, y boolean")
+        r = calibration_bins(df, F.col("p"), F.col("y")).collect()[0]
+        assert (r["bin"], r["frac_pos"]) == (5, 0.0)
+        assert r["brier"] == pytest.approx(0.3025)
+
+
+class TestSpearmanCorr:
+    def test_monotonic_nonlinear_is_one(self, spark):
+        from okay_spark.checks import spearman_corr
+
+        df = spark.createDataFrame(
+            [(float(i), float(i * i)) for i in range(1, 8)], "x double, y double"
+        )
+        assert spearman_corr(df, F.col("x"), F.col("y")).collect()[0]["rho"] == 1.0
+
+    def test_anti_monotonic_is_minus_one(self, spark):
+        from okay_spark.checks import spearman_corr
+
+        df = spark.createDataFrame(
+            [(float(i), float(-i)) for i in range(5)], "x double, y double"
+        )
+        assert spearman_corr(df, F.col("x"), F.col("y")).collect()[0]["rho"] == -1.0
+
+    def test_ties_average_rank(self, spark):
+        from okay_spark.checks import spearman_corr
+
+        # scipy.stats.spearmanr([1,1,2],[1,2,3]) = 0.8660254
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0)], "x double, y double"
+        )
+        assert spearman_corr(df, F.col("x"), F.col("y")).collect()[0]["rho"] == 0.866025
+
+    def test_constant_side_is_null(self, spark):
+        from okay_spark.checks import spearman_corr
+
+        df = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0)], "x double, y double")
+        assert spearman_corr(df, F.col("x"), F.col("y")).collect()[0]["rho"] is None
+
+    def test_partition_invariance(self, spark):
+        from okay_spark.checks import spearman_corr
+
+        rows = [(float(i % 13), float((i * 7) % 11)) for i in range(300)]
+        df1 = spark.createDataFrame(rows, "x double, y double")
+        df2 = spark.createDataFrame(rows[::-1], "x double, y double").repartition(5)
+        a = spearman_corr(df1, F.col("x"), F.col("y")).collect()[0]
+        b = spearman_corr(df2, F.col("x"), F.col("y")).collect()[0]
+        assert tuple(a) == tuple(b)
