@@ -2626,6 +2626,28 @@ def q_spearman_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(docs, F.col("n_chars"), n_tok.cast("bigint"))
 
 
+def q_coverage_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user calendar-day coverage holes (okay_spark/relops.py
+    coverage_gaps). One DISTINCT (group, day) aggregate bounds the lag
+    window by active-day cardinality; the only arithmetic is integer
+    datediff — the DuckDB twin (date subtraction, lag ORDER BY day ASC)
+    is bit-identical."""
+    from okay_spark.relops import coverage_gaps
+
+    return coverage_gaps(_read(spark, sf_dir, "events"), "ts", "user_id")
+
+
+def q_ngram_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/distinct-2 lexical diversity per source
+    (okay_spark/textops.py ngram_diversity). The (group, tokens)
+    projection localCheckpoints once; distinct gram counts are two-phase
+    count_distinct (never posting lists); ratios are single int/int IEEE
+    divisions — the DuckDB twin is bit-identical."""
+    from okay_spark.textops import ngram_diversity
+
+    return ngram_diversity(_read(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2864,6 +2886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_documents": q_kappa_documents,
         "calibration_documents": q_calibration_documents,
         "spearman_documents": q_spearman_documents,
+        "coverage_gaps_events": q_coverage_gaps_events,
+        "ngram_diversity_documents": q_ngram_diversity_documents,
     }
 
 
@@ -5728,6 +5752,59 @@ FROM m
 """
 
 
+# Coverage-gaps twin: DISTINCT (group, day), lag ordered ASC, integer
+# date arithmetic only.
+_COVERAGE_GAPS_SQL = """
+WITH d AS (
+  SELECT user_id AS grp, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+), l AS (
+  SELECT grp, day, lag(day) OVER (PARTITION BY grp ORDER BY day ASC) AS prev
+  FROM d
+)
+SELECT grp, prev + 1 AS gap_start, day - 1 AS gap_end,
+       CAST(day - prev - 1 AS BIGINT) AS gap_days
+FROM l WHERE prev IS NOT NULL AND day - prev >= 2
+"""
+
+
+# Distinct-n diversity twin: two-phase DISTINCT gram counts per group,
+# totals row-local, each ratio one int/int IEEE division.
+_NGRAM_DIVERSITY_SQL = """
+WITH base AS (
+  SELECT source AS grp,
+         coalesce(list_filter(string_split(text, ' '), t -> t != ''), []) AS toks
+  FROM documents WHERE source IS NOT NULL
+), totals AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_1,
+         CAST(coalesce(sum(GREATEST(len(toks) - 1, 0)), 0) AS BIGINT) AS total_2
+  FROM base GROUP BY grp
+), d1 AS (
+  SELECT grp, CAST(count(DISTINCT g) AS BIGINT) AS distinct_1
+  FROM (SELECT grp, unnest(toks) AS g FROM base) GROUP BY grp
+), d2 AS (
+  SELECT grp, CAST(count(DISTINCT g) AS BIGINT) AS distinct_2
+  FROM (SELECT grp,
+          unnest(list_transform(generate_series(1, GREATEST(len(toks) - 1, 0)),
+                                i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM base) GROUP BY grp
+)
+SELECT t.grp, n_docs, total_1,
+  CAST(coalesce(distinct_1, 0) AS BIGINT) AS distinct_1,
+  CASE WHEN total_1 > 0
+       THEN round(CAST(coalesce(distinct_1, 0) AS DOUBLE)
+                  / CAST(total_1 AS DOUBLE), 6) END AS dist_1,
+  total_2,
+  CAST(coalesce(distinct_2, 0) AS BIGINT) AS distinct_2,
+  CASE WHEN total_2 > 0
+       THEN round(CAST(coalesce(distinct_2, 0) AS DOUBLE)
+                  / CAST(total_2 AS DOUBLE), 6) END AS dist_2
+FROM totals t LEFT JOIN d1 ON t.grp = d1.grp LEFT JOIN d2 ON t.grp = d2.grp
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6004,6 +6081,8 @@ def oracle_sql() -> dict[str, str]:
         "kappa_documents": _KAPPA_SQL,
         "calibration_documents": _CALIBRATION_SQL,
         "spearman_documents": _SPEARMAN_SQL,
+        "coverage_gaps_events": _COVERAGE_GAPS_SQL,
+        "ngram_diversity_documents": _NGRAM_DIVERSITY_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

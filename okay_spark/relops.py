@@ -555,3 +555,53 @@ def cooccurrence_lift(
         F.round(d(F.col("n_both")) / d(F.col("n_b")), 6).alias("conf_b_to_a"),
         F.round(lift, 6).alias("lift"),
     )
+
+
+def coverage_gaps(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+    *,
+    min_gap_days: int = 2,
+) -> DataFrame:
+    """Temporal-coverage holes per group: calendar-day stretches with NO
+    rows between two active days — the did-ingestion-silently-skip-a-day
+    check a pipeline runs before trusting per-day aggregates or trend
+    monitors (:func:`okay_spark.checks.mann_kendall_trend` on a gappy
+    feed reads the gap as signal). A gap is reported when consecutive
+    DISTINCT active days are ``min_gap_days`` or more apart. No reference
+    counterpart (/root/reference/src/okay/validator.py).
+
+    Output, one row per gap: ``(grp, gap_start, gap_end, gap_days)`` —
+    the first/last MISSING day (both inclusive) and the exact missing-day
+    count (``datediff - 1``, pure integer). Leading/trailing silence is
+    out of scope by construction (no boundary rows exist to compare).
+
+    Exactness: dates come from ``to_date`` on the raw timestamp; the
+    only arithmetic is integer ``datediff`` — the DuckDB twin (date
+    subtraction, ``lag`` ordered ASC) is trivially bit-identical.
+
+    Scale shape: one DISTINCT (group, day) aggregate bounds everything
+    by active-day cardinality (calendar days x groups, never row
+    count); the lag window sorts that bounded frame within each group;
+    no join, no collect, no Python."""
+    days = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"), F.to_date(ts_col).alias("_day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("_day")
+    lagged = days.select(
+        "grp", "_day", F.lag("_day").over(w).alias("_prev")
+    )
+    gap = F.datediff(F.col("_day"), F.col("_prev"))
+    return lagged.filter(
+        F.col("_prev").isNotNull() & (gap >= F.lit(min_gap_days))
+    ).select(
+        "grp",
+        F.date_add(F.col("_prev"), 1).alias("gap_start"),
+        F.date_sub(F.col("_day"), 1).alias("gap_end"),
+        (gap - F.lit(1)).cast("bigint").alias("gap_days"),
+    )

@@ -1513,3 +1513,159 @@ def benchmark_coverage(
             ),
         ).alias("coverage"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Distinct-n lexical diversity per group — the distinct-1/distinct-2
+    ratios (unique n-grams over total n-grams) that quantify repetitive
+    or template-generated slices of a corpus: a source whose dist-2
+    collapses while volume grows is emitting boilerplate (the corpus-
+    level complement of the per-document
+    :func:`duplicated_ngram_ratio`). NULL text counts as an empty token
+    list (the gopher_quality_flags convention); NULL groups are dropped.
+    No reference counterpart (/root/reference/src/okay/validator.py).
+
+    Output, one row per group: ``(grp, n_docs, total_1, distinct_1,
+    dist_1, total_2, distinct_2, dist_2)`` — counts exact bigints, each
+    ratio ONE int/int IEEE division (NULL when the total is zero), so
+    the DuckDB twin is bit-identical.
+
+    Scale shape: the (group, tokens) projection localCheckpoints ONCE
+    (the corpus tokenizes once and feeds the totals pass plus both
+    explodes); totals are row-local sums; the distinct counts are
+    count_distinct over exploded grams — Spark's two-phase distinct
+    aggregate, never a posting list; the final assembly joins three
+    group-cardinality-bounded frames. Bigram fan-out is ~tokens-1 rows
+    per doc — the same explode budget as the shingle operators."""
+    toks = F.coalesce(tokens(text_col), F.array())
+    base = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), toks.alias("_toks"))
+        .localCheckpoint(eager=False)
+    )
+    width = F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("_toks"), 1, width),
+        F.slice(F.col("_toks"), 2, width),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    totals = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.size(F.col("_toks"))), F.lit(0))
+        .cast("bigint")
+        .alias("total_1"),
+        F.coalesce(F.sum(width), F.lit(0)).cast("bigint").alias("total_2"),
+    )
+    d1 = (
+        base.select("grp", F.explode(F.col("_toks")).alias("_g"))
+        .groupBy(F.col("grp").alias("_g1"))
+        .agg(F.count_distinct(F.col("_g")).cast("bigint").alias("distinct_1"))
+    )
+    d2 = (
+        base.select("grp", F.explode(bigrams).alias("_g"))
+        .groupBy(F.col("grp").alias("_g2"))
+        .agg(F.count_distinct(F.col("_g")).cast("bigint").alias("distinct_2"))
+    )
+    out = (
+        totals.join(d1, F.col("grp") == F.col("_g1"), "left")
+        .join(d2, F.col("grp") == F.col("_g2"), "left")
+        .select(
+            "grp",
+            "n_docs",
+            "total_1",
+            F.coalesce(F.col("distinct_1"), F.lit(0))
+            .cast("bigint")
+            .alias("distinct_1"),
+            "total_2",
+            F.coalesce(F.col("distinct_2"), F.lit(0))
+            .cast("bigint")
+            .alias("distinct_2"),
+        )
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return out.select(
+        "grp",
+        "n_docs",
+        "total_1",
+        "distinct_1",
+        F.round(
+            F.when(F.col("total_1") > 0, d(F.col("distinct_1")) / d(F.col("total_1"))),
+            6,
+        ).alias("dist_1"),
+        "total_2",
+        "distinct_2",
+        F.round(
+            F.when(F.col("total_2") > 0, d(F.col("distinct_2")) / d(F.col("total_2"))),
+            6,
+        ).alias("dist_2"),
+    )
+
+
+def readability_stats(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Flesch reading-ease profile per group — mean words-per-sentence,
+    vowel-group syllables-per-word, the mean Flesch score ``206.835 -
+    1.015*(words/sentences) - 84.6*(syllables/words)``, and the share of
+    documents scoring below 30 ("very difficult") — the classic C4/
+    Gopher-era readability quality signal, computed with a deterministic
+    vowel-group syllable heuristic (``[aeiouy]+`` runs) so both engines
+    agree exactly. Documents with zero words (NULL/whitespace text) are
+    excluded — they have no readability. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per group: ``(grp, n_scored, mean_wps, mean_spw,
+    mean_flesch, frac_difficult)``.
+
+    Exactness: words/sentences/syllables are exact integer counts
+    (sentence count floored at 1; syllables an integer fold over
+    per-token regexp counts); each per-doc ratio and the Flesch formula
+    are FIXED IEEE expressions; cross-doc means accumulate per-row
+    decimal(38,12) casts (the moment discipline) with one double
+    division; ``frac_difficult`` compares the RAW score (< 30.0) and is
+    one int/int division. The DuckDB twin (regexp_extract_all lengths,
+    seeded list_reduce folds) replays every op in order.
+
+    Scale shape: entirely row-local projection + ONE hash aggregate on
+    the group key — map-side combined, no window, no join, no Python,
+    no collect."""
+    toks = F.coalesce(tokens(text_col), F.array())
+    w = F.size(toks)
+    s = F.greatest(F.regexp_count(F.col(text_col), F.lit(r"[.!?]")), F.lit(1))
+    syl = F.aggregate(
+        F.transform(
+            toks, lambda t: F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    wps = d(w) / d(s)
+    spw = d(syl) / d(w)
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    base = df.filter(w > 0).select(
+        F.col(group_col).alias("grp"),
+        wps.alias("_wps"),
+        spw.alias("_spw"),
+        flesch.alias("_f"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(F.col("_wps").cast("decimal(38,12)")).cast("double").alias("_sw"),
+        F.sum(F.col("_spw").cast("decimal(38,12)")).cast("double").alias("_ss"),
+        F.sum(F.col("_f").cast("decimal(38,12)")).cast("double").alias("_sf"),
+        F.sum(F.when(F.col("_f") < 30.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_nd"),
+    )
+    n = d(F.col("n_scored"))
+    return agg.select(
+        "grp",
+        "n_scored",
+        F.round(F.col("_sw") / n, 6).alias("mean_wps"),
+        F.round(F.col("_ss") / n, 6).alias("mean_spw"),
+        F.round(F.col("_sf") / n, 6).alias("mean_flesch"),
+        F.round(d(F.col("_nd")) / n, 6).alias("frac_difficult"),
+    )

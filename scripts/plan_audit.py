@@ -1336,6 +1336,28 @@ def main() -> None:
         "rank join-backs have one build row per key; then one scalar "
         "reduce with exact integer/decimal moments",
     )
+    from okay_spark.relops import coverage_gaps
+    from okay_spark.textops import ngram_diversity
+
+    audit(
+        "coverage_gaps",
+        coverage_gaps(events, "ts", "user_id"),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one DISTINCT (group, day) aggregate bounds the lag window "
+        "by active-day cardinality (groups x calendar days, never row "
+        "count); integer date arithmetic only; no join, no collect",
+    )
+    audit(
+        "ngram_diversity",
+        ngram_diversity(docs),
+        max_shuffles=7,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="the (group, tokens) projection localCheckpoints once (the "
+        "corpus tokenizes once, feeding totals + both explodes); distinct "
+        "gram counts are Spark's two-phase count_distinct — never a "
+        "posting list; final assembly joins three group-bounded frames",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

@@ -177,3 +177,70 @@ class TestSpearmanCorr:
         a = spearman_corr(df1, F.col("x"), F.col("y")).collect()[0]
         b = spearman_corr(df2, F.col("x"), F.col("y")).collect()[0]
         assert tuple(a) == tuple(b)
+
+
+class TestCoverageGaps:
+    def test_gap_bounds_and_days(self, spark):
+        import datetime as dt
+
+        from okay_spark.relops import coverage_gaps
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1)),
+            (1, dt.datetime(2024, 1, 2)),
+            (1, dt.datetime(2024, 1, 5)),
+            # same day twice must not create a zero gap
+            (1, dt.datetime(2024, 1, 5, 12)),
+            (2, dt.datetime(2024, 1, 1)),
+            (2, dt.datetime(2024, 1, 2)),
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        out = coverage_gaps(df, "ts", "user_id").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (str(r["gap_start"]), str(r["gap_end"]), r["gap_days"]) == (
+            "2024-01-03",
+            "2024-01-04",
+            2,
+        )
+
+    def test_min_gap_days_threshold(self, spark):
+        import datetime as dt
+
+        from okay_spark.relops import coverage_gaps
+
+        rows = [(1, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 3))]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        assert coverage_gaps(df, "ts", "user_id", min_gap_days=3).count() == 0
+        assert coverage_gaps(df, "ts", "user_id", min_gap_days=2).count() == 1
+
+
+class TestNgramDiversity:
+    def test_counts_and_ratios(self, spark):
+        from okay_spark.textops import ngram_diversity
+
+        docs = spark.createDataFrame(
+            [("a", "x y x y"), ("a", "x y"), ("b", None), ("b", "q"), (None, "z z")],
+            "source string, text string",
+        )
+        rows = {r["grp"]: r for r in ngram_diversity(docs).collect()}
+        assert set(rows) == {"a", "b"}  # NULL group dropped
+        a = rows["a"]
+        # tokens: 4 + 2 = 6 total, {x, y} distinct; bigrams 3 + 1 = 4
+        # total, {"x y", "y x"} distinct
+        assert (a["total_1"], a["distinct_1"], a["dist_1"]) == (6, 2, 0.333333)
+        assert (a["total_2"], a["distinct_2"], a["dist_2"]) == (4, 2, 0.5)
+        b = rows["b"]
+        # NULL text counts as an empty token list but the doc still counts
+        assert (b["n_docs"], b["total_1"], b["distinct_1"]) == (2, 1, 1)
+        assert b["total_2"] == 0 and b["dist_2"] is None
+
+    def test_partition_invariance(self, spark):
+        from okay_spark.textops import ngram_diversity
+
+        rows = [("s%d" % (i % 3), "tok%d tok%d tok%d" % (i % 5, i % 7, i % 2)) for i in range(60)]
+        df1 = spark.createDataFrame(rows, "source string, text string")
+        df2 = spark.createDataFrame(rows[::-1], "source string, text string").repartition(7)
+        a = {tuple(r) for r in ngram_diversity(df1).collect()}
+        b = {tuple(r) for r in ngram_diversity(df2).collect()}
+        assert a == b and len(a) == 3
