@@ -2648,6 +2648,42 @@ def q_ngram_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(_read(spark, sf_dir, "documents"))
 
 
+def q_gini_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document char-length per source
+    (okay_spark/checks.py gini_inequality). The sorted-rank identity
+    evaluated over the per-(group, value) counts frame — tied blocks
+    contribute v*(2*c*cum_before + c*(c+1)) to 2*sum(r*x), exact bigint
+    summed in decimal(38,0); one fixed IEEE expression for the
+    coefficient — the DuckDB twin is bit-identical."""
+    from okay_spark.checks import gini_inequality
+
+    return gini_inequality(_read(spark, sf_dir, "documents"), "source", "n_chars")
+
+
+def q_readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per source (okay_spark/textops.py
+    readability_stats). Integer word/sentence/vowel-group counts, fixed
+    IEEE per-doc formula (literals spelled e0 in the twin so both
+    engines parse doubles, not decimals), decimal(38,12) means — the
+    DuckDB twin replays it bit-for-bit."""
+    from okay_spark.textops import readability_stats
+
+    return readability_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-own-centroid z-scores per vector
+    (okay_spark/embedops.py embedding_outliers, z_threshold=2 so the
+    fixture carries both flag classes). Decimal(38,12) centroids and
+    distance moments, zero-seeded sequential-fold L2, fixed-order
+    variance, flag decided on the RAW z — bit-identical DuckDB twin."""
+    from okay_spark.embedops import embedding_outliers
+
+    return embedding_outliers(
+        _read(spark, sf_dir, "embeddings"), z_threshold=2.0
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2888,6 +2924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_documents": q_spearman_documents,
         "coverage_gaps_events": q_coverage_gaps_events,
         "ngram_diversity_documents": q_ngram_diversity_documents,
+        "gini_documents": q_gini_documents,
+        "readability_documents": q_readability_documents,
+        "embedding_outliers_embeddings": q_embedding_outliers,
     }
 
 
@@ -5805,6 +5844,112 @@ FROM totals t LEFT JOIN d1 ON t.grp = d1.grp LEFT JOIN d2 ON t.grp = d2.grp
 """
 
 
+# Gini twin: sorted-rank identity over (group, value) counts — tied blocks
+# contribute v*(2*c*cum_before + c*(c+1)), decimal(38,0) sums.
+_GINI_SQL = """
+WITH counts AS (
+  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT grp, v, c,
+    CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+  FROM counts
+), agg AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * c) AS BIGINT) AS total,
+    CAST(sum(CAST(v * (2 * c * b + c * (c + 1)) AS DECIMAL(38,0)))
+         AS DOUBLE) AS r2
+  FROM cum GROUP BY grp
+)
+SELECT grp, n, total,
+  CASE WHEN n > 0 AND total > 0
+       THEN round((r2 - CAST((n + 1) * total AS DOUBLE))
+                  / CAST(n * total AS DOUBLE), 6)
+  END AS gini
+FROM agg
+"""
+
+
+# Readability twin: regexp_extract_all lengths + seeded list_reduce fold;
+# float literals spelled e0 so DuckDB parses DOUBLE, never DECIMAL.
+_READABILITY_SQL = """
+WITH base AS (
+  SELECT source AS grp,
+         coalesce(list_filter(string_split(text, ' '), t -> t != ''), []) AS toks,
+         GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS s
+  FROM documents
+), p AS (
+  SELECT grp, len(toks) AS w, s,
+    list_reduce([0] + list_transform(toks,
+        t -> len(regexp_extract_all(lower(t), '[aeiouy]+'))),
+      (a, b) -> a + b) AS y
+  FROM base WHERE len(toks) > 0
+), f AS (
+  SELECT grp,
+    CAST(w AS DOUBLE) / CAST(s AS DOUBLE) AS wps,
+    CAST(y AS DOUBLE) / CAST(w AS DOUBLE) AS spw,
+    206.835e0 - 1.015e0 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+              - 84.6e0 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) AS fl
+  FROM p
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_scored,
+  round(CAST(sum(CAST(wps AS DECIMAL(38,12))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS mean_wps,
+  round(CAST(sum(CAST(spw AS DECIMAL(38,12))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS mean_spw,
+  round(CAST(sum(CAST(fl AS DECIMAL(38,12))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS mean_flesch,
+  round(CAST(coalesce(sum(CASE WHEN fl < 30.0e0 THEN 1 ELSE 0 END), 0)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_difficult
+FROM f GROUP BY grp
+"""
+
+
+# Embedding-outliers twin: decimal centroids (the centroid-sep route),
+# zero-seeded squared-diff folds, fixed-order variance, raw-z flag.
+_EMBEDDING_OUTLIERS_SQL = """
+WITH cl AS (
+  SELECT label AS cgrp, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), cent_long AS (
+  SELECT cgrp, pos,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(x) AS cv
+  FROM cl GROUP BY cgrp, pos
+), cents AS (
+  SELECT cgrp, list(cv ORDER BY pos) AS cent FROM cent_long GROUP BY cgrp
+), e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+), scored AS (
+  SELECT vec_id, label,
+    sqrt(list_reduce([0.0] + [(vv[i] - cent[i]) * (vv[i] - cent[i])
+                              FOR i IN range(1, len(vv) + 1)],
+                     (a, b) -> a + b)) AS d
+  FROM e JOIN cents ON e.label = cents.cgrp
+), m AS (
+  SELECT label AS ml, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM scored GROUP BY label
+), zs AS (
+  SELECT vec_id, label, d,
+    CASE WHEN (s2 / CAST(n AS DOUBLE)
+               - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) > 0
+         THEN (d - s1 / CAST(n AS DOUBLE))
+              / sqrt(s2 / CAST(n AS DOUBLE)
+                     - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+    END AS zraw
+  FROM scored JOIN m ON scored.label = m.ml
+)
+SELECT vec_id, label, round(d, 6) AS dist, round(zraw, 6) AS z,
+       coalesce(zraw > 2.0e0, FALSE) AS outlier
+FROM zs
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6083,6 +6228,9 @@ def oracle_sql() -> dict[str, str]:
         "spearman_documents": _SPEARMAN_SQL,
         "coverage_gaps_events": _COVERAGE_GAPS_SQL,
         "ngram_diversity_documents": _NGRAM_DIVERSITY_SQL,
+        "gini_documents": _GINI_SQL,
+        "readability_documents": _READABILITY_SQL,
+        "embedding_outliers_embeddings": _EMBEDDING_OUTLIERS_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

@@ -2914,3 +2914,78 @@ def gini_inequality(
         (F.col("_r2") - d((n + F.lit(1)) * total)) / d(n * total),
     )
     return agg.select("grp", "n", "total", F.round(gini, 6).alias("gini"))
+
+
+def autocorrelation_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    *,
+    lags: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """Lag-k Pearson autocorrelation of daily per-group row counts — the
+    seasonality/momentum detector that completes the time-profile
+    family: :func:`ewma_anomalies` flags point spikes,
+    :func:`mann_kendall_trend` reads direction, this reads PERIODICITY
+    (a strong lag-7 on a daily feed is weekly seasonality any
+    volume-anomaly threshold must account for). The statistic is the
+    plain Pearson correlation over (count_day, count_day+k) pairs of
+    consecutive PRESENT days (missing days pair with nothing — run
+    :func:`okay_spark.relops.coverage_gaps` first if holes matter).
+    No reference counterpart (/root/reference/src/okay/validator.py).
+
+    Output, one row per (group, lag): ``(grp, lag, n_pairs, acf)`` —
+    ``acf`` NULL when fewer than 2 pairs or either side is constant.
+
+    Exactness: counts are exact bigints; the five pair moments
+    accumulate bigint values and decimal(38,0)-cast products (the
+    spearman_corr discipline); ``acf`` is ONE fixed IEEE expression
+    over the double-cast moments — the DuckDB twin replays it
+    bit-for-bit.
+
+    Scale shape: one (group, day) count aggregate bounds everything by
+    calendar-day cardinality (localCheckpoint-ed once — it feeds both
+    join sides); the lag pairing is a self-equi-join on (group, day+k)
+    over that bounded frame with one build row per key; then one
+    aggregate per (group, lag). No window over raw rows, no collect."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.to_date(ts_col).alias("_day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    lag_lit = F.explode(
+        F.array(*[F.lit(int(k)).cast("int") for k in lags])
+    ).alias("lag")
+    a = daily.select(
+        F.col("grp").alias("_ga"), F.col("_day").alias("_da"),
+        F.col("_cnt").alias("_ca"), lag_lit,
+    )
+    b = daily.select(
+        F.col("grp").alias("_gb"), F.col("_day").alias("_db"),
+        F.col("_cnt").alias("_cb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("_ga") == F.col("_gb"))
+        & (F.col("_db") == F.expr("date_add(_da, lag)")),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.groupBy(F.col("_ga").alias("grp"), "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_ca").cast("bigint").alias("_sx"),
+        F.sum("_cb").cast("bigint").alias("_sy"),
+        F.sum(dec(F.col("_ca") * F.col("_ca"))).cast("double").alias("_sxx"),
+        F.sum(dec(F.col("_cb") * F.col("_cb"))).cast("double").alias("_syy"),
+        F.sum(dec(F.col("_ca") * F.col("_cb"))).cast("double").alias("_sxy"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    n, sx, sy = F.col("n_pairs"), F.col("_sx"), F.col("_sy")
+    num = d(n) * F.col("_sxy") - d(sx) * d(sy)
+    denx = d(n) * F.col("_sxx") - d(sx) * d(sx)
+    deny = d(n) * F.col("_syy") - d(sy) * d(sy)
+    acf = F.when(
+        (n >= 2) & (denx > 0) & (deny > 0),
+        num / (F.sqrt(denx) * F.sqrt(deny)),
+    )
+    return agg.select("grp", "lag", "n_pairs", F.round(acf, 6).alias("acf"))

@@ -264,3 +264,91 @@ def embedding_dim_stats(
         F.round(F.col("_mx"), round_to).alias("vmax"),
         F.round(d(F.col("_nz")) / n, round_to).alias("frac_zero"),
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    z_threshold: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-vector distance-to-own-centroid z-scores — the mislabeled/
+    corrupted-embedding detector: a vector sitting many standard
+    deviations from its label's centroid is a wrong label, a truncated
+    array, or an encoder glitch, and poisons every centroid-based
+    downstream step (:func:`centroid_separation`, IVF assignment,
+    stratified sampling). Scores EVERY vector (the flag is a column, not
+    a filter, so thresholds can be re-derived downstream); labels with
+    zero distance variance (singleton or duplicated clusters) report
+    NULL z and never flag. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per vector: ``(vec_id, label, dist, z, outlier)``
+    with ``outlier`` decided on the RAW z against ``z_threshold``
+    (display values rounded).
+
+    Exactness: centroids are decimal(38,12)-summed means; the L2
+    distance is a zero-seeded SEQUENTIAL fold over the element-wise
+    squared differences (the LSH-twin discipline — DuckDB ``list_reduce``
+    with a ``[0.0]`` seed replays it); per-label distance moments
+    accumulate per-row decimal(38,12) casts with the fixed
+    ``s2/n - (s1/n)^2`` variance order; z is ONE fixed IEEE expression.
+
+    Scale shape: centroid build is one posexplode + (label, pos) hash
+    aggregate (shuffle keys = labels x dim); the scored frame joins the
+    broadcast #labels-row centroid frame ONCE and localCheckpoints (it
+    feeds both the per-label moments and the final projection); moments
+    re-aggregate to #labels rows and broadcast back. No posting lists,
+    no global sort."""
+    v = F.col(vec_col).cast("array<double>")
+    exploded = df.select(
+        F.col(label_col).alias("_cl"), F.posexplode(v).alias("pos", "_x")
+    )
+    cents_long = exploded.groupBy("_cl", "pos").agg(
+        decimal_avg(F.col("_x")).alias("_cv")
+    )
+    cents = cents_long.groupBy("_cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_cv"))),
+            lambda s: s["_cv"],
+        ).alias("_cent")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_cent"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            v.alias("_v"),
+        )
+        .join(F.broadcast(cents), F.col("label") == F.col("_cl"))
+        .select("vec_id", "label", dist.alias("_d"))
+        .localCheckpoint(eager=False)
+    )
+    moments = scored.groupBy(F.col("label").alias("_ml")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_d").cast("decimal(38,12)")).cast("double").alias("_s1"),
+        F.sum((F.col("_d") * F.col("_d")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("_s2"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    n = d(F.col("_n"))
+    mean = F.col("_s1") / n
+    var = F.col("_s2") / n - (F.col("_s1") / n) * (F.col("_s1") / n)
+    z = F.when(var > 0, (F.col("_d") - mean) / F.sqrt(var))
+    return scored.join(F.broadcast(moments), F.col("label") == F.col("_ml")).select(
+        "vec_id",
+        "label",
+        F.round(F.col("_d"), round_to).alias("dist"),
+        F.round(z, round_to).alias("z"),
+        F.coalesce(z > F.lit(float(z_threshold)), F.lit(False)).alias("outlier"),
+    )

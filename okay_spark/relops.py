@@ -605,3 +605,67 @@ def coverage_gaps(
         F.date_sub(F.col("_day"), 1).alias("gap_end"),
         (gap - F.lit(1)).cast("bigint").alias("gap_days"),
     )
+
+
+def burstiness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+) -> DataFrame:
+    """Inter-event burstiness per group — Goh & Barabási's ``B = (sigma -
+    mu) / (sigma + mu)`` over the inter-arrival gaps: B near -1 is a
+    metronome (a cron job or scripted client), near 0 a Poisson process
+    (organic traffic), toward +1 heavy-tailed bursts (scraping, retry
+    storms). The bot/automation signal a pipeline reads per user or per
+    source before trusting event volumes. NULL timestamps/groups are
+    excluded; groups with fewer than 2 events have no gaps and are
+    omitted. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per group with >= 1 gap: ``(grp, n_gaps,
+    mean_gap_us, burstiness)`` — ``burstiness`` NULL when there is only
+    one gap or sigma + mu == 0 (all gaps zero).
+
+    Exactness: gaps are exact integer microseconds
+    (``timestamp_diff(MICROSECOND, ...)`` — the TIMESTAMP_NTZ-safe
+    route, relops module note); with duplicate timestamps the multiset
+    of consecutive gaps is tie-order-invariant (equal stamps produce
+    zero gaps), so moments are deterministic without a tiebreak; sums
+    accumulate per-row decimal(38,12) casts of the double gap and its
+    square (the moment discipline — a 30-day gap squared is ~7e24,
+    past bigint but exact in decimal); sigma/mu/B are ONE fixed IEEE
+    expression each. The DuckDB twin (``date_diff('microsecond',...)``,
+    lag ORDER BY ts ASC) replays it bit-for-bit.
+
+    Scale shape: one window (lag) partitioned by the group key — the
+    same single shuffle as sessionize — then one map-side-combined
+    aggregate per group. No join, no collect, no Python."""
+    base = df.filter(F.col(ts_col).isNotNull() & F.col(group_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(ts_col)
+    gap = F.timestamp_diff(
+        "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
+    ).cast("bigint")
+    gaps = (
+        base.select(F.col(group_col).alias("grp"), gap.alias("_g"))
+        .filter(F.col("_g").isNotNull())
+    )
+    gd = F.col("_g").cast("double")
+    agg = gaps.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(gd.cast("decimal(38,12)")).cast("double").alias("_s1"),
+        F.sum((gd * gd).cast("decimal(38,12)")).cast("double").alias("_s2"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    n = d(F.col("n_gaps"))
+    mu = F.col("_s1") / n
+    var = F.col("_s2") / n - (F.col("_s1") / n) * (F.col("_s1") / n)
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.when(
+        (F.col("n_gaps") >= 2) & (sigma + mu > 0), (sigma - mu) / (sigma + mu)
+    )
+    return agg.select(
+        "grp",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_us"),
+        F.round(b, 6).alias("burstiness"),
+    )

@@ -1358,6 +1358,41 @@ def main() -> None:
         "gram counts are Spark's two-phase count_distinct — never a "
         "posting list; final assembly joins three group-bounded frames",
     )
+    from okay_spark.checks import gini_inequality
+    from okay_spark.textops import readability_stats
+
+    audit(
+        "gini_inequality",
+        gini_inequality(docs, "source", "n_chars"),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one (group, value) count aggregate bounds everything by "
+        "per-group distinct-value cardinality (the cumulative window "
+        "sorts COUNTS, never rows); the sorted-rank identity is exact "
+        "bigint per block, decimal(38,0) summed; no join, no collect",
+    )
+    audit(
+        "readability_stats",
+        readability_stats(docs),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="entirely row-local integer counts + fixed IEEE Flesch "
+        "formula, then ONE map-side-combined hash aggregate on the "
+        "group key; no window, no join, no Python",
+    )
+    from okay_spark.embedops import embedding_outliers
+
+    audit(
+        "embedding_outliers",
+        embedding_outliers(embeddings, z_threshold=2.0),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="centroid build = one posexplode + (label, pos) aggregate "
+        "(collect_list bounded by dim); the scored frame joins the "
+        "broadcast #labels-row centroid frame once and localCheckpoints "
+        "(feeds moments + final projection); per-label moments broadcast "
+        "back — no posting lists, no global sort",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

@@ -244,3 +244,102 @@ class TestNgramDiversity:
         a = {tuple(r) for r in ngram_diversity(df1).collect()}
         b = {tuple(r) for r in ngram_diversity(df2).collect()}
         assert a == b and len(a) == 3
+
+
+class TestGiniInequality:
+    def test_equal_distribution_is_zero(self, spark):
+        from okay_spark.checks import gini_inequality
+
+        df = spark.createDataFrame([("a", 5)] * 4, "g string, v bigint")
+        assert gini_inequality(df, "g", "v").collect()[0]["gini"] == 0.0
+
+    def test_single_holder(self, spark):
+        from okay_spark.checks import gini_inequality
+
+        # one holder of everything among n=4 -> G = (n-1)/n = 0.75
+        df = spark.createDataFrame(
+            [("b", 0), ("b", 0), ("b", 0), ("b", 12)], "g string, v bigint"
+        )
+        r = gini_inequality(df, "g", "v").collect()[0]
+        assert (r["n"], r["total"], r["gini"]) == (4, 12, 0.75)
+
+    def test_zero_total_is_null(self, spark):
+        from okay_spark.checks import gini_inequality
+
+        df = spark.createDataFrame([("c", 0)], "g string, v bigint")
+        assert gini_inequality(df, "g", "v").collect()[0]["gini"] is None
+
+    def test_known_value_and_partition_invariance(self, spark):
+        from okay_spark.checks import gini_inequality
+
+        # x = [1,2,3,4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40 = 0.25
+        rows = [("g", i) for i in (1, 2, 3, 4)]
+        df1 = spark.createDataFrame(rows, "g string, v bigint")
+        df2 = spark.createDataFrame(rows[::-1], "g string, v bigint").repartition(3)
+        a = gini_inequality(df1, "g", "v").collect()[0]
+        b = gini_inequality(df2, "g", "v").collect()[0]
+        assert a["gini"] == 0.25 and tuple(a) == tuple(b)
+
+
+class TestReadabilityStats:
+    def test_counts_and_formula(self, spark):
+        from okay_spark.textops import readability_stats
+
+        docs = spark.createDataFrame(
+            [("s1", "The cat sat. It sat there!"), ("s1", "a b c")],
+            "source string, text string",
+        )
+        r = readability_stats(docs).collect()[0]
+        # doc1: w=6 s=2 syl=7; doc2: w=3 s=1 syl=1
+        assert r["n_scored"] == 2
+        assert r["mean_wps"] == 3.0
+        assert r["mean_spw"] == pytest.approx((7 / 6 + 1 / 3) / 2, abs=1e-6)
+        f1 = 206.835 - 1.015 * 3 - 84.6 * (7 / 6)
+        f2 = 206.835 - 1.015 * 3 - 84.6 * (1 / 3)
+        assert r["mean_flesch"] == pytest.approx((f1 + f2) / 2, abs=1e-5)
+        assert r["frac_difficult"] == 0.0
+
+    def test_empty_and_null_text_excluded(self, spark):
+        from okay_spark.textops import readability_stats
+
+        docs = spark.createDataFrame(
+            [("s2", "   "), ("s2", None)], "source string, text string"
+        )
+        assert readability_stats(docs).count() == 0
+
+    def test_dense_prose_flags_difficult(self, spark):
+        from okay_spark.textops import readability_stats
+
+        # one run-on 40-word sentence of polysyllabic tokens -> deeply
+        # negative Flesch -> frac_difficult = 1
+        text = " ".join(["incomprehensibility"] * 40)
+        docs = spark.createDataFrame([("s3", text)], "source string, text string")
+        r = readability_stats(docs).collect()[0]
+        assert r["frac_difficult"] == 1.0 and r["mean_flesch"] < 30
+
+
+class TestEmbeddingOutliers:
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        from okay_spark.embedops import embedding_outliers
+
+        rows = (
+            [(i, [1.0, 0.0], 0) for i in range(10)]
+            + [(10, [1.2, 0.1], 0), (11, [9.0, 9.0], 0)]
+            + [(20, [0.0, 1.0], 1), (21, [0.0, 1.0], 1)]
+        )
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+        return {r["vec_id"]: r for r in embedding_outliers(df, z_threshold=2.0).collect()}
+
+    def test_planted_outlier_flagged(self, out):
+        assert out[11]["outlier"] is True and out[11]["z"] > 3
+
+    def test_inliers_not_flagged(self, out):
+        assert all(not out[i]["outlier"] for i in range(11))
+
+    def test_zero_variance_label_null_z_never_flags(self, out):
+        assert out[20]["z"] is None and out[20]["outlier"] is False
+        assert out[20]["dist"] == 0.0
+
+    def test_every_vector_scored(self, out):
+        assert len(out) == 14
