@@ -2684,6 +2684,28 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-7 Pearson autocorrelation of daily per-type counts
+    (okay_spark/checks.py autocorrelation_daily). The daily counts frame
+    localCheckpoints once and self-joins on (group, day+lag); five exact
+    integer/decimal moments, acf one fixed IEEE expression — the DuckDB
+    twin is bit-identical."""
+    from okay_spark.checks import autocorrelation_daily
+
+    return autocorrelation_daily(_read(spark, sf_dir, "events"))
+
+
+def q_burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi inter-event burstiness per user (okay_spark/relops.py
+    burstiness). Exact integer microsecond gaps (tie-order-invariant
+    multiset), decimal(38,12) moment sums, sigma/mu/B fixed IEEE
+    expressions — the DuckDB twin (date_diff microsecond, lag ORDER BY
+    ts ASC) replays it bit-for-bit."""
+    from okay_spark.relops import burstiness
+
+    return burstiness(_read(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2927,6 +2949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_documents": q_gini_documents,
         "readability_documents": q_readability_documents,
         "embedding_outliers_embeddings": q_embedding_outliers,
+        "autocorr_events": q_autocorr_events,
+        "burstiness_events": q_burstiness_events,
     }
 
 
@@ -5950,6 +5974,82 @@ FROM zs
 """
 
 
+# Autocorrelation twin: bounded daily frame self-joined on day+lag, five
+# exact moments (the spearman discipline), acf one fixed IEEE expression.
+_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), lags AS (SELECT unnest([1, 7]) AS lag),
+pairs AS (
+  SELECT a.grp, l.lag, a.cnt AS ca, b.cnt AS cb
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON a.grp = b.grp AND b.day = a.day + l.lag
+), m AS (
+  SELECT grp, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(ca) AS BIGINT) AS sx, CAST(sum(cb) AS BIGINT) AS sy,
+    CAST(sum(CAST(ca * ca AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(cb * cb AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(ca * cb AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT grp, CAST(lag AS INT) AS lag, n_pairs,
+  CASE WHEN n_pairs >= 2
+        AND (CAST(n_pairs AS DOUBLE) * sxx
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(n_pairs AS DOUBLE) * syy
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN round((CAST(n_pairs AS DOUBLE) * sxy
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n_pairs AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n_pairs AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  END AS acf
+FROM m
+"""
+
+
+# Burstiness twin: exact microsecond gaps via lag, decimal(38,12) moment
+# sums of the double gap and its square, B one fixed IEEE expression.
+_BURSTINESS_SQL = """
+WITH base AS (
+  SELECT user_id AS grp, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT grp, date_diff('microsecond',
+           lag(ts) OVER (PARTITION BY grp ORDER BY ts ASC), ts) AS gp
+  FROM base
+), gg AS (
+  SELECT grp, CAST(gp AS DOUBLE) AS gd FROM g WHERE gp IS NOT NULL
+), m AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_gaps,
+    CAST(sum(CAST(gd AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(gd * gd AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM gg GROUP BY grp
+)
+SELECT grp, n_gaps,
+  round(s1 / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_us,
+  CASE WHEN n_gaps >= 2
+        AND (sqrt(GREATEST(s2 / CAST(n_gaps AS DOUBLE)
+                           - (s1 / CAST(n_gaps AS DOUBLE))
+                             * (s1 / CAST(n_gaps AS DOUBLE)), 0.0e0))
+             + s1 / CAST(n_gaps AS DOUBLE)) > 0
+       THEN round((sqrt(GREATEST(s2 / CAST(n_gaps AS DOUBLE)
+                                 - (s1 / CAST(n_gaps AS DOUBLE))
+                                   * (s1 / CAST(n_gaps AS DOUBLE)), 0.0e0))
+                   - s1 / CAST(n_gaps AS DOUBLE))
+                  / (sqrt(GREATEST(s2 / CAST(n_gaps AS DOUBLE)
+                                   - (s1 / CAST(n_gaps AS DOUBLE))
+                                     * (s1 / CAST(n_gaps AS DOUBLE)), 0.0e0))
+                     + s1 / CAST(n_gaps AS DOUBLE)), 6)
+  END AS burstiness
+FROM m
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6231,6 +6331,8 @@ def oracle_sql() -> dict[str, str]:
         "gini_documents": _GINI_SQL,
         "readability_documents": _READABILITY_SQL,
         "embedding_outliers_embeddings": _EMBEDDING_OUTLIERS_SQL,
+        "autocorr_events": _AUTOCORR_SQL,
+        "burstiness_events": _BURSTINESS_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

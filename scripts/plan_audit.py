@@ -1393,6 +1393,29 @@ def main() -> None:
         "(feeds moments + final projection); per-label moments broadcast "
         "back — no posting lists, no global sort",
     )
+    from okay_spark.checks import autocorrelation_daily
+    from okay_spark.relops import burstiness
+
+    audit(
+        "autocorrelation_daily",
+        autocorrelation_daily(events),
+        max_shuffles=4,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one (group, day) count aggregate bounds everything by "
+        "calendar-day cardinality (localCheckpoint-ed once, feeding both "
+        "join sides); the lag pairing is a self-equi-join on (group, "
+        "day+k) over that bounded frame; no window over raw rows",
+    )
+    audit(
+        "burstiness",
+        burstiness(events),
+        max_shuffles=2,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one lag window partitioned by the group key (the "
+        "sessionize shuffle) then one map-side-combined aggregate per "
+        "group; gaps are exact integer microseconds, moments "
+        "decimal(38,12); no join, no collect",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

@@ -343,3 +343,102 @@ class TestEmbeddingOutliers:
 
     def test_every_vector_scored(self, out):
         assert len(out) == 14
+
+
+class TestAutocorrelationDaily:
+    def test_alternating_series(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import autocorrelation_daily
+
+        rows = []
+        for i in range(10):
+            day = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+            rows += [("a", day)] * (1 if i % 2 == 0 else 3)
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = {r["lag"]: r for r in autocorrelation_daily(df, lags=(1, 2)).collect()}
+        assert out[1]["acf"] == -1.0 and out[1]["n_pairs"] == 9
+        assert out[2]["acf"] == 1.0 and out[2]["n_pairs"] == 8
+
+    def test_constant_series_is_null(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import autocorrelation_daily
+
+        rows = [("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = autocorrelation_daily(df, lags=(1,)).collect()
+        assert out[0]["acf"] is None  # zero variance on both sides
+
+    def test_missing_days_pair_with_nothing(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import autocorrelation_daily
+
+        # days 1, 2, 5: only (1,2) is a lag-1 pair
+        rows = [
+            ("a", dt.datetime(2024, 1, 1)),
+            ("a", dt.datetime(2024, 1, 2)),
+            ("a", dt.datetime(2024, 1, 5)),
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = autocorrelation_daily(df, lags=(1,)).collect()
+        assert out[0]["n_pairs"] == 1 and out[0]["acf"] is None
+
+
+class TestBurstiness:
+    def test_metronome_is_minus_one(self, spark):
+        import datetime as dt
+
+        from okay_spark.relops import burstiness
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=10 * i))
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        r = burstiness(df).collect()[0]
+        assert (r["n_gaps"], r["mean_gap_us"], r["burstiness"]) == (4, 1e7, -1.0)
+
+    def test_bursty_positive(self, spark):
+        import datetime as dt
+
+        from okay_spark.relops import burstiness
+
+        rows = [(2, dt.datetime(2024, 1, 1))] * 4 + [(2, dt.datetime(2024, 1, 1, 10))]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        r = burstiness(df).collect()[0]
+        # gaps [0,0,0,3.6e10us]: mu=9e9 sigma=sqrt(2.43e20) -> B=0.267949
+        assert r["burstiness"] == 0.267949
+
+    def test_single_event_group_omitted_single_gap_null(self, spark):
+        import datetime as dt
+
+        from okay_spark.relops import burstiness
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1)),
+            (2, dt.datetime(2024, 1, 1)),
+            (2, dt.datetime(2024, 1, 2)),
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        out = {r["grp"]: r for r in burstiness(df).collect()}
+        assert set(out) == {2}  # user 1 has no gaps
+        assert out[2]["n_gaps"] == 1 and out[2]["burstiness"] is None
+
+    def test_tie_order_invariance(self, spark):
+        import datetime as dt
+
+        from okay_spark.relops import burstiness
+
+        # duplicate timestamps: the gap multiset is order-invariant
+        rows = [
+            (1, dt.datetime(2024, 1, 1)),
+            (1, dt.datetime(2024, 1, 1)),
+            (1, dt.datetime(2024, 1, 1, 1)),
+        ]
+        df1 = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        df2 = spark.createDataFrame(rows[::-1], "user_id bigint, ts timestamp").repartition(3)
+        a = burstiness(df1).collect()[0]
+        b = burstiness(df2).collect()[0]
+        assert tuple(a) == tuple(b)
