@@ -2706,6 +2706,20 @@ def q_burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burstiness(_read(spark, sf_dir, "events"))
 
 
+def q_wasserstein_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein distance between click and purchase value
+    distributions (okay_spark/checks.py wasserstein_exact). One (value)
+    count aggregate bounds everything by merged support cardinality; the
+    CDF gap at each point is the integer |cum_a*n_b - cum_b*n_a| over a
+    constant denominator; segment terms sum in decimal(38,12) — the
+    DuckDB twin replays it bit-for-bit."""
+    from okay_spark.checks import wasserstein_exact
+
+    return wasserstein_exact(
+        _read(spark, sf_dir, "events"), "value", "event_type", "click", "purchase"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2951,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers_embeddings": q_embedding_outliers,
         "autocorr_events": q_autocorr_events,
         "burstiness_events": q_burstiness_events,
+        "wasserstein_events": q_wasserstein_events,
     }
 
 
@@ -6050,6 +6065,42 @@ FROM m
 """
 
 
+# Wasserstein twin: merged-support counts, integer CDF-gap numerators,
+# lead() segment widths, decimal(38,12) term sums.
+_WASSERSTEIN_SQL = """
+WITH counts AS (
+  SELECT value AS v,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY value
+), cum AS (
+  SELECT v,
+    CAST(sum(ca) OVER (ORDER BY v ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+    CAST(sum(cb) OVER (ORDER BY v ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb,
+    CAST(sum(ca) OVER () AS BIGINT) AS na,
+    CAST(sum(cb) OVER () AS BIGINT) AS nb,
+    lead(v) OVER (ORDER BY v ASC) AS nextv
+  FROM counts
+), agg AS (
+  SELECT max(na) AS n_a, max(nb) AS n_b,
+    CAST(count(*) AS BIGINT) AS support,
+    CAST(sum(CAST(CASE WHEN nextv IS NOT NULL
+      THEN (CAST(abs(cuma * nb - cumb * na) AS DOUBLE)
+            / CAST(na * nb AS DOUBLE))
+           * (CAST(nextv AS DOUBLE) - CAST(v AS DOUBLE))
+      ELSE 0.0e0 END AS DECIMAL(38,12))) AS DOUBLE) AS w1raw
+  FROM cum
+)
+SELECT n_a, n_b, support,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN round(w1raw, 6) END AS w1
+FROM agg
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6333,6 +6384,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers_embeddings": _EMBEDDING_OUTLIERS_SQL,
         "autocorr_events": _AUTOCORR_SQL,
         "burstiness_events": _BURSTINESS_SQL,
+        "wasserstein_events": _WASSERSTEIN_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

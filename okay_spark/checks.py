@@ -2989,3 +2989,84 @@ def autocorrelation_daily(
         num / (F.sqrt(denx) * F.sqrt(deny)),
     )
     return agg.select("grp", "lag", "n_pairs", F.round(acf, 6).alias("acf"))
+
+
+def wasserstein_exact(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """EXACT 1-Wasserstein (earth-mover) distance between two groups'
+    empirical value distributions — the drift number that, unlike PSI
+    (binned) and KS (sup-norm only), weights HOW FAR the mass moved:
+    ``W1 = integral |F_a - F_b|`` over the merged support. Completes
+    the drift family (psi/ks binned, categorical, exact unbinned KS,
+    quantile drift) with the transport metric mixture tuning actually
+    optimizes. NULL values are excluded. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(n_a, n_b, support, w1)`` — ``support`` the
+    merged distinct-value count; ``w1`` NULL when either side is empty.
+
+    Exactness: per-value counts for both sides come from ONE aggregate;
+    the CDF difference at each support point is the INTEGER numerator
+    ``|cum_a*n_b - cum_b*n_a|`` (exact bigint, safe to ~3e9 rows per
+    side) over the constant ``n_a*n_b``; each segment term is ONE fixed
+    IEEE expression ``(num/den) * (next_v - v)`` accumulated in
+    per-row decimal(38,12) casts (the moment discipline). The DuckDB
+    twin replays it bit-for-bit.
+
+    Scale shape: one (value) count aggregate bounds all downstream
+    state by merged distinct-value cardinality (the roc_auc
+    discipline — the cumulative/lead windows sort COUNTS, never rows);
+    then one scalar reduce. Bucket/round continuous values first at
+    extreme cardinality."""
+    v, g = F.col(value_col), F.col(group_col)
+    counts = (
+        df.filter(v.isNotNull() & g.isin(group_a, group_b))
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_cb"),
+        )
+    )
+    wcum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wlead = Window.orderBy("_v")
+    cum = counts.select(
+        "_v",
+        F.sum("_ca").over(wcum).cast("bigint").alias("_cuma"),
+        F.sum("_cb").over(wcum).cast("bigint").alias("_cumb"),
+        F.sum("_ca").over(wall).cast("bigint").alias("_na"),
+        F.sum("_cb").over(wall).cast("bigint").alias("_nb"),
+        F.lead("_v").over(wlead).alias("_nextv"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    num = F.abs(
+        F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    )
+    term = (
+        d(num) / d(F.col("_na") * F.col("_nb"))
+    ) * (d(F.col("_nextv")) - d(F.col("_v")))
+    agg = cum.agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("support"),
+        F.sum(
+            F.when(F.col("_nextv").isNotNull(), term)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("_w1"),
+    )
+    w1 = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("_w1"))
+    return agg.select("n_a", "n_b", "support", F.round(w1, 6).alias("w1"))

@@ -312,6 +312,30 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
         round(n_pass * 1000 / max(stats["after_quality"], 1))
     )
 
+    # 4c. filter calibration: before trusting the cheap heuristics as
+    #     gates, measure them as CLASSIFIERS. (a) Does the composite
+    #     quality score RANK documents the way the Gopher bundle decides
+    #     them (threshold-free ROC-AUC)? (b) Is the stopword lang-ID's
+    #     agreement with the gold label better than chance (Cohen's
+    #     kappa — accuracy alone lies under class imbalance)?
+    from okay_spark.checks import cohens_kappa, roc_auc
+    from okay_spark.textops import language_id
+
+    auc_row = roc_auc(
+        quality_score(filtered)
+        .select("doc_id", "quality")
+        .join(gopher.select("doc_id", "passes_gopher"), on="doc_id"),
+        F.col("quality"),
+        F.col("passes_gopher"),
+    ).first()
+    stats["quality_vs_gopher_auc_millis"] = int(
+        round((auc_row["auc"] or 0.0) * 1000)
+    )
+    kap = cohens_kappa(
+        language_id(filtered), F.col("lang_pred"), F.col("lang")
+    ).first()
+    stats["langid_kappa_millis"] = int(round((kap["kappa"] or 0.0) * 1000))
+
     # 5. benchmark decontamination: drop docs overlapping the held-out slice
     benchmark = docs.filter(F.col("source") == "src5")
     corpus = filtered.filter(F.col("source") != "src5")
@@ -400,6 +424,33 @@ def run_pipeline(spark, sf_dir: str, out: str) -> dict:
     final = split_column(budgeted, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     final.write.mode("overwrite").partitionBy("split").parquet(f"{out}/corpus")
     stats["final_docs"] = final.count()
+
+    # 9. ship-manifest profile of what actually ships: per-source Flesch
+    #    readability, distinct-2 lexical diversity, and length-Gini — the
+    #    three numbers a training-run owner reads off the manifest before
+    #    pointing a trainer at the corpus (flat reading ease, collapsing
+    #    dist-2, or one source's length Gini spiking all mean re-open the
+    #    filters, not train)
+    from okay_spark.checks import gini_inequality
+    from okay_spark.textops import ngram_diversity, readability_stats
+
+    prof = (
+        readability_stats(final)
+        .join(ngram_diversity(final).select("grp", "dist_1", "dist_2"), on="grp")
+        .join(
+            gini_inequality(final, "source", "n_chars").select("grp", "gini"),
+            on="grp",
+        )
+    )
+    prof.write.mode("overwrite").parquet(f"{out}/ship_profile")
+    agg = prof.agg(
+        F.min("mean_flesch").alias("fl"),
+        F.min("dist_2").alias("d2"),
+        F.max("gini").alias("gi"),
+    ).first()
+    stats["ship_min_flesch_int"] = int(round(agg["fl"] or 0.0))
+    stats["ship_min_dist2_millis"] = int(round((agg["d2"] or 0.0) * 1000))
+    stats["ship_max_length_gini_millis"] = int(round((agg["gi"] or 0.0) * 1000))
     return stats
 
 

@@ -1416,6 +1416,18 @@ def main() -> None:
         "group; gaps are exact integer microseconds, moments "
         "decimal(38,12); no join, no collect",
     )
+    from okay_spark.checks import wasserstein_exact
+
+    audit(
+        "wasserstein_exact",
+        wasserstein_exact(events, "value", "event_type", "click", "purchase"),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="one (value) count aggregate bounds all downstream state by "
+        "merged support cardinality (the roc_auc discipline — cumulative/"
+        "lead windows sort COUNTS, never rows); CDF gaps are integer "
+        "numerators over a constant denominator; then one scalar reduce",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

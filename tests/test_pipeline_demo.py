@@ -42,6 +42,19 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     assert 0 <= stats["lang_source_v_millis"] < 500
     assert stats["boilerplate_lines"] >= 0
     assert "k_anonymity_violations" in stats
+    # filter-calibration stage: AUC of the composite quality score as a
+    # ranker for the Gopher verdict is a valid probability-of-correct-pair
+    # (in [0,1000] millis; on real corpora it should sit well above 500),
+    # and the lang-ID kappa is a bounded chance-corrected agreement (the
+    # synthetic token soup earns ~0 -- the profile honestly says the
+    # heuristic is uninformative HERE, which is exactly its job)
+    assert 0 <= stats["quality_vs_gopher_auc_millis"] <= 1000
+    assert -1000 <= stats["langid_kappa_millis"] <= 1000
+    # ship-manifest profile: diversity/inequality stay in their ranges and
+    # the sink exists (checked below)
+    assert 0 < stats["ship_min_dist2_millis"] <= 1000
+    assert 0 <= stats["ship_max_length_gini_millis"] < 1000
+    assert "ship_min_flesch_int" in stats
     assert stats["after_quality"] >= stats["after_decontamination"]
     assert stats["after_decontamination"] >= stats["after_doc_decontamination"]
     assert stats["after_doc_decontamination"] >= stats["after_domain_cap"]
@@ -63,6 +76,8 @@ def test_pipeline_demo_funnel(spark, tmp_path):
     assert q.count() + stats["validated"] == stats["ingested"]
     seqs = spark.read.parquet(f"{out}/sequences")
     assert seqs.count() == stats["sequences"]
+    prof = spark.read.parquet(f"{out}/ship_profile")
+    assert {"grp", "mean_flesch", "dist_2", "gini"} <= set(prof.columns)
     corpus = spark.read.parquet(f"{out}/corpus")
     assert corpus.count() == stats["final_docs"]
     assert set(r["split"] for r in corpus.select("split").distinct().collect()) <= {

@@ -442,3 +442,49 @@ class TestBurstiness:
         a = burstiness(df1).collect()[0]
         b = burstiness(df2).collect()[0]
         assert tuple(a) == tuple(b)
+
+
+class TestWassersteinExact:
+    def test_unit_shift(self, spark):
+        from okay_spark.checks import wasserstein_exact
+
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+        )
+        r = wasserstein_exact(df, "v", "g", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"], r["w1"]) == (2, 2, 1.0)
+
+    def test_identical_is_zero(self, spark):
+        from okay_spark.checks import wasserstein_exact
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+        )
+        assert wasserstein_exact(df, "v", "g", "a", "b").collect()[0]["w1"] == 0.0
+
+    def test_scipy_value(self, spark):
+        from okay_spark.checks import wasserstein_exact
+
+        # scipy.stats.wasserstein_distance([0,0,3],[1,2,2]) = 4/3
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 0.0), ("a", 3.0), ("b", 1.0), ("b", 2.0), ("b", 2.0)],
+            "g string, v double",
+        )
+        assert wasserstein_exact(df, "v", "g", "a", "b").collect()[0]["w1"] == 1.333333
+
+    def test_empty_side_is_null(self, spark):
+        from okay_spark.checks import wasserstein_exact
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        r = wasserstein_exact(df, "v", "g", "a", "b").collect()[0]
+        assert r["w1"] is None and r["n_b"] == 0
+
+    def test_partition_invariance(self, spark):
+        from okay_spark.checks import wasserstein_exact
+
+        rows = [("a" if i % 2 else "b", float(i % 9)) for i in range(200)]
+        df1 = spark.createDataFrame(rows, "g string, v double")
+        df2 = spark.createDataFrame(rows[::-1], "g string, v double").repartition(7)
+        a = wasserstein_exact(df1, "v", "g", "a", "b").collect()[0]
+        b = wasserstein_exact(df2, "v", "g", "a", "b").collect()[0]
+        assert tuple(a) == tuple(b)
