@@ -2720,6 +2720,51 @@ def q_wasserstein_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prop_ztest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test: do click and view events exceed
+    value 50 at the same rate (okay_spark/checks.py proportion_ztest)?
+    ONE scalar aggregate of four conditional counts; rates int/int
+    divisions, z one fixed pooled-variance expression — bit-identical
+    DuckDB twin."""
+    from okay_spark.checks import proportion_ztest
+
+    return proportion_ztest(
+        _read(spark, sf_dir, "events"),
+        "event_type",
+        "click",
+        "view",
+        F.col("value") > F.lit(50.0),
+    )
+
+
+def q_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between hour-of-day and value ventile
+    (okay_spark/checks.py kendall_tau_b). One (x, y) contingency
+    aggregate bounds the concordance self-join by 24 x 21 cells; exact
+    bigint pair products in decimal(38,0); tau one fixed IEEE
+    expression — bit-identical DuckDB twin."""
+    from okay_spark.checks import kendall_tau_b
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return kendall_tau_b(
+        ev,
+        F.hour("ts"),
+        F.floor(F.col("value") / F.lit(20.0)).cast("bigint"),
+    )
+
+
+def q_km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve, first click to first
+    strictly-later purchase, censored at the corpus end
+    (okay_spark/relops.py km_survival). At-risk counts from a descending
+    cumulative window over duration COUNTS; the KM product is a
+    prefix-slice sequential fold (the EWMA discipline) of int/int
+    factors — the DuckDB twin replays it element-for-element."""
+    from okay_spark.relops import km_survival
+
+    return km_survival(_read(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2966,6 +3011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_events": q_autocorr_events,
         "burstiness_events": q_burstiness_events,
         "wasserstein_events": q_wasserstein_events,
+        "prop_ztest_events": q_prop_ztest_events,
+        "kendall_events": q_kendall_events,
+        "km_survival_events": q_km_survival_events,
     }
 
 
@@ -6101,6 +6149,129 @@ FROM agg
 """
 
 
+# Proportion z-test twin: four conditional counts, pooled-variance z as
+# one fixed IEEE expression (float literals spelled e0).
+_PROP_ZTEST_SQL = """
+WITH a AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_a,
+    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_b,
+    CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                            AND coalesce(value > 50.0e0, FALSE)
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_a,
+    CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                            AND coalesce(value > 50.0e0, FALSE)
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_b
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT n_a, n_b, k_a, k_b,
+  CASE WHEN n_a > 0
+       THEN round(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS p_a,
+  CASE WHEN n_b > 0
+       THEN round(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS p_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND k_a + k_b > 0 AND k_a + k_b < n_a + n_b
+       THEN round((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt((CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                         * (1.0e0 - CAST(k_a + k_b AS DOUBLE)
+                                    / CAST(n_a + n_b AS DOUBLE))
+                         * (1.0e0 / CAST(n_a AS DOUBLE)
+                            + 1.0e0 / CAST(n_b AS DOUBLE))), 6)
+  END AS z
+FROM a
+"""
+
+
+# Kendall tau-b twin: contingency cells, concordance self-join on x,
+# marginal tie terms, one fixed IEEE tau expression.
+_KENDALL_SQL = """
+WITH base AS (
+  SELECT hour(ts) AS x, CAST(floor(value / 20.0e0) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), cd AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN a.y < b.y
+      THEN CAST(a.c * b.c AS DECIMAL(38,0))
+      ELSE CAST(0 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS conc,
+    CAST(coalesce(sum(CASE WHEN a.y > b.y
+      THEN CAST(a.c * b.c AS DECIMAL(38,0))
+      ELSE CAST(0 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS disc
+  FROM cells a JOIN cells b ON a.x < b.x
+), nt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cells),
+txt AS (
+  SELECT CAST(coalesce(sum(CAST(m * (m - 1) AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS tx2
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY x)
+), tyt AS (
+  SELECT CAST(coalesce(sum(CAST(m * (m - 1) AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS ty2
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY y)
+)
+SELECT n, CAST(conc AS BIGINT) AS concordant, CAST(disc AS BIGINT) AS discordant,
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0e0
+             - CAST(tx2 AS DOUBLE) / 2.0e0) > 0
+        AND (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0e0
+             - CAST(ty2 AS DOUBLE) / 2.0e0) > 0
+       THEN round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0e0
+                          - CAST(tx2 AS DOUBLE) / 2.0e0)
+                     * sqrt(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0e0
+                            - CAST(ty2 AS DOUBLE) / 2.0e0)), 6)
+  END AS tau_b
+FROM nt, cd, txt, tyt
+"""
+
+
+# Kaplan-Meier twin: durations from two min-aggregates + censoring at the
+# corpus max; at-risk via descending cumulative counts; the KM product is
+# a [1.0]-seeded prefix-slice list_reduce (the EWMA fold discipline).
+_KM_SURVIVAL_SQL = """
+WITH base AS (
+  SELECT user_id AS u, event_type AS ty, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+), starts AS (
+  SELECT u, min(ts) AS t0 FROM base WHERE ty = 'click' GROUP BY u
+), conv AS (
+  SELECT s.u, s.t0, min(e.ts) AS t1
+  FROM starts s LEFT JOIN base e
+    ON e.u = s.u AND e.ty = 'purchase' AND e.ts > s.t0
+  GROUP BY s.u, s.t0
+), obs AS (SELECT max(ts) AS tmax FROM base),
+durs AS (
+  SELECT CAST(CASE WHEN t1 IS NOT NULL
+              THEN CAST(t1 AS DATE) - CAST(t0 AS DATE)
+              ELSE CAST(tmax AS DATE) - CAST(t0 AS DATE) END AS BIGINT) AS dur,
+         t1 IS NOT NULL AS ev
+  FROM conv, obs
+), counts AS (
+  SELECT dur,
+    CAST(coalesce(sum(CASE WHEN ev THEN 1 ELSE 0 END), 0) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS c
+  FROM durs GROUP BY dur
+), risk AS (
+  SELECT dur, d,
+    CAST(sum(c) OVER (ORDER BY dur DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+  FROM counts
+), packed AS (
+  SELECT list({'dur': dur, 'd': d, 'n': n} ORDER BY dur ASC) AS arr
+  FROM risk WHERE d > 0
+), expl AS (
+  SELECT generate_subscripts(arr, 1) AS i, unnest(arr) AS s, arr FROM packed
+)
+SELECT s.dur AS t_days, s.n AS n_risk, s.d AS n_event,
+  round(list_reduce([1.0e0] + [1.0e0 - CAST(arr[j].d AS DOUBLE)
+                                       / CAST(arr[j].n AS DOUBLE)
+                               FOR j IN range(1, i + 1)],
+                    (a, b) -> a * b), 6) AS survival
+FROM expl
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6385,6 +6556,9 @@ def oracle_sql() -> dict[str, str]:
         "autocorr_events": _AUTOCORR_SQL,
         "burstiness_events": _BURSTINESS_SQL,
         "wasserstein_events": _WASSERSTEIN_SQL,
+        "prop_ztest_events": _PROP_ZTEST_SQL,
+        "kendall_events": _KENDALL_SQL,
+        "km_survival_events": _KM_SURVIVAL_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

@@ -3070,3 +3070,169 @@ def wasserstein_exact(
     )
     w1 = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("_w1"))
     return agg.select("n_a", "n_b", "support", F.round(w1, 6).alias("w1"))
+
+
+def proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    success: Column,
+) -> DataFrame:
+    """Two-sample proportion z-test between two groups' success rates —
+    the pooled-variance z statistic behind every A/B readout and
+    source-vs-source rate comparison (did src3's PII-hit rate really
+    move, or is it sampling noise?). NULL successes count as False;
+    rows outside the two groups are ignored. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(n_a, n_b, k_a, k_b, p_a, p_b, z)`` — counts
+    exact bigints; ``z`` NULL when either group is empty or the pooled
+    rate is degenerate (0 or 1: zero variance, the difference is exact,
+    not a test).
+
+    Exactness: rates are single int/int IEEE divisions; the z statistic
+    is ONE fixed expression — ``(p_a - p_b) / sqrt(p*(1-p)*(1/n_a +
+    1/n_b))`` with the pooled ``p = (k_a+k_b)/(n_a+n_b)`` — every
+    operand ordered identically in the DuckDB twin.
+
+    Scale shape: ONE map-side-combinable scalar aggregate (four
+    conditional counts); no shuffle beyond the single-row reduce, no
+    join, no window."""
+    g = F.col(group_col)
+    s = F.coalesce(success, F.lit(False))
+    agg = df.filter(g.isin(group_a, group_b)).agg(
+        F.coalesce(F.sum(F.when(g == group_a, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(g == group_b, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.coalesce(F.sum(F.when((g == group_a) & s, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("k_a"),
+        F.coalesce(F.sum(F.when((g == group_b) & s, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("k_b"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    na, nb, ka, kb = (F.col(x) for x in ("n_a", "n_b", "k_a", "k_b"))
+    pa = d(ka) / d(na)
+    pb = d(kb) / d(nb)
+    pp = d(ka + kb) / d(na + nb)
+    z = F.when(
+        (na > 0) & (nb > 0) & (ka + kb > 0) & (ka + kb < na + nb),
+        (pa - pb)
+        / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / d(na) + F.lit(1.0) / d(nb))),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "k_a",
+        "k_b",
+        F.round(F.when(na > 0, pa), 6).alias("p_a"),
+        F.round(F.when(nb > 0, pb), 6).alias("p_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def kendall_tau_b(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Kendall's tau-b between two ordinal columns — concordant-minus-
+    discordant pair agreement with the tie correction, the rank
+    association that (unlike :func:`spearman_corr`) reads naturally as
+    a probability ("how often do two random rows order the same way on
+    both axes"). Rows with a NULL on either side are excluded. Use on
+    BOUNDED-cardinality ordinals (buckets, hours, grades) — bucket
+    continuous values first. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(n, concordant, discordant, tau_b)`` — ``tau_b``
+    NULL when either axis is constant (its tie term swallows all
+    pairs).
+
+    Exactness: everything derives from ONE (x, y) contingency aggregate
+    — concordant/discordant from the cell self-join (n1*n2 per ordered
+    cell pair, counted once and NOT doubled; tau-b is symmetric in the
+    pair orientation), tie terms from the marginals — all EXACT bigint
+    products accumulated in decimal(38,0); ``tau_b = (C - D) /
+    (sqrt(n0 - tx) * sqrt(n0 - ty))`` is ONE fixed IEEE expression over
+    the double-cast terms (with ``n0 = n(n-1)/2`` and the pair counts
+    HALVED symbolically: C, D, tx, ty all count unordered pairs). The
+    DuckDB twin replays it bit-for-bit.
+
+    Scale shape: the contingency aggregate bounds everything by
+    |distinct x| * |distinct y| cells; the pair comparison is a
+    self-join over that bounded grid (cells^2/2 row-local products —
+    the mann_kendall discipline); marginal tie terms re-aggregate the
+    same frame (localCheckpoint-ed once). No window over raw rows."""
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    cells = (
+        base.groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"), F.col("_c").alias("_ca")
+    )
+    b = cells.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"), F.col("_c").alias("_cb")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = a.join(b, (F.col("_xa") < F.col("_xb")))
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_ya") < F.col("_yb"), dec(F.col("_ca") * F.col("_cb"))
+                ).otherwise(dec(F.lit(0)))
+            ),
+            dec(F.lit(0)),
+        ).alias("_conc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_ya") > F.col("_yb"), dec(F.col("_ca") * F.col("_cb"))
+                ).otherwise(dec(F.lit(0)))
+            ),
+            dec(F.lit(0)),
+        ).alias("_disc"),
+    )
+    n_tot = cells.agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n"))
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_c").cast("bigint").alias("_m"))
+        .agg(
+            F.coalesce(
+                F.sum(dec(F.col("_m") * (F.col("_m") - F.lit(1)))), dec(F.lit(0))
+            ).alias("_tx2")
+        )
+    )
+    ty = (
+        cells.groupBy("_y")
+        .agg(F.sum("_c").cast("bigint").alias("_m"))
+        .agg(
+            F.coalesce(
+                F.sum(dec(F.col("_m") * (F.col("_m") - F.lit(1)))), dec(F.lit(0))
+            ).alias("_ty2")
+        )
+    )
+    j = n_tot.crossJoin(cd).crossJoin(tx).crossJoin(ty)
+    d = lambda c: c.cast("double")  # noqa: E731
+    n = F.col("n")
+    # all pair counts as doubles; n0/tx/ty are halved-symbolically via /2.0
+    n0 = d(n) * d(n - F.lit(1)) / F.lit(2.0)
+    txv = d(F.col("_tx2")) / F.lit(2.0)
+    tyv = d(F.col("_ty2")) / F.lit(2.0)
+    conc, disc = d(F.col("_conc")), d(F.col("_disc"))
+    tau = F.when(
+        (n0 - txv > 0) & (n0 - tyv > 0),
+        (conc - disc) / (F.sqrt(n0 - txv) * F.sqrt(n0 - tyv)),
+    )
+    return j.select(
+        "n",
+        F.col("_conc").cast("bigint").alias("concordant"),
+        F.col("_disc").cast("bigint").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    )

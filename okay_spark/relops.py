@@ -669,3 +669,100 @@ def burstiness(
         F.round(mu, 6).alias("mean_gap_us"),
         F.round(b, 6).alias("burstiness"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "click",
+    end_type: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-conversion: per user, the
+    day count from the FIRST ``start_type`` event to the first STRICTLY
+    LATER ``end_type`` event (the funnel discipline — an equal timestamp
+    never converts), right-censored at the corpus's last observed
+    timestamp for users who never convert. The estimator every
+    time-to-event readout needs where a naive mean-of-converted-users is
+    survivorship-biased (slow converters haven't converted YET). KM 1958.
+    No reference counterpart (/root/reference/src/okay/validator.py).
+
+    Output, one row per distinct EVENT day-duration t: ``(t_days,
+    n_risk, n_event, survival)`` — ``survival`` the KM product
+    ``prod_{t_j <= t} (1 - d_j / n_j)``.
+
+    Exactness: durations are integer day differences; at-risk counts
+    come from a descending cumulative window over the per-duration
+    counts (exact bigints; censored-at-t users count as at risk at t —
+    the standard convention); the KM product is a zero-indexed
+    SEQUENTIAL fold over the PREFIX SLICE of the day-ordered support
+    array (the ewma_anomalies discipline — DuckDB ``list_reduce`` with
+    a ``[1.0]`` seed replays Spark's ``aggregate`` with a 1.0 seed
+    element-for-element), each factor ONE int/int division.
+
+    Scale shape: two per-user min-aggregates + one bounded min-join
+    build the durations frame (one row per start_type user); everything
+    after is bounded by DISTINCT DURATION cardinality (calendar days —
+    a survival curve's state is inherently days): per-duration counts,
+    one descending window over counts, one collect_list bounded by
+    days, row-local prefix folds. No posting lists, no per-row state."""
+    ts, u, ty = F.col(ts_col), F.col(user_col), F.col(type_col)
+    base = df.filter(ts.isNotNull() & u.isNotNull() & ty.isNotNull())
+    starts = (
+        base.filter(ty == start_type)
+        .groupBy(u.alias("_u"))
+        .agg(F.min(ts).alias("_t0"))
+    )
+    ends = base.filter(ty == end_type).select(
+        u.alias("_ue"), ts.alias("_te")
+    )
+    conv = (
+        starts.join(
+            ends, (F.col("_u") == F.col("_ue")) & (F.col("_te") > F.col("_t0")), "left"
+        )
+        .groupBy("_u", "_t0")
+        .agg(F.min("_te").alias("_t1"))
+    )
+    obs_end = base.agg(F.max(ts).alias("_tmax"))
+    durs = conv.crossJoin(F.broadcast(obs_end)).select(
+        F.when(
+            F.col("_t1").isNotNull(),
+            F.datediff(F.to_date("_t1"), F.to_date("_t0")),
+        )
+        .otherwise(F.datediff(F.to_date("_tmax"), F.to_date("_t0")))
+        .cast("bigint")
+        .alias("_dur"),
+        F.col("_t1").isNotNull().alias("_event"),
+    )
+    counts = durs.groupBy("_dur").agg(
+        F.sum(F.when(F.col("_event"), 1).otherwise(0)).cast("bigint").alias("_d"),
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+    )
+    wdesc = (
+        Window.orderBy(F.col("_dur").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = counts.select(
+        "_dur", "_d", F.sum("_c").over(wdesc).cast("bigint").alias("_n")
+    ).filter(F.col("_d") > 0)
+    packed = risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_dur"), F.col("_d"), F.col("_n")))
+        ).alias("_arr")
+    )
+    exploded = packed.select(
+        F.posexplode(F.col("_arr")).alias("_i", "_s"), F.col("_arr")
+    )
+    surv = F.aggregate(
+        F.slice(F.col("_arr"), 1, F.col("_i") + 1),
+        F.lit(1.0),
+        lambda acc, s: acc
+        * (F.lit(1.0) - s["_d"].cast("double") / s["_n"].cast("double")),
+    )
+    return exploded.select(
+        F.col("_s")["_dur"].alias("t_days"),
+        F.col("_s")["_n"].alias("n_risk"),
+        F.col("_s")["_d"].alias("n_event"),
+        F.round(surv, 6).alias("survival"),
+    )

@@ -1428,6 +1428,48 @@ def main() -> None:
         "lead windows sort COUNTS, never rows); CDF gaps are integer "
         "numerators over a constant denominator; then one scalar reduce",
     )
+    from okay_spark.checks import kendall_tau_b, proportion_ztest
+
+    audit(
+        "proportion_ztest",
+        proportion_ztest(
+            events, "event_type", "click", "view", F.col("value") > F.lit(50.0)
+        ),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE map-side-combinable scalar aggregate (four conditional "
+        "counts, SinglePartition reduce only); rates and z are row-local "
+        "expressions over the counts",
+    )
+    audit(
+        "kendall_tau_b",
+        kendall_tau_b(
+            events.filter(F.col("ts").isNotNull()),
+            F.hour("ts"),
+            F.floor(F.col("value") / F.lit(20.0)).cast("bigint"),
+        ),
+        max_shuffles=6,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE (x, y) contingency aggregate bounds everything by "
+        "|x|*|y| cells (localCheckpoint-ed — input scanned once); the "
+        "concordance pass is a cells^2/2 self-join over that bounded "
+        "grid (the mann_kendall discipline); tie terms re-aggregate "
+        "marginals of the same frame",
+    )
+    from okay_spark.relops import km_survival
+
+    audit(
+        "km_survival",
+        km_survival(events),
+        max_shuffles=6,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="durations from two per-user min-aggregates + a bounded "
+        "min-join (one row per converting user); everything after is "
+        "bounded by DISTINCT DURATION cardinality — per-duration "
+        "counts, one descending window over counts, one collect_list "
+        "bounded by calendar days, row-local prefix folds (the EWMA "
+        "discipline)",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

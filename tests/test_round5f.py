@@ -488,3 +488,117 @@ class TestWassersteinExact:
         a = wasserstein_exact(df1, "v", "g", "a", "b").collect()[0]
         b = wasserstein_exact(df2, "v", "g", "a", "b").collect()[0]
         assert tuple(a) == tuple(b)
+
+
+class TestProportionZtest:
+    def test_statsmodels_value(self, spark):
+        from okay_spark.checks import proportion_ztest
+
+        rows = (
+            [("a", True)] * 30 + [("a", False)] * 70
+            + [("b", True)] * 20 + [("b", False)] * 80
+        )
+        df = spark.createDataFrame(rows, "g string, s boolean")
+        r = proportion_ztest(df, "g", "a", "b", F.col("s")).collect()[0]
+        assert (r["n_a"], r["n_b"], r["k_a"], r["k_b"]) == (100, 100, 30, 20)
+        # statsmodels proportions_ztest([30, 20], [100, 100]) = 1.6330
+        assert r["z"] == 1.632993
+
+    def test_degenerate_pooled_rate_is_null(self, spark):
+        from okay_spark.checks import proportion_ztest
+
+        df = spark.createDataFrame(
+            [("a", False), ("b", False)], "g string, s boolean"
+        )
+        assert proportion_ztest(df, "g", "a", "b", F.col("s")).collect()[0]["z"] is None
+
+    def test_null_success_counts_false(self, spark):
+        from okay_spark.checks import proportion_ztest
+
+        df = spark.createDataFrame(
+            [("a", True), ("a", None), ("b", True), ("b", True)], "g string, s boolean"
+        )
+        r = proportion_ztest(df, "g", "a", "b", F.col("s")).collect()[0]
+        assert (r["k_a"], r["k_b"], r["p_a"], r["p_b"]) == (1, 2, 0.5, 1.0)
+
+
+class TestKendallTauB:
+    def test_perfect_and_anti(self, spark):
+        from okay_spark.checks import kendall_tau_b
+
+        d2 = spark.createDataFrame([(1, 1), (2, 2), (3, 3), (4, 4)], "x int, y int")
+        assert kendall_tau_b(d2, F.col("x"), F.col("y")).collect()[0]["tau_b"] == 1.0
+        d4 = spark.createDataFrame([(1, 4), (2, 3), (3, 2), (4, 1)], "x int, y int")
+        r = kendall_tau_b(d4, F.col("x"), F.col("y")).collect()[0]
+        assert (r["concordant"], r["discordant"], r["tau_b"]) == (0, 6, -1.0)
+
+    def test_tie_correction(self, spark):
+        from okay_spark.checks import kendall_tau_b
+
+        # pairs: C=4, D=0, tx=1, ty=1, n0=6 -> tau_b = 4/sqrt(5*5) = 0.8
+        d3 = spark.createDataFrame([(1, 1), (1, 2), (2, 2), (3, 3)], "x int, y int")
+        r = kendall_tau_b(d3, F.col("x"), F.col("y")).collect()[0]
+        assert (r["concordant"], r["discordant"], r["tau_b"]) == (4, 0, 0.8)
+
+    def test_constant_axis_is_null(self, spark):
+        from okay_spark.checks import kendall_tau_b
+
+        d5 = spark.createDataFrame([(1, 1), (1, 2)], "x int, y int")
+        assert kendall_tau_b(d5, F.col("x"), F.col("y")).collect()[0]["tau_b"] is None
+
+    def test_partition_invariance(self, spark):
+        from okay_spark.checks import kendall_tau_b
+
+        rows = [((i * 3) % 7, (i * 5) % 9) for i in range(200)]
+        df1 = spark.createDataFrame(rows, "x int, y int")
+        df2 = spark.createDataFrame(rows[::-1], "x int, y int").repartition(5)
+        a = kendall_tau_b(df1, F.col("x"), F.col("y")).collect()[0]
+        b = kendall_tau_b(df2, F.col("x"), F.col("y")).collect()[0]
+        assert tuple(a) == tuple(b)
+
+
+class TestKmSurvival:
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        import datetime as dt
+
+        from okay_spark.relops import km_survival
+
+        D = dt.datetime
+        rows = [
+            (1, "click", D(2024, 1, 1)), (1, "purchase", D(2024, 1, 2)),
+            (2, "click", D(2024, 1, 1)), (2, "purchase", D(2024, 1, 4)),
+            (3, "click", D(2024, 1, 1)),                       # censored
+            (4, "click", D(2024, 1, 3)), (4, "purchase", D(2024, 1, 3)),  # equal ts
+            (9, "view", D(2024, 1, 6)),                        # sets obs end
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+        return {r["t_days"]: r for r in km_survival(df).collect()}
+
+    def test_km_products(self, out):
+        # t=1: 4 at risk, 1 event -> S=0.75; t=3: 3 at risk, 1 event -> 0.5
+        assert set(out) == {1, 3}
+        assert (out[1]["n_risk"], out[1]["n_event"], out[1]["survival"]) == (4, 1, 0.75)
+        assert (out[3]["n_risk"], out[3]["n_event"], out[3]["survival"]) == (3, 1, 0.5)
+
+    def test_equal_timestamp_never_converts(self, out):
+        # user 4's purchase at the same instant is censoring, not an event:
+        # only two event rows exist
+        assert sum(r["n_event"] for r in out.values()) == 2
+
+    def test_partition_invariance(self, spark):
+        import datetime as dt
+
+        from okay_spark.relops import km_survival
+
+        D = dt.datetime
+        rows = [
+            (u, t, D(2024, 1, 1 + (u * 3 + i) % 9))
+            for u in range(12)
+            for i, t in enumerate(["click", "view", "purchase"])
+        ]
+        df1 = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+        df2 = spark.createDataFrame(rows[::-1], "user_id bigint, event_type string, ts timestamp").repartition(5)
+        a = {tuple(r) for r in km_survival(df1).collect()}
+        b = {tuple(r) for r in km_survival(df2).collect()}
+        assert a == b and len(a) > 0
