@@ -2765,6 +2765,18 @@ def q_km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_survival(_read(spark, sf_dir, "events"))
 
 
+def q_ess_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size per language with the quality score as
+    the importance weight (okay_spark/balance.py effective_sample_size).
+    ONE group aggregate; both moments per-row decimal(38,12) casts; ESS
+    and the ratio single IEEE divisions — bit-identical DuckDB twin."""
+    from okay_spark.balance import effective_sample_size
+    from okay_spark.textops import quality_score
+
+    docs = quality_score(_read(spark, sf_dir, "documents"))
+    return effective_sample_size(docs, F.col("quality"), "lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -3014,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop_ztest_events": q_prop_ztest_events,
         "kendall_events": q_kendall_events,
         "km_survival_events": q_km_survival_events,
+        "ess_documents": q_ess_documents,
     }
 
 
@@ -6272,6 +6285,44 @@ FROM expl
 """
 
 
+# ESS twin: replays the quality score, then (sum w)^2 / sum(w^2) from
+# decimal(38,12) moment sums per language.
+_ESS_SQL = f"""
+WITH t AS (
+  SELECT lang, text,
+    list_filter(string_split(text, ' '), x -> x != '') AS toks,
+    length(text)::DOUBLE AS n_chars,
+    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+      AS punct
+  FROM documents
+), r AS (
+  SELECT lang, len(toks)::BIGINT AS n_tokens,
+    CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({_ALL_STOPS}, lower(x))))::DOUBLE
+              / len(toks)
+         ELSE 0.0 END AS stop_ratio
+  FROM t
+), w AS (
+  SELECT lang AS grp,
+    0.4 * LEAST(1.0, n_tokens / 64.0)
+      + 0.3 * GREATEST(0.0, 1.0 - punct_ratio * 10)
+      + 0.3 * LEAST(1.0, stop_ratio * 3) AS wq
+  FROM r
+), m AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(wq AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(wq * wq AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM w WHERE wq IS NOT NULL AND wq >= 0 GROUP BY grp
+)
+SELECT grp, n,
+  CASE WHEN s2 > 0 THEN round((s1 * s1) / s2, 6) END AS ess,
+  CASE WHEN s2 > 0 THEN round(((s1 * s1) / s2) / CAST(n AS DOUBLE), 6) END
+    AS ess_ratio
+FROM m
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6559,6 +6610,7 @@ def oracle_sql() -> dict[str, str]:
         "prop_ztest_events": _PROP_ZTEST_SQL,
         "kendall_events": _KENDALL_SQL,
         "km_survival_events": _KM_SURVIVAL_SQL,
+        "ess_documents": _ESS_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

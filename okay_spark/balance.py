@@ -312,3 +312,53 @@ def concentration_stats(df: DataFrame, group_col: str) -> DataFrame:
         F.when(t > 0, F.col("hhi")).alias("hhi"),
         gini.alias("gini"),
     )
+
+
+def effective_sample_size(
+    df: DataFrame, weight, group_col: str | None = None
+) -> DataFrame:
+    """Kish effective sample size of an importance-weighted corpus —
+    ``ESS = (sum w)^2 / sum(w^2)`` per group: the number a weighted
+    resample (:func:`mixture_weights` alphas, DSIR importance ratios,
+    quality-as-weight sampling) ACTUALLY behaves like. An ESS ratio near
+    1 means the weights are nearly uniform (the resample is honest);
+    near 0 means a few documents carry all the mass and the "resampled
+    corpus" is those few documents repeated — reweighting collapsed the
+    data before training ever saw it. Rows with NULL or negative
+    weights are excluded. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per group (one row total when ``group_col`` is
+    None, with ``grp = '(all)'``): ``(grp, n, ess, ess_ratio)`` —
+    ``ess`` NULL when every weight is zero.
+
+    Exactness: both moments accumulate per-row decimal(38,12) casts of
+    the double weight and its square (the moment discipline); ESS is
+    ONE fixed IEEE expression ``(s1*s1)/s2`` and the ratio one further
+    division — the DuckDB twin replays them bit-for-bit.
+
+    Scale shape: ONE map-side-combinable hash aggregate on the group
+    key (or a single-row reduce); no window, no join, no collect."""
+    from pyspark.sql import Column
+
+    w = weight if isinstance(weight, Column) else F.col(weight)
+    g = F.col(group_col) if group_col is not None else F.lit("(all)")
+    base = df.filter(w.isNotNull() & (w >= 0)).select(
+        g.alias("grp"), w.cast("double").alias("_w")
+    )
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_w").cast("decimal(38,12)")).cast("double").alias("_s1"),
+        F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("_s2"),
+    )
+    ess = F.when(
+        F.col("_s2") > 0, (F.col("_s1") * F.col("_s1")) / F.col("_s2")
+    )
+    return agg.select(
+        "grp",
+        "n",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n").cast("double"), 6).alias("ess_ratio"),
+    )

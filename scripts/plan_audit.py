@@ -1470,6 +1470,18 @@ def main() -> None:
         "bounded by calendar days, row-local prefix folds (the EWMA "
         "discipline)",
     )
+    from okay_spark.balance import effective_sample_size
+    from okay_spark.textops import quality_score
+
+    audit(
+        "effective_sample_size",
+        effective_sample_size(quality_score(docs), F.col("quality"), "lang"),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE map-side-combined hash aggregate on the group key — "
+        "two decimal(38,12) moment sums and a count; ESS/ratio are "
+        "row-local divisions; no window, no join, no collect",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

@@ -602,3 +602,38 @@ class TestKmSurvival:
         a = {tuple(r) for r in km_survival(df1).collect()}
         b = {tuple(r) for r in km_survival(df2).collect()}
         assert a == b and len(a) > 0
+
+
+class TestEffectiveSampleSize:
+    def test_uniform_weights_ess_equals_n(self, spark):
+        from okay_spark.balance import effective_sample_size
+
+        df = spark.createDataFrame([("a", 2.0)] * 8, "g string, w double")
+        r = effective_sample_size(df, "w", "g").collect()[0]
+        assert (r["n"], r["ess"], r["ess_ratio"]) == (8, 8.0, 1.0)
+
+    def test_concentrated_weights_collapse(self, spark):
+        from okay_spark.balance import effective_sample_size
+
+        # one heavy weight among zeros -> ESS = 1
+        rows = [("a", 5.0)] + [("a", 0.0)] * 9
+        df = spark.createDataFrame(rows, "g string, w double")
+        r = effective_sample_size(df, "w", "g").collect()[0]
+        assert (r["n"], r["ess"], r["ess_ratio"]) == (10, 1.0, 0.1)
+
+    def test_all_zero_is_null_and_negative_excluded(self, spark):
+        from okay_spark.balance import effective_sample_size
+
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 0.0), ("a", -1.0), ("a", None)], "g string, w double"
+        )
+        r = effective_sample_size(df, "w", "g").collect()[0]
+        assert r["n"] == 2 and r["ess"] is None
+
+    def test_global_group(self, spark):
+        from okay_spark.balance import effective_sample_size
+
+        df = spark.createDataFrame([("x", 1.0), ("y", 3.0)], "g string, w double")
+        r = effective_sample_size(df, "w").collect()[0]
+        # ESS = (4)^2 / 10 = 1.6
+        assert (r["grp"], r["ess"], r["ess_ratio"]) == ("(all)", 1.6, 0.8)
