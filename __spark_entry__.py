@@ -2777,6 +2777,20 @@ def q_ess_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_sample_size(docs, F.col("quality"), "lang")
 
 
+def q_wilson_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the value>50 rate per event type
+    (okay_spark/checks.py wilson_interval). ONE group aggregate; p one
+    int/int division; bounds fixed IEEE expressions with the z literal
+    spelled identically (1.959964e0) in the twin — bit-identical."""
+    from okay_spark.checks import wilson_interval
+
+    return wilson_interval(
+        _read(spark, sf_dir, "events"),
+        "event_type",
+        F.col("value") > F.lit(50.0),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -3027,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_events": q_kendall_events,
         "km_survival_events": q_km_survival_events,
         "ess_documents": q_ess_documents,
+        "wilson_events": q_wilson_events,
     }
 
 
@@ -6323,6 +6338,43 @@ FROM m
 """
 
 
+# Wilson twin: one group aggregate, bounds spelled operand-for-operand
+# with the z literal in e-notation (binary-exact on both parsers).
+_WILSON_SQL = """
+WITH a AS (
+  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(CASE WHEN coalesce(value > 50.0e0, FALSE)
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS k
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+)
+SELECT grp, n, k,
+  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p,
+  round(GREATEST(
+    (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+     + (1.959964e0 * 1.959964e0) / (2.0e0 * CAST(n AS DOUBLE)))
+    / (1.0e0 + (1.959964e0 * 1.959964e0) / CAST(n AS DOUBLE))
+    - 1.959964e0 * sqrt(
+        (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        * (1.0e0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        + (1.959964e0 * 1.959964e0)
+          / (4.0e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      / (1.0e0 + (1.959964e0 * 1.959964e0) / CAST(n AS DOUBLE)),
+    0.0e0), 6) AS lo,
+  round(LEAST(
+    (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+     + (1.959964e0 * 1.959964e0) / (2.0e0 * CAST(n AS DOUBLE)))
+    / (1.0e0 + (1.959964e0 * 1.959964e0) / CAST(n AS DOUBLE))
+    + 1.959964e0 * sqrt(
+        (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        * (1.0e0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        + (1.959964e0 * 1.959964e0)
+          / (4.0e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      / (1.0e0 + (1.959964e0 * 1.959964e0) / CAST(n AS DOUBLE)),
+    1.0e0), 6) AS hi
+FROM a
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6611,6 +6663,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_events": _KENDALL_SQL,
         "km_survival_events": _KM_SURVIVAL_SQL,
         "ess_documents": _ESS_SQL,
+        "wilson_events": _WILSON_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

@@ -3236,3 +3236,66 @@ def kendall_tau_b(df: DataFrame, x: Column, y: Column) -> DataFrame:
         F.col("_disc").cast("bigint").alias("discordant"),
         F.round(tau, 6).alias("tau_b"),
     )
+
+
+def wilson_interval(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    *,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group success rate —
+    the interval every rate dashboard should draw instead of the
+    textbook Wald p +/- z*sqrt(p(1-p)/n), which collapses to a
+    zero-width lie at p = 0 or 1 exactly where small sources and rare
+    violation rates live (Wilson 1927; Brown-Cai-DasGupta 2001). The
+    uncertainty companion of :func:`proportion_ztest` (that compares
+    two groups; this bounds each). NULL successes count as False; NULL
+    groups are dropped. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per group: ``(grp, n, k, p, lo, hi)`` — ``lo``/
+    ``hi`` the Wilson bounds at the given z (default two-sided 95%).
+
+    Exactness: ``k``/``n`` exact bigints, ``p`` one int/int division;
+    the bounds are ONE fixed IEEE expression each — center ``(p +
+    z^2/2n) / (1 + z^2/n)``, half-width ``z*sqrt(p(1-p)/n +
+    z^2/(4n^2)) / (1 + z^2/n)`` — with the z literal binary-exact as
+    spelled (the twin repeats the identical digits in e-notation). The
+    DuckDB twin replays every operand in order.
+
+    Scale shape: ONE map-side-combinable hash aggregate on the group
+    key; bounds are row-local expressions over (n, k). No window, no
+    join, no collect."""
+    s = F.coalesce(success, F.lit(False))
+    agg = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(s, 1).otherwise(0)).cast("bigint").alias("k"),
+        )
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    n, k = F.col("n"), F.col("k")
+    p = d(k) / d(n)
+    z2 = F.lit(float(z)) * F.lit(float(z))
+    denom = F.lit(1.0) + z2 / d(n)
+    center = (p + z2 / (F.lit(2.0) * d(n))) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / d(n)
+            + z2 / (F.lit(4.0) * d(n) * d(n))
+        )
+        / denom
+    )
+    return agg.select(
+        "grp",
+        "n",
+        "k",
+        F.round(p, 6).alias("p"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("lo"),
+        F.round(F.least(center + half, F.lit(1.0)), 6).alias("hi"),
+    )

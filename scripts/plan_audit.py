@@ -1482,6 +1482,17 @@ def main() -> None:
         "two decimal(38,12) moment sums and a count; ESS/ratio are "
         "row-local divisions; no window, no join, no collect",
     )
+    from okay_spark.checks import wilson_interval
+
+    audit(
+        "wilson_interval",
+        wilson_interval(events, "event_type", F.col("value") > F.lit(50.0)),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE map-side-combined hash aggregate on the group key; "
+        "the score bounds are row-local fixed IEEE expressions over "
+        "(n, k); no window, no join, no collect",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

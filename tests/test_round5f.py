@@ -637,3 +637,30 @@ class TestEffectiveSampleSize:
         r = effective_sample_size(df, "w").collect()[0]
         # ESS = (4)^2 / 10 = 1.6
         assert (r["grp"], r["ess"], r["ess_ratio"]) == ("(all)", 1.6, 0.8)
+
+
+class TestWilsonInterval:
+    def test_statsmodels_values(self, spark):
+        from okay_spark.checks import wilson_interval
+
+        rows = [("a", True)] * 30 + [("a", False)] * 70
+        df = spark.createDataFrame(rows, "g string, s boolean")
+        r = wilson_interval(df, "g", F.col("s")).collect()[0]
+        # statsmodels proportion_confint(30, 100, method='wilson')
+        assert (r["n"], r["k"], r["p"]) == (100, 30, 0.3)
+        assert (r["lo"], r["hi"]) == (0.218949, 0.395849)
+
+    def test_extreme_rate_not_degenerate(self, spark):
+        from okay_spark.checks import wilson_interval
+
+        # p = 1 with n = 5: Wald collapses to [1, 1]; Wilson does not
+        df = spark.createDataFrame([("b", True)] * 5, "g string, s boolean")
+        r = wilson_interval(df, "g", F.col("s")).collect()[0]
+        assert r["p"] == 1.0 and 0.5 < r["lo"] < 1.0 and r["hi"] == 1.0
+
+    def test_null_success_counts_false(self, spark):
+        from okay_spark.checks import wilson_interval
+
+        df = spark.createDataFrame([("a", True), ("a", None)], "g string, s boolean")
+        r = wilson_interval(df, "g", F.col("s")).collect()[0]
+        assert (r["n"], r["k"]) == (2, 1)
