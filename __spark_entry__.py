@@ -2791,6 +2791,25 @@ def q_wilson_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe against the exact brute-force ranking
+    on the planted input (okay_spark/similarity.py ann_recall). The twin
+    wraps the verbatim IVF replay as a CTE, ranks the exact side with
+    the SAME zero-seeded fold cosine and (score desc, id) tie-break, and
+    intersects ids — recall is one int/int division."""
+    from okay_spark.similarity import ann_recall
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planted = (
+        emb.filter(F.col("vec_id") == 0)
+        .withColumn("vec_id", F.lit(-1).cast(emb.schema["vec_id"].dataType))
+    )
+    return ann_recall(
+        emb.unionByName(planted), query, k=10, n_lists=16, n_probe=4, iters=1
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -3042,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival_events": q_km_survival_events,
         "ess_documents": q_ess_documents,
         "wilson_events": q_wilson_events,
+        "ann_recall_embeddings": q_ann_recall_embeddings,
     }
 
 
@@ -6375,6 +6395,40 @@ FROM a
 """
 
 
+# ANN-recall twin: the verbatim IVF replay as a CTE, the exact side
+# ranked by the SAME zero-seeded fold cosine with the same tie-break,
+# then an integer id intersection.
+_ANN_RECALL_SQL = (
+    "WITH ivf AS (\n"
+    + _IVF_TOPK_SQL
+    + "\n), "
+    + """e0r AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  WHERE embedding IS NOT NULL
+), er AS (
+  SELECT * FROM e0r
+  UNION ALL SELECT CAST(-1 AS BIGINT) AS vec_id, ev FROM e0r WHERE vec_id = 0
+), qr AS (SELECT ev AS qv FROM e0r WHERE vec_id = 0),
+exact AS (
+  SELECT vec_id,
+    CASE WHEN sqrt(list_reduce([0.0] + [ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
+            * sqrt(list_reduce([0.0] + [qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)) > 0
+         THEN list_reduce([0.0] + [ev[i] * qv[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b)
+              / (sqrt(list_reduce([0.0] + [ev[i] * ev[i] FOR i IN range(1, len(ev) + 1)], (a,b) -> a + b))
+               * sqrt(list_reduce([0.0] + [qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)], (a,b) -> a + b)))
+         ELSE 0.0 END AS score
+  FROM er, qr ORDER BY score DESC, vec_id LIMIT 10
+),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits FROM ivf
+  WHERE vec_id IN (SELECT vec_id FROM exact)
+)
+SELECT CAST(10 AS BIGINT) AS k, n_hits,
+  round(CAST(n_hits AS DOUBLE) / 10.0e0, 6) AS recall
+FROM hits"""
+)
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6664,6 +6718,7 @@ def oracle_sql() -> dict[str, str]:
         "km_survival_events": _KM_SURVIVAL_SQL,
         "ess_documents": _ESS_SQL,
         "wilson_events": _WILSON_SQL,
+        "ann_recall_embeddings": _ANN_RECALL_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

@@ -326,3 +326,56 @@ def ivf_topk(
         F.col(id_col), cosine_to_query(vec_col, qv).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def ann_recall(
+    df: DataFrame,
+    query: list[float],
+    *,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the IVF probe against the exact brute-force ranking
+    for one query — the number that makes an approximate index honest:
+    ``n_probe/n_lists`` trades scan fraction for exactly this recall,
+    and a pipeline should MEASURE the trade on its own corpus before
+    trusting :func:`ivf_topk` in a dedup or retrieval stage. Both sides
+    run on the same input with the same deterministic tie-break (score
+    desc, then id), so the metric is reproducible to the bit. No
+    reference counterpart (/root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(k, n_hits, recall)`` — ``recall`` one int/int
+    IEEE division; integer set intersection, no float comparison
+    anywhere in the metric itself.
+
+    Scale shape: the two rankings are the existing operators unchanged
+    (IVF scans n_probe/n_lists of the data; brute force one full scan —
+    recall measurement is an offline audit, not the serving path); the
+    intersection is a k-row broadcast join and one scalar count."""
+    approx = ivf_topk(
+        df,
+        query,
+        k=k,
+        n_lists=n_lists,
+        n_probe=n_probe,
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).select(F.col(id_col).alias("_ida"))
+    exact = brute_force_topk(
+        df, query, k=k, vec_col=vec_col, id_col=id_col
+    ).select(F.col(id_col).alias("_ide"))
+    hits = approx.join(
+        F.broadcast(exact), F.col("_ida") == F.col("_ide"), "left_semi"
+    )
+    return hits.agg(
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.lit(float(k)), 6
+        ).alias("recall"),
+    )

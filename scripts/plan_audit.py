@@ -1493,6 +1493,24 @@ def main() -> None:
         "the score bounds are row-local fixed IEEE expressions over "
         "(n, k); no window, no join, no collect",
     )
+    from okay_spark.similarity import ann_recall
+
+    q0 = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    audit(
+        "ann_recall",
+        ann_recall(embeddings, q0, k=10, n_lists=16, n_probe=4, iters=1),
+        max_shuffles=8,
+        forbid=["BatchEvalPython", "CartesianProduct"],
+        note="offline index audit: the two rankings are the existing "
+        "ivf_topk (scans n_probe/n_lists via the data-shipped centroid "
+        "assignment) and brute_force_topk (one full scan) unchanged; "
+        "the intersection is a k-row broadcast left-semi and one "
+        "scalar count (TakeOrderedAndProject on both rankings, never "
+        "a global sort)",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

@@ -664,3 +664,32 @@ class TestWilsonInterval:
         df = spark.createDataFrame([("a", True), ("a", None)], "g string, s boolean")
         r = wilson_interval(df, "g", F.col("s")).collect()[0]
         assert (r["n"], r["k"]) == (2, 1)
+
+
+class TestAnnRecall:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import math
+
+        rows = []
+        for i in range(60):
+            ang = (i % 12) / 12.0 * 2 * math.pi
+            rows.append((i, [math.cos(ang) + (i % 7) * 0.01, math.sin(ang), 0.1 * (i % 3)]))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def test_full_probe_is_exact(self, spark, emb):
+        from okay_spark.similarity import ann_recall
+
+        q = [1.0, 0.0, 0.0]
+        r = ann_recall(emb, q, k=5, n_lists=4, n_probe=4, iters=1).collect()[0]
+        assert (r["k"], r["n_hits"], r["recall"]) == (5, 5, 1.0)
+
+    def test_recall_monotone_in_probes(self, spark, emb):
+        from okay_spark.similarity import ann_recall
+
+        q = [0.0, 1.0, 0.0]
+        r1 = ann_recall(emb, q, k=5, n_lists=8, n_probe=1, iters=1).collect()[0]
+        r4 = ann_recall(emb, q, k=5, n_lists=8, n_probe=4, iters=1).collect()[0]
+        # an exact-top-k member in the candidate set always survives the
+        # re-rank, so hits grow with nested probes
+        assert 0 <= r1["n_hits"] <= r4["n_hits"] <= 5
