@@ -2810,6 +2810,20 @@ def q_ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_welch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test on mean event value, click vs purchase
+    (okay_spark/checks.py welch_ttest). ONE scalar aggregate of six
+    conditional sums (decimal(38,12) moments); variance in the fixed
+    (s2/n - m*m)*(n/(n-1)) order; t and the Welch-Satterthwaite df
+    single IEEE expressions — bit-identical DuckDB twin."""
+    from okay_spark.checks import welch_ttest
+
+    return welch_ttest(
+        _read(spark, sf_dir, "events"), "event_type", "click", "purchase",
+        F.col("value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -3062,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ess_documents": q_ess_documents,
         "wilson_events": q_wilson_events,
         "ann_recall_embeddings": q_ann_recall_embeddings,
+        "welch_events": q_welch_events,
     }
 
 
@@ -6429,6 +6444,51 @@ FROM hits"""
 )
 
 
+# Welch twin: six conditional decimal(38,12) sums, the fixed variance
+# order (s2/n - m*m)*(n/(n-1)), t and Welch-Satterthwaite df verbatim.
+_WELCH_SQL = """
+WITH a AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN event_type = 'click'
+             THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE) AS s1a,
+    CAST(sum(CASE WHEN event_type = 'click'
+             THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE) AS s2a,
+    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE) AS s1b,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE) AS s2b
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+), m AS (
+  SELECT n_a, n_b,
+    s1a / CAST(n_a AS DOUBLE) AS ma, s1b / CAST(n_b AS DOUBLE) AS mb,
+    ((s2a / CAST(n_a AS DOUBLE)
+      - (s1a / CAST(n_a AS DOUBLE)) * (s1a / CAST(n_a AS DOUBLE)))
+     * (CAST(n_a AS DOUBLE) / CAST(n_a - 1 AS DOUBLE))) / CAST(n_a AS DOUBLE)
+      AS sea,
+    ((s2b / CAST(n_b AS DOUBLE)
+      - (s1b / CAST(n_b AS DOUBLE)) * (s1b / CAST(n_b AS DOUBLE)))
+     * (CAST(n_b AS DOUBLE) / CAST(n_b - 1 AS DOUBLE))) / CAST(n_b AS DOUBLE)
+      AS seb
+  FROM a
+)
+SELECT n_a, n_b,
+  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0
+       THEN round((ma - mb) / sqrt(sea + seb), 6) END AS t,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0
+       THEN round(((sea + seb) * (sea + seb))
+                  / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+                     + seb * seb / CAST(n_b - 1 AS DOUBLE)), 6) END AS df
+FROM m
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6719,6 +6779,7 @@ def oracle_sql() -> dict[str, str]:
         "ess_documents": _ESS_SQL,
         "wilson_events": _WILSON_SQL,
         "ann_recall_embeddings": _ANN_RECALL_SQL,
+        "welch_events": _WELCH_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

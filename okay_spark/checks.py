@@ -3299,3 +3299,77 @@ def wilson_interval(
         F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("lo"),
         F.round(F.least(center + half, F.lit(1.0)), 6).alias("hi"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value: Column,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups' means — the
+    continuous companion of :func:`proportion_ztest` (compare mean
+    document length, mean quality, mean latency across sources without
+    assuming equal variances; Welch 1947 with the Welch-Satterthwaite
+    degrees of freedom). NULL values and rows outside the two groups
+    are excluded. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, ONE row: ``(n_a, n_b, mean_a, mean_b, t, df)`` — ``t``/
+    ``df`` NULL when either group has < 2 values or both variances are
+    zero.
+
+    Exactness: per-group moments accumulate per-row decimal(38,12)
+    casts of the double value and its square (the moment discipline);
+    the sample variance is spelled in ONE fixed order — ``(s2/n -
+    m*m) * (n/(n-1))`` — and t/df are single fixed IEEE expressions
+    over the double-cast moments, replayed operand-for-operand by the
+    DuckDB twin.
+
+    Scale shape: ONE map-side-combinable scalar aggregate (six
+    conditional sums); everything after is row-local on one row. No
+    window, no join, no collect."""
+    g = F.col(group_col)
+    v = value.cast("double")
+    base = df.filter(v.isNotNull() & g.isin(group_a, group_b))
+    is_a = g == group_a
+
+    def side(flag: Column, tag: str):
+        return [
+            F.coalesce(F.sum(F.when(flag, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"n_{tag}"),
+            F.sum(F.when(flag, v).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(f"_s1{tag}"),
+            F.sum(F.when(flag, v * v).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(f"_s2{tag}"),
+        ]
+    agg = base.agg(*side(is_a, "a"), *side(~is_a, "b"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("_s1a") / d(na)
+    mb = F.col("_s1b") / d(nb)
+    va = (F.col("_s2a") / d(na) - ma * ma) * (d(na) / d(na - F.lit(1)))
+    vb = (F.col("_s2b") / d(nb) - mb * mb) * (d(nb) / d(nb - F.lit(1)))
+    sea = va / d(na)
+    seb = vb / d(nb)
+    t = F.when(
+        (na >= 2) & (nb >= 2) & (sea + seb > 0),
+        (ma - mb) / F.sqrt(sea + seb),
+    )
+    dof = F.when(
+        (na >= 2) & (nb >= 2) & (sea + seb > 0),
+        ((sea + seb) * (sea + seb))
+        / (sea * sea / d(na - F.lit(1)) + seb * seb / d(nb - F.lit(1))),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(na > 0, ma), 6).alias("mean_a"),
+        F.round(F.when(nb > 0, mb), 6).alias("mean_b"),
+        F.round(t, 6).alias("t"),
+        F.round(dof, 6).alias("df"),
+    )

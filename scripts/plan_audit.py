@@ -1511,6 +1511,17 @@ def main() -> None:
         "scalar count (TakeOrderedAndProject on both rankings, never "
         "a global sort)",
     )
+    from okay_spark.checks import welch_ttest
+
+    audit(
+        "welch_ttest",
+        welch_ttest(events, "event_type", "click", "purchase", F.col("value")),
+        max_shuffles=0,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE map-side-combinable scalar aggregate (six conditional "
+        "decimal(38,12) sums, SinglePartition reduce only); t and the "
+        "Welch-Satterthwaite df are row-local expressions",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

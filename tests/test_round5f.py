@@ -693,3 +693,34 @@ class TestAnnRecall:
         # an exact-top-k member in the candidate set always survives the
         # re-rank, so hits grow with nested probes
         assert 0 <= r1["n_hits"] <= r4["n_hits"] <= 5
+
+
+class TestWelchTtest:
+    def test_known_values(self, spark):
+        from okay_spark.checks import welch_ttest
+
+        rows = [("a", float(x)) for x in (1, 2, 3, 4, 5)] + [
+            ("b", float(x)) for x in (2, 4, 6, 8, 10)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = welch_ttest(df, "g", "a", "b", F.col("v")).collect()[0]
+        # var_a=2.5 var_b=10: t = -3/sqrt(0.5+2) = -1.897367, WS df = 5.882353
+        assert (r["n_a"], r["n_b"], r["mean_a"], r["mean_b"]) == (5, 5, 3.0, 6.0)
+        assert (r["t"], r["df"]) == (-1.897367, 5.882353)
+
+    def test_small_group_is_null(self, spark):
+        from okay_spark.checks import welch_ttest
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+        )
+        r = welch_ttest(df, "g", "a", "b", F.col("v")).collect()[0]
+        assert r["t"] is None and r["df"] is None and r["mean_a"] == 1.0
+
+    def test_zero_variance_both_is_null(self, spark):
+        from okay_spark.checks import welch_ttest
+
+        df = spark.createDataFrame(
+            [("a", 2.0)] * 3 + [("b", 5.0)] * 3, "g string, v double"
+        )
+        assert welch_ttest(df, "g", "a", "b", F.col("v")).collect()[0]["t"] is None
