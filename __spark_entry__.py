@@ -2824,6 +2824,19 @@ def q_welch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jarque_bera_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality check of event value per type
+    (okay_spark/checks.py jarque_bera). Four decimal(38,12) power sums
+    in ONE aggregate; central moments, skewness (sqrt-product
+    denominator), excess kurtosis, and JB in fixed IEEE order — the
+    DuckDB twin replays every operand."""
+    from okay_spark.checks import jarque_bera
+
+    return jarque_bera(
+        _read(spark, sf_dir, "events"), F.col("value"), "event_type"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -3077,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_events": q_wilson_events,
         "ann_recall_embeddings": q_ann_recall_embeddings,
         "welch_events": q_welch_events,
+        "jarque_bera_events": q_jarque_bera_events,
     }
 
 
@@ -6489,6 +6503,49 @@ FROM m
 """
 
 
+# Jarque-Bera twin: four decimal(38,12) power sums, central moments and
+# JB in the identical operand order (skew denominator = sqrt*sqrt*sqrt).
+_JARQUE_BERA_SQL = """
+WITH a AS (
+  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+    CAST(sum(CAST(value * value * value AS DECIMAL(38,12))) AS DOUBLE) AS s3,
+    CAST(sum(CAST(value * value * value * value AS DECIMAL(38,12)))
+         AS DOUBLE) AS s4
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type
+), m AS (
+  SELECT grp, n,
+    s1 / CAST(n AS DOUBLE) AS mu,
+    s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+      AS m2,
+    s3 / CAST(n AS DOUBLE)
+      - 3.0e0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+      + 2.0e0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+              * (s1 / CAST(n AS DOUBLE)) AS m3,
+    s4 / CAST(n AS DOUBLE)
+      - 4.0e0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+      + 6.0e0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+              * (s2 / CAST(n AS DOUBLE))
+      - 3.0e0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+              * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m4
+  FROM a
+), s AS (
+  SELECT grp, n, m2,
+    CASE WHEN n >= 2 AND m2 > 0
+         THEN m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) END AS sk,
+    CASE WHEN n >= 2 AND m2 > 0 THEN m4 / (m2 * m2) - 3.0e0 END AS ku
+  FROM m
+)
+SELECT grp, n, round(sk, 6) AS skewness, round(ku, 6) AS kurtosis_excess,
+  CASE WHEN n >= 2 AND m2 > 0
+       THEN round(CAST(n AS DOUBLE) / 6.0e0
+                  * (sk * sk + ku * ku / 4.0e0), 6) END AS jb
+FROM s
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6780,6 +6837,7 @@ def oracle_sql() -> dict[str, str]:
         "wilson_events": _WILSON_SQL,
         "ann_recall_embeddings": _ANN_RECALL_SQL,
         "welch_events": _WELCH_SQL,
+        "jarque_bera_events": _JARQUE_BERA_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

@@ -3373,3 +3373,76 @@ def welch_ttest(
         F.round(t, 6).alias("t"),
         F.round(dof, 6).alias("df"),
     )
+
+
+def jarque_bera(
+    df: DataFrame, value: Column, group_col: str | None = None
+) -> DataFrame:
+    """Jarque-Bera normality check per group — sample skewness and
+    excess kurtosis from exact central-moment sums and the JB statistic
+    ``n/6 * (S^2 + K^2/4)`` (asymptotically chi-square(2): JB >> 6
+    means the column is nowhere near Gaussian and every
+    mean±z*sigma-based threshold on it — :func:`numeric_outliers`,
+    control limits — needs the robust alternatives instead). The
+    distribution-shape companion of :func:`column_stats`. NULL values
+    are excluded; NULL groups are dropped (the grouped-ops
+    convention). No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per group (``grp = '(all)'`` when ungrouped):
+    ``(grp, n, skewness, kurtosis_excess, jb)`` — all NULL when n < 2
+    or the variance is zero.
+
+    Exactness: the four raw power sums accumulate per-row
+    decimal(38,12) casts of the double value's powers (the moment
+    discipline — powers spelled as repeated multiplication, never
+    pow); central moments derive from them in ONE fixed expression
+    order (m2 = s2/n - m*m; m3 = s3/n - 3*m*s2/n + 2*m*m*m; m4 =
+    s4/n - 4*m*s3/n + 6*m*m*s2/n - 3*m*m*m*m); S, K, and JB are
+    single fixed IEEE expressions — the DuckDB twin replays every
+    operand in order.
+
+    Scale shape: ONE map-side-combinable hash aggregate; everything
+    after is row-local. No window, no join, no collect."""
+    v = value.cast("double")
+    g = F.col(group_col) if group_col is not None else F.lit("(all)")
+    flt = v.isNotNull() if group_col is None else v.isNotNull() & g.isNotNull()
+    base = df.filter(flt).select(g.alias("grp"), v.alias("_v"))
+    x = F.col("_v")
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(x)).cast("double").alias("_s1"),
+        F.sum(dec(x * x)).cast("double").alias("_s2"),
+        F.sum(dec(x * x * x)).cast("double").alias("_s3"),
+        F.sum(dec(x * x * x * x)).cast("double").alias("_s4"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    n = d(F.col("n"))
+    m = F.col("_s1") / n
+    m2 = F.col("_s2") / n - m * m
+    m3 = (
+        F.col("_s3") / n
+        - F.lit(3.0) * m * (F.col("_s2") / n)
+        + F.lit(2.0) * m * m * m
+    )
+    m4 = (
+        F.col("_s4") / n
+        - F.lit(4.0) * m * (F.col("_s3") / n)
+        + F.lit(6.0) * m * m * (F.col("_s2") / n)
+        - F.lit(3.0) * m * m * m * m
+    )
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    skew = F.when(ok, m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)))
+    kurt = F.when(ok, m4 / (m2 * m2) - F.lit(3.0))
+    jb = F.when(
+        ok,
+        n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0)),
+    )
+    return agg.select(
+        "grp",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_excess"),
+        F.round(jb, 6).alias("jb"),
+    )

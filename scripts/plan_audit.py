@@ -1522,6 +1522,17 @@ def main() -> None:
         "decimal(38,12) sums, SinglePartition reduce only); t and the "
         "Welch-Satterthwaite df are row-local expressions",
     )
+    from okay_spark.checks import jarque_bera
+
+    audit(
+        "jarque_bera",
+        jarque_bera(events, F.col("value"), "event_type"),
+        max_shuffles=1,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="ONE map-side-combined hash aggregate (four decimal(38,12) "
+        "power sums + count); central moments, skewness/kurtosis, and "
+        "JB are row-local fixed expressions; no window, no join",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

@@ -724,3 +724,32 @@ class TestWelchTtest:
             [("a", 2.0)] * 3 + [("b", 5.0)] * 3, "g string, v double"
         )
         assert welch_ttest(df, "g", "a", "b", F.col("v")).collect()[0]["t"] is None
+
+
+class TestJarqueBera:
+    def test_hand_computed_moments(self, spark):
+        from okay_spark.checks import jarque_bera
+
+        xs = [1.0, 2.0, 3.0, 4.0, 100.0]
+        df = spark.createDataFrame([("a", v) for v in xs], "g string, v double")
+        r = jarque_bera(df, F.col("v"), "g").collect()[0]
+        n = len(xs)
+        m = sum(xs) / n
+        m2 = sum((a - m) ** 2 for a in xs) / n
+        m3 = sum((a - m) ** 3 for a in xs) / n
+        m4 = sum((a - m) ** 4 for a in xs) / n
+        S = m3 / m2**1.5
+        K = m4 / m2**2 - 3
+        assert r["skewness"] == pytest.approx(S, abs=1e-6)
+        assert r["kurtosis_excess"] == pytest.approx(K, abs=1e-6)
+        assert r["jb"] == pytest.approx(n / 6 * (S * S + K * K / 4), abs=1e-5)
+
+    def test_constant_and_null_group(self, spark):
+        from okay_spark.checks import jarque_bera
+
+        df = spark.createDataFrame(
+            [("b", 5.0)] * 4 + [(None, 1.0)], "g string, v double"
+        )
+        rows = jarque_bera(df, F.col("v"), "g").collect()
+        assert len(rows) == 1  # NULL group dropped
+        assert rows[0]["jb"] is None  # zero variance
