@@ -2837,6 +2837,28 @@ def q_jarque_bera_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM control chart over daily per-type counts
+    (okay_spark/checks.py cusum_anomalies). Day-bounded collect_list,
+    zero-seeded mean/sigma folds, prefix-slice max/plus recurrences
+    (the EWMA fold discipline), binary-exact k=0.5 / h=4.0, flags on
+    RAW statistics — the DuckDB twin replays element-for-element."""
+    from okay_spark.checks import cusum_anomalies
+
+    return cusum_anomalies(_read(spark, sf_dir, "events"))
+
+
+def q_theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type
+    (okay_spark/checks.py theil_sen_slope). Day-bounded pair self-join
+    (the mann_kendall budget), one IEEE division per pair slope,
+    nearest-rank median in pure integer arithmetic over slope COUNTS —
+    bit-identical DuckDB twin."""
+    from okay_spark.checks import theil_sen_slope
+
+    return theil_sen_slope(_read(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -3091,6 +3113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_embeddings": q_ann_recall_embeddings,
         "welch_events": q_welch_events,
         "jarque_bera_events": q_jarque_bera_events,
+        "cusum_events": q_cusum_events,
+        "theil_sen_events": q_theil_sen_events,
     }
 
 
@@ -6546,6 +6570,81 @@ FROM s
 """
 
 
+# CUSUM twin: day-sorted parallel lists, zero-seeded mean/sigma folds,
+# prefix max/plus recurrences via seeded list_reduce (the EWMA pattern).
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), per AS (
+  SELECT grp, list(day ORDER BY day) AS d, list(cnt ORDER BY day) AS c
+  FROM daily GROUP BY grp
+), stats AS (
+  SELECT grp, d, c, CAST(len(c) AS DOUBLE) AS n,
+    list_reduce([0.0] + [CAST(x AS DOUBLE) FOR x IN c],
+                (a, b) -> a + b) AS s1,
+    list_reduce([0.0] + [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN c],
+                (a, b) -> a + b) AS s2
+  FROM per
+), mu AS (
+  SELECT grp, d, c, s1 / n AS m,
+    CASE WHEN n >= 2
+         THEN sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0e0))
+         ELSE 0.0e0 END AS sig
+  FROM stats
+), idx AS (
+  SELECT grp, d, c, m, sig, CAST(i AS INT) AS i
+  FROM mu, UNNEST(range(1, len(c) + 1)) AS r(i)
+), scored AS (
+  SELECT grp, d[i] AS day, c[i] AS cnt, sig,
+    list_reduce([0.0] + [CAST(x AS DOUBLE) FOR x IN c[1:i]],
+                (a, x) -> GREATEST(0.0e0, a + x - (m + 0.5e0 * sig))) AS cp,
+    list_reduce([0.0] + [CAST(x AS DOUBLE) FOR x IN c[1:i]],
+                (a, x) -> GREATEST(0.0e0, a + (m - 0.5e0 * sig) - x)) AS cn
+  FROM idx
+)
+SELECT grp, day, cnt, round(cp, 6) AS cusum_pos, round(cn, 6) AS cusum_neg,
+  coalesce(sig > 0 AND (cp > 4.0e0 * sig OR cn > 4.0e0 * sig), FALSE)
+    AS flagged
+FROM scored
+"""
+
+
+# Theil-Sen twin: day-bounded pair self-join, nearest-rank median over
+# slope counts in pure integer arithmetic.
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), sl AS (
+  SELECT a.grp AS grp,
+    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS s
+  FROM daily a JOIN daily b ON a.grp = b.grp AND a.day < b.day
+), counts AS (
+  SELECT grp, s, CAST(count(*) AS BIGINT) AS c FROM sl GROUP BY 1, 2
+), cum AS (
+  SELECT grp, s,
+    CAST(sum(c) OVER (PARTITION BY grp ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM counts
+), med AS (
+  SELECT grp, min(s) AS slope, max(n) AS n_pairs
+  FROM cum WHERE 2 * cm >= n GROUP BY grp
+), nd AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY grp
+)
+SELECT nd.grp AS grp, n_days,
+  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+  round(slope, 6) AS slope
+FROM nd LEFT JOIN med ON nd.grp = med.grp
+"""
+
+
 # Grouped-quantiles twin: nearest-rank selection as pure integer
 # arithmetic over exact cumulative counts — no float thresholds anywhere.
 _GROUPED_QUANTILES_SQL = """
@@ -6838,6 +6937,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_embeddings": _ANN_RECALL_SQL,
         "welch_events": _WELCH_SQL,
         "jarque_bera_events": _JARQUE_BERA_SQL,
+        "cusum_events": _CUSUM_SQL,
+        "theil_sen_events": _THEIL_SEN_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,
         "embedding_dims_embeddings": _EMBEDDING_DIMS_SQL,

@@ -3446,3 +3446,172 @@ def jarque_bera(
         F.round(kurt, 6).alias("kurtosis_excess"),
         F.round(jb, 6).alias("jb"),
     )
+
+
+def cusum_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    *,
+    k_slack: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Tabular CUSUM control chart over daily per-group row counts —
+    the small-persistent-shift detector that completes the chart
+    family: :func:`ewma_anomalies` reacts to recent level moves, CUSUM
+    accumulates EVERY deviation from the corpus mean, so a feed
+    drifting +0.5 sigma per day (too small for any point threshold)
+    crosses the CUSUM limit within days (Page 1954). ``S+_t = max(0,
+    S+_{t-1} + x_t - (mu + k*sigma))`` and the mirrored ``S-``, flagged
+    when either exceeds ``h*sigma``. NULL timestamps/groups excluded.
+    No reference counterpart (/root/reference/src/okay/validator.py).
+
+    Output, one row per (group, day): ``(grp, day, cnt, cusum_pos,
+    cusum_neg, flagged)`` — single-day groups report zero CUSUMs and
+    never flag (sigma undefined -> slack/limit fall back to 0/0 with
+    sigma 0; the guard keeps them unflagged).
+
+    Exactness: mu and sigma come from row-local SEQUENTIAL folds over
+    the day-sorted counts array (zero-seeded sums — the LSH-twin fold
+    discipline; sigma in the fixed sqrt(s2/n - m*m) order); the CUSUM
+    recurrences are PREFIX-SLICE folds (the ewma_anomalies discipline —
+    DuckDB ``list_reduce`` with a [0.0] seed replays max/plus
+    element-for-element); ``k_slack``/``h`` must stay binary-exact
+    (0.5, 4.0). Flags read the RAW statistics; display rounded 6dp.
+
+    Scale shape: one map-side-combinable (group, day) count aggregate,
+    one collect_list per group bounded by CALENDAR DAYS, prefix folds
+    O(days^2) row-local after the explode — the exact ewma_anomalies
+    budget. No unbounded reducer state, no global sort."""
+    kf, hf = float(k_slack), float(h)
+    daily = ewma_daily_counts(df, ts_col, group_col)
+    per = daily.groupBy("grp").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("_s")
+    )
+    arr = F.transform(F.col("_s"), lambda x: x["cnt"].cast("double"))
+    n = F.size(F.col("_s")).cast("double")
+    s1 = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)
+    mu = s1 / n
+    sigma = F.when(
+        n >= 2, F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
+    ).otherwise(F.lit(0.0))
+    base = per.select(
+        "grp",
+        F.col("_s").alias("_arr"),
+        arr.alias("_x"),
+        mu.alias("_mu"),
+        sigma.alias("_sig"),
+    )
+    exploded = base.select(
+        "grp",
+        "_x",
+        "_mu",
+        "_sig",
+        F.posexplode(F.col("_arr")).alias("_i", "_e"),
+    )
+    up_ref = F.col("_mu") + F.lit(kf) * F.col("_sig")
+    dn_ref = F.col("_mu") - F.lit(kf) * F.col("_sig")
+    cpos = F.aggregate(
+        F.slice(F.col("_x"), 1, F.col("_i") + 1),
+        F.lit(0.0),
+        lambda a, x: F.greatest(F.lit(0.0), a + x - up_ref),
+    )
+    cneg = F.aggregate(
+        F.slice(F.col("_x"), 1, F.col("_i") + 1),
+        F.lit(0.0),
+        lambda a, x: F.greatest(F.lit(0.0), a + dn_ref - x),
+    )
+    limit = F.lit(hf) * F.col("_sig")
+    flagged = (F.col("_sig") > 0) & (
+        (cpos > limit) | (cneg > limit)
+    )
+    return exploded.select(
+        "grp",
+        F.col("_e")["day"].alias("day"),
+        F.col("_e")["cnt"].alias("cnt"),
+        F.round(cpos, 6).alias("cusum_pos"),
+        F.round(cneg, 6).alias("cusum_neg"),
+        F.coalesce(flagged, F.lit(False)).alias("flagged"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Theil-Sen robust trend slope over daily per-group counts — the
+    median of all pairwise day-slopes, the magnitude companion of
+    :func:`mann_kendall_trend`'s direction verdict (MK says "this feed
+    is drifting"; Theil-Sen says "by N rows per day", immune to the
+    outlier days that wreck a least-squares fit; Theil 1950, Sen 1968).
+    NULL timestamps/groups excluded. No reference counterpart
+    (/root/reference/src/okay/validator.py).
+
+    Output, one row per group: ``(grp, n_days, n_pairs, slope)`` —
+    ``slope`` the nearest-rank median pair slope (rows/day), NULL for
+    single-day groups.
+
+    Exactness: each pair slope is ONE IEEE division of exact integers
+    (count delta / day delta); the median is the nearest-rank selection
+    in PURE integer arithmetic over the per-distinct-slope counts (the
+    grouped_exact_quantiles discipline: smallest slope with ``2*cum >=
+    n``) — no interpolation, no float thresholds. The DuckDB twin is
+    bit-identical.
+
+    Scale shape: the (group, day) count aggregate bounds the pair
+    self-join by calendar days (days^2/2 slopes per group — the
+    mann_kendall budget, localCheckpoint-ed once); the median selection
+    sorts slope COUNTS within each group. No posting lists, no global
+    sort."""
+    daily = ewma_daily_counts(df, ts_col, group_col).localCheckpoint(
+        eager=False
+    )
+    a = daily.select(
+        F.col("grp").alias("_ga"), F.col("day").alias("_da"),
+        F.col("cnt").alias("_ca"),
+    )
+    b = daily.select(
+        F.col("grp").alias("_gb"), F.col("day").alias("_db"),
+        F.col("cnt").alias("_cb"),
+    )
+    slopes = (
+        a.join(b, (F.col("_ga") == F.col("_gb")) & (F.col("_da") < F.col("_db")))
+        .select(
+            F.col("_ga").alias("grp"),
+            (
+                (F.col("_cb") - F.col("_ca")).cast("double")
+                / F.datediff(F.col("_db"), F.col("_da")).cast("double")
+            ).alias("_sl"),
+        )
+    )
+    counts = slopes.groupBy("grp", "_sl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("_sl")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("grp")
+    cum = counts.select(
+        "grp",
+        "_sl",
+        F.sum("_c").over(wcum).cast("bigint").alias("_cum"),
+        F.sum("_c").over(wall).cast("bigint").alias("_n"),
+    )
+    med = (
+        cum.filter(F.lit(2) * F.col("_cum") >= F.col("_n"))
+        .groupBy("grp")
+        .agg(F.min("_sl").alias("slope"), F.max("_n").alias("n_pairs"))
+    )
+    ndays = daily.groupBy(F.col("grp").alias("_gd")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return ndays.join(med, F.col("_gd") == F.col("grp"), "left").select(
+        F.col("_gd").alias("grp"),
+        "n_days",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.round(F.col("slope"), 6).alias("slope"),
+    )

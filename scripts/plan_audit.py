@@ -1533,6 +1533,27 @@ def main() -> None:
         "power sums + count); central moments, skewness/kurtosis, and "
         "JB are row-local fixed expressions; no window, no join",
     )
+    from okay_spark.checks import cusum_anomalies, theil_sen_slope
+
+    audit(
+        "cusum_anomalies",
+        cusum_anomalies(events),
+        max_shuffles=3,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        note="one (group, day) count aggregate, one collect_list per "
+        "group bounded by CALENDAR DAYS, prefix max/plus folds O(days^2) "
+        "row-local after the explode — the exact ewma_anomalies budget",
+    )
+    audit(
+        "theil_sen_slope",
+        theil_sen_slope(events),
+        max_shuffles=6,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "collect_list"],
+        note="day-bounded pair self-join over the localCheckpoint-ed "
+        "daily frame (days^2/2 slopes per group — the mann_kendall "
+        "budget); median selection is integer arithmetic over slope "
+        "COUNTS (the grouped-quantiles discipline)",
+    )
 
     bad = [c for c in CHECKS if c["problems"]]
     write_scale_md()

@@ -753,3 +753,84 @@ class TestJarqueBera:
         rows = jarque_bera(df, F.col("v"), "g").collect()
         assert len(rows) == 1  # NULL group dropped
         assert rows[0]["jb"] is None  # zero variance
+
+
+class TestCusumAnomalies:
+    def test_persistent_shift_flags(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import cusum_anomalies
+
+        rows = []
+        for i in range(18):
+            day = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+            rows += [("a", day)] * (10 if i < 10 else 13)
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = sorted(cusum_anomalies(df).collect(), key=lambda r: str(r["day"]))
+        # the +3 shift accumulates; the last days cross h*sigma
+        assert out[-1]["flagged"] and out[-2]["flagged"]
+        assert not any(r["flagged"] for r in out[:10])
+        # recurrence is monotone after the shift under a constant excess
+        assert out[-1]["cusum_pos"] > out[-2]["cusum_pos"] > 0
+
+    def test_stable_series_never_flags(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import cusum_anomalies
+
+        rows = []
+        for i in range(12):
+            rows += [("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=i))] * 5
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = cusum_anomalies(df).collect()
+        assert all(not r["flagged"] for r in out)
+        assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0 for r in out)
+
+    def test_single_day_group_unflagged(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import cusum_anomalies
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1))] * 3, "event_type string, ts timestamp"
+        )
+        r = cusum_anomalies(df).collect()[0]
+        assert not r["flagged"]
+
+
+class TestTheilSenSlope:
+    def test_outlier_immune_unit_slope(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import theil_sen_slope
+
+        rows = []
+        for i in range(8):
+            day = dt.datetime(2024, 2, 1) + dt.timedelta(days=i)
+            rows += [("b", day)] * ((i + 1) if i != 4 else 50)
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        r = theil_sen_slope(df).collect()[0]
+        assert (r["n_days"], r["n_pairs"], r["slope"]) == (8, 28, 1.0)
+
+    def test_single_day_is_null(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import theil_sen_slope
+
+        df = spark.createDataFrame(
+            [("c", dt.datetime(2024, 1, 1))] * 2, "event_type string, ts timestamp"
+        )
+        r = theil_sen_slope(df).collect()[0]
+        assert r["n_days"] == 1 and r["n_pairs"] == 0 and r["slope"] is None
+
+    def test_missing_days_use_true_gap(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import theil_sen_slope
+
+        # counts 2 then 6, four days apart: slope = 1/day
+        rows = [("d", dt.datetime(2024, 1, 1))] * 2 + [
+            ("d", dt.datetime(2024, 1, 5))
+        ] * 6
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        assert theil_sen_slope(df).collect()[0]["slope"] == 1.0
