@@ -43,7 +43,59 @@ def read_table(
         if version is not None:
             df = spark.sql(f"SELECT * FROM {target} VERSION AS OF {version}")
         return df
-    return spark.read.parquet(target)
+    return read_path(spark, target)
+
+
+_PATH_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def read_path(
+    spark: SparkSession, path: str, *, format: str = "parquet"
+) -> DataFrame:
+    """Read a columnar/text path in any natively-supported format.
+
+    ``parquet`` and ``orc`` are the columnar formats (both predicate-
+    pushdown/column-pruning capable — the plan-shape tests hold for
+    either); ``json``/``csv`` route through the schema-enforcing
+    :func:`read_with_rejects` path when a schema is in play. ``avro``
+    needs the external spark-avro package — absent in this build, so it
+    raises with the coordinates to add rather than failing mid-plan."""
+    if format == "avro":
+        raise NotImplementedError(
+            "avro needs the org.apache.spark:spark-avro package on the "
+            "classpath (spark-submit --packages); not bundled here"
+        )
+    if format not in _PATH_FORMATS:
+        raise ValueError(f"unsupported format {format!r} ({_PATH_FORMATS})")
+    if format == "csv":
+        return spark.read.option("header", "true").csv(path)
+    return getattr(spark.read, format)(path)
+
+
+def write_path(
+    df: DataFrame,
+    path: str,
+    *,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a path in any natively-supported format (same format set and
+    avro gating as :func:`read_path`); partitioned layouts supported for
+    the columnar formats."""
+    if format == "avro":
+        raise NotImplementedError(
+            "avro needs the org.apache.spark:spark-avro package on the "
+            "classpath (spark-submit --packages); not bundled here"
+        )
+    if format not in _PATH_FORMATS:
+        raise ValueError(f"unsupported format {format!r} ({_PATH_FORMATS})")
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if format == "csv":
+        w = w.option("header", "true")
+    getattr(w, format)(path)
 
 
 def write_table(

@@ -834,3 +834,41 @@ class TestTheilSenSlope:
         ] * 6
         df = spark.createDataFrame(rows, "event_type string, ts timestamp")
         assert theil_sen_slope(df).collect()[0]["slope"] == 1.0
+
+
+class TestOrcPathIO:
+    def test_orc_roundtrip_and_pruned_scan(self, spark, tmp_path):
+        from okay_spark.io import read_path, write_path
+
+        src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = str(tmp_path / "docs_orc")
+        write_path(src, p, format="orc", partition_by=["lang"])
+        back = read_path(spark, p, format="orc")
+        assert back.count() == src.count()
+        assert set(back.columns) == set(src.columns)
+        # column pruning reaches the ORC scan like the parquet path
+        plan = back.select("doc_id").filter(back["doc_id"] > 10)._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+    def test_csv_json_roundtrip(self, spark, tmp_path):
+        from okay_spark.io import read_path, write_path
+
+        src = spark.createDataFrame(
+            [(1, "aa"), (2, "bb")], "id bigint, s string"
+        )
+        for fmt in ("json", "csv"):
+            p = str(tmp_path / f"d_{fmt}")
+            write_path(src, p, format=fmt)
+            back = read_path(spark, p, format=fmt)
+            assert back.count() == 2 and set(back.columns) == {"id", "s"}
+
+    def test_avro_gated_and_bad_format_rejected(self, spark, tmp_path):
+        from okay_spark.io import read_path, write_path
+
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            read_path(spark, str(tmp_path), format="avro")
+        src = spark.createDataFrame([(1,)], "id bigint")
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            write_path(src, str(tmp_path / "x"), format="avro")
+        with pytest.raises(ValueError, match="unsupported format"):
+            read_path(spark, str(tmp_path), format="xml")
