@@ -278,6 +278,15 @@ def bench_queries(spark) -> dict[str, dict]:
         docs = spark.read.parquet(split["documents"])
         return corpus_group_jaccard(docs, "lang").count()
 
+    # continuation addition: distinct-n diversity — the widest shuffle of
+    # the evaluation/profile family (corpus bigram explode + two-phase
+    # count_distinct per source; vocabulary-bounded distinct state).
+    def ngram_div():
+        from okay_spark.textops import ngram_diversity
+
+        docs = spark.read.parquet(split["documents"])
+        return ngram_diversity(docs).count()
+
     suite = {
         "battery_interleaved": (battery_interleaved, BATTERY_DOCS),
         "summary_interleaved": (summary_interleaved, BATTERY_DOCS),
@@ -295,6 +304,7 @@ def bench_queries(spark) -> dict[str, dict]:
         "referential_plain_truncated": (referential_plain_truncated, None),
         "dup_ngram_documents": (dup_ngram, None),
         "corpus_jaccard_documents": (corpus_jaccard, None),
+        "ngram_diversity_documents": (ngram_div, None),
     }
     if "--battery-only" in sys.argv:
         suite = {k: suite[k] for k in ("battery_interleaved",)}

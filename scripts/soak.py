@@ -232,6 +232,23 @@ def main() -> None:
             repeats=1,
         )
 
+    # continuation addition: distinct-n lexical diversity — a corpus-wide
+    # bigram explode + per-group count_distinct. Unlike dup_ngram there is
+    # NO (doc, gram) checkpoint: Spark's two-phase distinct reduces state
+    # to DISTINCT (group, gram) pairs, which dedup across documents
+    # (vocabulary-bounded), so the full N/4 -> N pair fits one JVM.
+    from okay_spark.textops import ngram_diversity
+
+    for scale, n_sub in (("quarter", N // 4), ("full", N)):
+        cpath = f"/tmp/okay_spark_bench/corpus_v3_{n_sub}"
+        corpus = spark.read.parquet(cpath)
+        timed(
+            f"ngram_diversity_{scale}",
+            n_sub,
+            lambda c=corpus: ngram_diversity(c, "text", "lang").count(),
+            repeats=1,
+        )
+
     md = [
         f"# SOAK — {N:,} documents on local[{CPUS}] (vs the {6_000_000:,}-doc bench fixture)",
         "",
@@ -255,7 +272,7 @@ def main() -> None:
     for name, (dt, n_docs, out) in results.items():
         md.append(f"| {name} | {n_docs:,} | {dt:.2f} | {n_docs / dt:,.0f} | {out:,} |")
     for op in ("minhash_capped", "token_budget", "line_dedup", "winnow_pairs",
-               "dup_ngram"):
+               "dup_ngram", "ngram_diversity"):
         tq, nq, _ = results[f"{op}_quarter"]
         tf, nf, _ = results[f"{op}_full"]
         ratio = (nf / tf) / (nq / tq)
