@@ -2859,6 +2859,17 @@ def q_theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_slope(_read(spark, sf_dir, "events"))
 
 
+def q_streaming_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM with exact batch parity (okay_spark/streaming.py
+    stream_cusum): the daily-count state as ONE streaming stateful
+    aggregate, the prefix max/plus finisher on the state — equals the
+    batch operator bit-for-bit, so the one CUSUM twin certifies both
+    executions (the streaming_ewma discipline)."""
+    from okay_spark.streaming import stream_cusum
+
+    return stream_cusum(spark, _read(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -3115,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jarque_bera_events": q_jarque_bera_events,
         "cusum_events": q_cusum_events,
         "theil_sen_events": q_theil_sen_events,
+        "streaming_cusum_events": q_streaming_cusum_events,
     }
 
 
@@ -6938,6 +6950,8 @@ def oracle_sql() -> dict[str, str]:
         "welch_events": _WELCH_SQL,
         "jarque_bera_events": _JARQUE_BERA_SQL,
         "cusum_events": _CUSUM_SQL,
+        # the streaming execution must reproduce the batch chart exactly
+        "streaming_cusum_events": _CUSUM_SQL,
         "theil_sen_events": _THEIL_SEN_SQL,
         "streaming_ewma_events": _EWMA_SQL,
         "cooccurrence_events": _COOCCURRENCE_SQL,

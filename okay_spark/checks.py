@@ -3483,8 +3483,20 @@ def cusum_anomalies(
     one collect_list per group bounded by CALENDAR DAYS, prefix folds
     O(days^2) row-local after the explode — the exact ewma_anomalies
     budget. No unbounded reducer state, no global sort."""
+    return cusum_from_daily(
+        ewma_daily_counts(df, ts_col, group_col), k_slack=k_slack, h=h
+    )
+
+
+def cusum_from_daily(
+    daily: DataFrame, *, k_slack: float = 0.5, h: float = 4.0
+) -> DataFrame:
+    """The CUSUM finisher over a (grp, day, cnt) frame — the prefix
+    max/plus folds of :func:`cusum_anomalies`, applied to either the
+    batch daily aggregate or a streaming-maintained daily-count state
+    (same expression, bit-identical result — one DuckDB twin certifies
+    both; the ewma_from_daily discipline)."""
     kf, hf = float(k_slack), float(h)
-    daily = ewma_daily_counts(df, ts_col, group_col)
     per = daily.groupBy("grp").agg(
         F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("_s")
     )

@@ -386,3 +386,32 @@ def stream_ewma(
         name_prefix="stream_ewma",
     )
     return ewma_from_daily(daily, alpha=alpha, k=k)
+
+
+def stream_cusum(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    k_slack: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Streaming CUSUM control chart with exact batch parity — the same
+    (group, day) daily-count state as :func:`stream_ewma` (ONE
+    Structured Streaming stateful aggregate, state = groups x calendar
+    days) with the CUSUM prefix max/plus finisher
+    (:func:`okay_spark.checks.cusum_from_daily`) applied to the final
+    state. Equals the batch :func:`okay_spark.checks.cusum_anomalies`
+    bit-for-bit, so the one DuckDB twin certifies both executions (the
+    streaming_hll/stream_ewma discipline). The finisher is a pure
+    function of the state, so parity holds at every trigger."""
+    from .checks import cusum_from_daily, ewma_daily_counts
+
+    daily = stream_stateful_parity(
+        spark,
+        batch_df,
+        lambda s: ewma_daily_counts(s, ts_col, group_col),
+        name_prefix="stream_cusum",
+    )
+    return cusum_from_daily(daily, k_slack=k_slack, h=h)

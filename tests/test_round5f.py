@@ -872,3 +872,21 @@ class TestOrcPathIO:
             write_path(src, str(tmp_path / "x"), format="avro")
         with pytest.raises(ValueError, match="unsupported format"):
             read_path(spark, str(tmp_path), format="xml")
+
+
+class TestStreamingCusum:
+    def test_streaming_equals_batch(self, spark):
+        import datetime as dt
+
+        from okay_spark.checks import cusum_anomalies
+        from okay_spark.streaming import stream_cusum
+
+        rows = []
+        for i in range(14):
+            day = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+            rows += [("a", day)] * (8 if i < 7 else 11)
+            rows += [("b", day)] * 3
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        batch = {(r["grp"], str(r["day"])): tuple(r) for r in cusum_anomalies(df).collect()}
+        stream = {(r["grp"], str(r["day"])): tuple(r) for r in stream_cusum(spark, df).collect()}
+        assert batch == stream and len(batch) == 28
